@@ -1,0 +1,140 @@
+"""CDC MERGE semantics as pure DataFrame transforms.
+
+The reference applies each deduped micro-batch slice with two sequential
+Delta ``MERGE INTO`` statements: an upsert MERGE with an LSN monotonic guard
+(ref stream/stream.py:114-133, guard at :125) then an unguarded delete MERGE
+(ref stream/stream.py:135-148). Semantics preserved here, folded into ONE
+merge pass (SURVEY §4's recommended fix — halves the target-table joins and
+closes the upsert/delete ordering gap):
+
+  for the (already latest-per-key) change row of key K:
+    * ``__deleted = 'true'``  → K removed from state (no LSN guard, matching
+      the reference's delete MERGE).
+    * otherwise               → insert if K absent; update only if
+      ``change.lsn > state.lsn`` (replay-idempotent upserts).
+
+Two execution paths:
+  * ``apply_cdc_delta`` — Delta ``DeltaTable.merge`` (single MERGE with
+    whenMatchedDelete / whenMatchedUpdate(guard) / whenNotMatchedInsert),
+    used when delta-spark is on the classpath. At scale this rewrites only
+    matched files (partition-pruned when ON includes partition columns).
+  * ``merge_cdc_batch`` — engine-neutral full-outer-join merge producing the
+    new state DataFrame; backs the parquet state store in this environment.
+    Shuffle profile: one shuffle of each side on the key columns (AQE picks
+    broadcast when the batch side is small, the common CDC case).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.config import DELETED_COL, LSN_COL
+
+
+def split_upserts_deletes(
+    df: DataFrame, deleted_col: str = DELETED_COL
+) -> tuple[DataFrame, DataFrame]:
+    """Split a change set on the Debezium soft-delete flag.
+
+    ``__deleted`` is the *string* 'true'/'false' (tombstones rewritten by the
+    SMT — ref resources/kafka-connector.yaml:38-53; filters at
+    ref stream/stream.py:115,136).
+    """
+    is_del = F.col(deleted_col) == F.lit("true")
+    return df.filter(~is_del | F.col(deleted_col).isNull()), df.filter(is_del)
+
+
+def merge_cdc_batch(
+    state_df: DataFrame | None,
+    changes_df: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = LSN_COL,
+    deleted_col: str = DELETED_COL,
+) -> DataFrame:
+    """Apply a deduped change set to the current state; returns new state.
+
+    ``changes_df`` must hold at most one row per key (use
+    :func:`kafka2delta_spark.cdc.dedup.latest_per_key` first — the reference
+    enforces the same precondition because Delta MERGE forbids multiple
+    source matches, ref stream/stream.py:92-96).
+
+    The new state's schema is ``changes_df`` minus ``deleted_col``
+    (target schema = source minus the delete flag, ref stream/stream.py:106).
+    """
+    target_cols = [c for c in changes_df.columns if c != deleted_col]
+
+    if state_df is None:
+        live, _ = split_upserts_deletes(changes_df, deleted_col)
+        return live.select(*target_cols)
+
+    s = state_df.select(
+        *[F.col(c).alias(f"__k_{c}") for c in key_cols],
+        F.struct(*[F.col(c) for c in target_cols]).alias("__s"),
+    )
+    c = changes_df.select(
+        *[F.col(c_).alias(f"__k_{c_}") for c_ in key_cols],
+        F.struct(*[F.col(c_) for c_ in target_cols]).alias("__c"),
+        (F.col(deleted_col) == F.lit("true")).alias("__is_delete"),
+    )
+    joined = s.join(c, on=[f"__k_{k}" for k in key_cols], how="full_outer")
+
+    resolved = (
+        joined
+        # delete wins whenever the latest change for the key is a delete
+        .filter(~F.coalesce(F.col("__is_delete"), F.lit(False)))
+        .select(
+            F.when(F.col("__c").isNull(), F.col("__s"))
+            .when(F.col("__s").isNull(), F.col("__c"))
+            # LSN monotonic guard (ref stream/stream.py:125): only strictly
+            # newer changes replace existing state.
+            .when(F.col(f"__c.{lsn_col}") > F.col(f"__s.{lsn_col}"), F.col("__c"))
+            .otherwise(F.col("__s"))
+            .alias("__row")
+        )
+        .select("__row.*")
+    )
+    return resolved
+
+
+def apply_cdc_delta(
+    spark,
+    target_table_or_path: str,
+    changes_df: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    lsn_col: str = LSN_COL,
+    deleted_col: str = DELETED_COL,
+) -> None:
+    """Single combined Delta MERGE (requires delta-spark on the classpath).
+
+    ON condition includes partition columns when given — enables partition
+    pruning of the target during the MERGE join (ref stream/stream.py:116-117;
+    caveat preserved: a key whose partition value changes would duplicate, so
+    only pass partition cols derived from immutable columns).
+    """
+    from delta.tables import DeltaTable  # gated import
+
+    target = (
+        DeltaTable.forPath(spark, target_table_or_path)
+        if "/" in target_table_or_path
+        else DeltaTable.forName(spark, target_table_or_path)
+    )
+    on = " AND ".join(
+        f"t.`{c}` = s.`{c}`" for c in list(key_cols) + list(partition_cols or [])
+    )
+    target_cols = [c for c in changes_df.columns if c != deleted_col]
+    set_map = {c: f"s.`{c}`" for c in target_cols}
+    (
+        target.alias("t")
+        .merge(changes_df.alias("s"), on)
+        .whenMatchedDelete(condition=f"s.`{deleted_col}` = 'true'")
+        .whenMatchedUpdate(
+            condition=f"s.`{deleted_col}` != 'true' AND t.`{lsn_col}` < s.`{lsn_col}`",
+            set=set_map,
+        )
+        .whenNotMatchedInsert(
+            condition=f"s.`{deleted_col}` != 'true'", values=set_map
+        )
+        .execute()
+    )

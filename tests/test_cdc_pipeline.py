@@ -1,0 +1,191 @@
+"""End-to-end CDC pipeline tests (batch-driven).
+
+Re-creates the reference's integration scenarios (ref
+stream/test/stream_test.py:164-460 — insert, update, delete, schema
+evolution add/drop column) without the kind/Postgres/Debezium/Kafka stack:
+Confluent-envelope records are synthesized in-memory and pushed through
+``apply_cdc_micro_batch`` against parquet state stores.
+"""
+
+import datetime as dt
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.cdc.avro_codec import encode_avro_payload
+from kafka2delta_spark.cdc.registry import InMemorySchemaRegistry
+from kafka2delta_spark.cdc.wire import make_confluent_envelope
+from kafka2delta_spark.config import TableConfig
+from kafka2delta_spark.state.store import ParquetStateStore
+from kafka2delta_spark.streaming.stream import apply_cdc_micro_batch
+
+TOPIC = "postgres.public.users"
+
+USERS_V1 = json.dumps(
+    {
+        "type": "record",
+        "name": "users",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+            {"name": "email", "type": "string"},
+            {"name": "created_at", "type": {"type": "int", "logicalType": "date"}},
+            {"name": "__deleted", "type": ["null", "string"], "default": None},
+            {"name": "__timestamp", "type": ["null", "long"], "default": None},
+            {"name": "__log_sequence_number", "type": ["null", "long"], "default": None},
+        ],
+    }
+)
+# v2 adds phone_number (ref stream_test.py:326-390 add-column scenario)
+USERS_V2 = json.dumps(
+    {
+        "type": "record",
+        "name": "users",
+        "fields": json.loads(USERS_V1)["fields"][:4]
+        + [{"name": "phone_number", "type": ["null", "string"], "default": None}]
+        + json.loads(USERS_V1)["fields"][4:],
+    }
+)
+KEY_SCHEMA = json.dumps(
+    {"type": "record", "name": "users_key", "fields": [{"name": "id", "type": "int"}]}
+)
+
+KAFKA_SCHEMA = (
+    "topic string, partition int, offset long, timestamp timestamp, "
+    "timestampType int, key binary, value binary"
+)
+
+
+@pytest.fixture
+def rig(spark, tmp_path):
+    registry = InMemorySchemaRegistry()
+    key_sid = registry.register(KEY_SCHEMA)
+    v1_sid = registry.register(USERS_V1)
+    v2_sid = registry.register(USERS_V2)
+    config = TableConfig(
+        schema_name="cdc",
+        table_name="users",
+        path=str(tmp_path / "users"),
+        additional_cols=["YEAR(created_at) AS year", "MONTH(created_at) AS month"],
+        partition_cols=["year", "month"],
+    )
+    store = ParquetStateStore(spark, config.path, config.partition_cols)
+    return registry, key_sid, v1_sid, v2_sid, config, store
+
+
+def mk_record(schema, key_sid, value_sid, uid, lsn, deleted="false", **extra):
+    rec = {
+        "id": uid,
+        "name": extra.get("name", f"user{uid}"),
+        "email": extra.get("email", f"user{uid}@test.io"),
+        "created_at": extra.get("created_at", dt.date(2024, 3, 15)),
+        "__deleted": deleted,
+        "__timestamp": 1700000000000 + lsn,
+        "__log_sequence_number": lsn,
+    }
+    if "phone_number" in schema:
+        rec["phone_number"] = extra.get("phone_number")
+    key = make_confluent_envelope(key_sid, encode_avro_payload({"id": uid}, KEY_SCHEMA))
+    val = make_confluent_envelope(value_sid, encode_avro_payload(rec, schema))
+    return (TOPIC, 0, lsn, dt.datetime(2024, 3, 15, 12), 0, key, val)
+
+
+def run_batch(spark, rig, rows):
+    registry, *_, config, store = rig[0], rig[1], rig[2], rig[3], rig[4], rig[5]
+    batch = spark.createDataFrame(rows, KAFKA_SCHEMA)
+    apply_cdc_micro_batch(batch, rig[0], {TOPIC: rig[4]}, {TOPIC: rig[5]})
+    return rig[5].read()
+
+
+def test_insert_update_delete_lifecycle(spark, rig):
+    registry, key_sid, v1, v2, config, store = rig
+
+    # batch 1: 3 inserts, one key has two versions in-batch (dedup by LSN)
+    state = run_batch(
+        spark,
+        rig,
+        [
+            mk_record(USERS_V1, key_sid, v1, 1, 10, name="alice_old"),
+            mk_record(USERS_V1, key_sid, v1, 1, 20, name="alice"),
+            mk_record(USERS_V1, key_sid, v1, 2, 15, name="bob"),
+            mk_record(USERS_V1, key_sid, v1, 3, 17, name="carol"),
+        ],
+    )
+    got = {r["id"]: r["name"] for r in state.collect()}
+    assert got == {1: "alice", 2: "bob", 3: "carol"}
+    # the reference's own acceptance predicate (ref stream_test.py:206-209)
+    assert state.filter("email like '%test%'").count() == 3
+    # derived partition columns materialized (ref stream_test.py:108-110)
+    row = state.filter("id = 1").collect()[0]
+    assert (row["year"], row["month"]) == (2024, 3)
+    assert "__deleted" not in state.columns
+
+    # batch 2: update bob (newer LSN), stale update for alice (guard), delete carol
+    state = run_batch(
+        spark,
+        rig,
+        [
+            mk_record(USERS_V1, key_sid, v1, 2, 30, name="bob_updated"),
+            mk_record(USERS_V1, key_sid, v1, 1, 5, name="alice_stale"),
+            mk_record(USERS_V1, key_sid, v1, 3, 40, deleted="true"),
+        ],
+    )
+    got = {r["id"]: r["name"] for r in state.collect()}
+    assert got == {1: "alice", 2: "bob_updated"}
+
+
+def test_schema_evolution_add_column(spark, rig):
+    registry, key_sid, v1, v2, config, store = rig
+    run_batch(spark, rig, [mk_record(USERS_V1, key_sid, v1, 1, 10)])
+    state = run_batch(
+        spark,
+        rig,
+        [mk_record(USERS_V2, key_sid, v2, 2, 20, phone_number="+1-555")],
+    )
+    rows = {r["id"]: r for r in state.collect()}
+    assert rows[2]["phone_number"] == "+1-555"
+    assert rows[1]["phone_number"] is None  # old rows NULL (ref :326-390)
+
+
+def test_schema_evolution_drop_column(spark, rig):
+    registry, key_sid, v1, v2, config, store = rig
+    run_batch(spark, rig, [mk_record(USERS_V2, key_sid, v2, 1, 10, phone_number="+1")])
+    state = run_batch(spark, rig, [mk_record(USERS_V1, key_sid, v1, 2, 20)])
+    rows = {r["id"]: r for r in state.collect()}
+    assert rows[1]["phone_number"] == "+1"  # column retained
+    assert rows[2]["phone_number"] is None  # new rows NULL (ref :393-460)
+
+
+def test_mixed_schema_versions_one_batch(spark, rig):
+    registry, key_sid, v1, v2, config, store = rig
+    state = run_batch(
+        spark,
+        rig,
+        [
+            mk_record(USERS_V1, key_sid, v1, 1, 10),
+            mk_record(USERS_V2, key_sid, v2, 1, 20, phone_number="+9"),
+        ],
+    )
+    rows = state.collect()
+    assert len(rows) == 1
+    assert rows[0]["phone_number"] == "+9"  # newer schema version won by LSN
+
+
+def test_partition_pruning_layout(spark, rig):
+    """State store is hive-partitioned → scans with partition predicates
+    prune files (the reference's year/month layout intent)."""
+    registry, key_sid, v1, v2, config, store = rig
+    run_batch(
+        spark,
+        rig,
+        [
+            mk_record(USERS_V1, key_sid, v1, 1, 10, created_at=dt.date(2023, 1, 5)),
+            mk_record(USERS_V1, key_sid, v1, 2, 20, created_at=dt.date(2024, 6, 5)),
+        ],
+    )
+    state = store.read().filter((F.col("year") == 2024) & (F.col("month") == 6))
+    plan = state._jdf.queryExecution().executedPlan().toString()
+    assert state.count() == 1
+    # partition filters present in the scan (pruning, not post-filter)
+    assert "PartitionFilters" in plan
