@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries.
+
+Runs each headline query at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}. Each query is fully materialized via a count-ish action
+(``df.write.format("noop")`` — executes the whole plan, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka2delta_spark.queryset import QUERIES, load_all_querysets
+from kafka2delta_spark.session import build_session
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q21_cube_returnflag_status",
+    "q26_distinct_counts",
+    "q30_running_order_totals",
+    "q31_topk_orders_per_priority",
+    "q36_stats_by_returnflag",
+    "q43_json_extraction",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    load_all_querysets()
+    spark = build_session("bench")
+    names = [n for n in HEADLINE if n in QUERIES]
+    # extend with every other registered query so the bench covers the surface
+    names += [n for n in sorted(QUERIES) if n not in names]
+
+    # warm the JVM + parquet footers once (not timed per query)
+    QUERIES["q01_pricing_summary"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = -1.0
+            print(f"bench error {name}: {exc}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v >= 0), 3)
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

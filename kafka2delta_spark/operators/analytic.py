@@ -1,0 +1,433 @@
+"""Window functions, pivot/unpivot, statistics, and scalar-function surface.
+
+The reference uses exactly one window function (``row_number`` for dedup,
+ref stream/stream.py:92-96); this module supplies the full ranking/analytic
+set SURVEY §2.2 requires. Every ordering inside a window includes a unique
+tie-breaker column so results are deterministic (a window frame over a
+non-unique ordering is nondeterministic by definition — both engines would
+be free to disagree).
+
+Scale: window functions shuffle once on the partition key then sort within
+partitions. Partition keys here (custkey / suppkey / user_id) are
+high-cardinality, so partitions stay small; a single low-cardinality
+partition key (e.g. a global ORDER BY rank) would serialize on one task and
+is avoided except in the explicitly-global q33.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+
+@register(
+    "q30_running_order_totals",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER w, 2)  AS running_total,
+           ROW_NUMBER() OVER w                 AS order_seq,
+           ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def q30_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + row_number + lag in one window pass (one shuffle on
+    o_custkey, shared by all three functions)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.row_number().over(wo).alias("order_seq"),
+        F.round(F.lag("o_totalprice").over(wo), 2).alias("prev_price"),
+    )
+
+
+@register(
+    "q31_topk_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority, o_orderkey, ROUND(o_totalprice, 2) AS price, rk
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 RANK() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+)
+def q31_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window + filter — the canonical Spark
+    top-k-per-group (scan stays pruned to 3 columns)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.rank().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+    )
+
+
+@register(
+    "q32_moving_avg_quantity",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           ROUND(AVG(l_quantity) OVER (
+               PARTITION BY l_suppkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg_qty
+    FROM lineitem
+    WHERE l_suppkey <= 5
+    """,
+)
+def q32_moving_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (moving average)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_suppkey") <= 5)
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.avg("l_quantity").over(w), 4).alias("mavg_qty"),
+    )
+
+
+@register(
+    "q33_customer_percentiles",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6)    AS cume,
+           NTILE(10) OVER w                AS decile
+    FROM customer
+    WINDOW w AS (ORDER BY c_acctbal, c_custkey)
+    """,
+)
+def q33_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (unpartitioned) analytic window — deliberately the one query
+    that serializes on a single task; fine for a dimension table, never done
+    on a fact table (documented anti-pattern)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+
+
+@register(
+    "q34_event_gaps",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(date_diff('second', LAG(ts) OVER w, ts) AS BIGINT) AS gap_s,
+           LEAD(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q34_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag over an event stream — the batch form of stream
+    sessionization's gap computation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)))
+        .cast("bigint")
+        .alias("gap_s"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q35_first_last_per_nation",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_nationkey, c_name, c_acctbal,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal, c_custkey)       AS rn_asc,
+               ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                                  ORDER BY c_acctbal DESC, c_custkey DESC) AS rn_desc
+        FROM customer)
+    SELECT c_nationkey,
+           MIN(c_acctbal)                                  AS min_bal,
+           MAX(c_acctbal)                                  AS max_bal,
+           MAX(CASE WHEN rn_asc  = 1 THEN c_name END)      AS poorest,
+           MAX(CASE WHEN rn_desc = 1 THEN c_name END)      AS richest
+    FROM ranked
+    GROUP BY c_nationkey
+    """,
+)
+def q35_first_last_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-min/arg-max) — hash-agg, no window sort. The
+    struct ordering tie-breaks on c_custkey deterministically."""
+    cust = load_table(spark, sf_dir, "customer")
+    key = F.struct(F.col("c_acctbal"), F.col("c_custkey"))
+    return cust.groupBy("c_nationkey").agg(
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min_by("c_name", key).alias("poorest"),
+        F.max_by("c_name", key).alias("richest"),
+    )
+
+
+@register(
+    "q36_stats_by_returnflag",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 4)                    AS sd_qty,
+           ROUND(VAR_SAMP(l_extendedprice), 2)                  AS var_price,
+           ROUND(CORR(l_quantity, l_extendedprice), 6)          AS corr_qty_price,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 6)         AS cov_qty_disc,
+           ROUND(MEDIAN(l_quantity), 2)                         AS med_qty,
+           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 2)        AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q36_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates incl. exact median / interpolated quantile
+    (``percentile``, not the sketch-based approx variant)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
+        F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
+        F.round(F.percentile("l_quantity", 0.5), 2).alias("med_qty"),
+        F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90_price"),
+    )
+
+
+@register(
+    "q37_pivot_event_types",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q37_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct-discovery job —
+    at scale always pass the values)."""
+    ev = load_table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    piv = ev.groupBy("user_id").pivot("event_type", kinds).count()
+    return piv.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )
+
+
+@register(
+    "q38_unpivot_part_metrics",
+    oracle="""
+    SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+    UNION ALL
+    SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+    """,
+)
+def q38_unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt) — wide→long without N scans."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey", F.col("p_size").cast("double"), F.col("p_retailprice")
+    ).unpivot("p_partkey", ["p_size", "p_retailprice"], "metric", "value")
+
+
+# ---------------------------------------------------------------------------
+# scalar-function surface
+# ---------------------------------------------------------------------------
+@register(
+    "q40_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                                   AS brand_up,
+           LOWER(p_type)                                    AS type_lo,
+           LENGTH(p_name)                                   AS name_len,
+           SUBSTRING(p_name, 1, 8)                          AS name_head,
+           REPLACE(p_brand, '#', '-')                       AS brand_dash,
+           CONCAT(p_brand, ':', p_type)                     AS brand_type,
+           TRIM(CONCAT('  ', p_brand, '  '))                AS trimmed,
+           LPAD(CAST(p_size AS VARCHAR), 4, '0')            AS size_pad,
+           string_split(p_type, ' ')[1]                     AS type_first,
+           regexp_extract(p_name, '([0-9]+)', 1)            AS first_num,
+           starts_with(p_name, 'a')                         AS starts_a,
+           contains(p_name, 'green')                        AS has_green
+    FROM part
+    """,
+)
+def q40_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String scalar functions — all JVM-codegen'd, no Python."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_up"),
+        F.lower("p_type").alias("type_lo"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_head"),
+        F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dash"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit("  "), F.col("p_brand"), F.lit("  "))).alias("trimmed"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.element_at(F.split("p_type", " "), 1).alias("type_first"),
+        F.regexp_extract("p_name", r"([0-9]+)", 1).alias("first_num"),
+        F.col("p_name").startswith("a").alias("starts_a"),
+        F.col("p_name").contains("green").alias("has_green"),
+    )
+
+
+@register(
+    "q41_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)                       AS yr,
+           CAST(MONTH(o_orderdate) AS INT)                      AS mo,
+           CAST(DAY(o_orderdate) AS INT)                        AS dom,
+           CAST(QUARTER(o_orderdate) AS INT)                    AS qtr,
+           date_trunc('month', o_orderdate)                     AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d')                    AS odate,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', o_orderdate,
+                TIMESTAMP '1999-01-01 00:00:00') AS INT)        AS days_to_1999
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+)
+def q41_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time scalar functions."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.quarter("o_orderdate").alias("qtr"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        F.date_format(F.last_day(F.col("o_orderdate").cast("date")), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.datediff(
+            F.lit("1999-01-01").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_1999"),
+    )
+
+
+@register(
+    "q42_math_conditional",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 4)              AS disc_dev,
+           CEIL(l_quantity)                              AS qty_ceil,
+           FLOOR(l_extendedprice / 1000)                 AS price_k,
+           ROUND(SQRT(l_extendedprice), 4)               AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6)             AS price_ln,
+           ROUND(POW(1 + l_tax, 2), 6)                   AS tax_sq,
+           CASE WHEN l_quantity > 25 THEN 'bulk'
+                WHEN l_quantity > 10 THEN 'mid'
+                ELSE 'small' END                         AS qty_class,
+           GREATEST(l_discount, l_tax)                   AS max_rate,
+           LEAST(l_discount, l_tax)                      AS min_rate,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none')   AS flag_or_none
+    FROM lineitem WHERE l_orderkey <= 400
+    """,
+)
+def q42_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + conditional expression surface."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.when(F.col("l_quantity") > 25, "bulk")
+        .when(F.col("l_quantity") > 10, "mid")
+        .otherwise("small")
+        .alias("qty_class"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+    )
+
+
+@register(
+    "q43_json_extraction",
+    oracle="""
+    SELECT event_type,
+           COUNT(*)                                               AS n,
+           COUNT(json_extract_string(props, '$.k'))               AS n_with_k,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q43_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction over the events.props column (native
+    get_json_object — no Python json parsing)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(k).alias("n_with_k"),
+        F.round(F.avg(k.cast("double")), 4).alias("avg_k"),
+    )
+
+
+@register(
+    "q44_array_functions",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS tokens
+        FROM documents
+    )
+    SELECT doc_id,
+           len(tokens)                       AS n_tokens,
+           len(list_distinct(tokens))        AS n_unique,
+           len(list_filter(tokens, t -> LENGTH(t) > 5)) AS n_long
+    FROM toks
+    """,
+)
+def q44_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array construction + higher-order functions (transform/filter) on a
+    derived token array — all native, no UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
+    )

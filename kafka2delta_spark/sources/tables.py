@@ -1,0 +1,50 @@
+"""Test-data table loading.
+
+The harness tables (TESTDATA.md) are one parquet file per table. Loading is
+plain ``spark.read.parquet`` — columnar scan with predicate pushdown and
+column pruning handled by Catalyst. At 100 TB these would be multi-file
+datasets (or Delta tables); nothing downstream assumes single-file inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
+    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
+    # convert to a micros timestamp (floor division, matching how
+    # micro-resolution engines truncate nanos).
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        # integer division — nanos exceed double's 53-bit exact range
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLE_NAMES)}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Expose every table as a temp view for the SQL API."""
+    for name, df in load_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)
