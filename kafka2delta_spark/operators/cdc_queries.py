@@ -1,1 +1,122 @@
-"""(placeholder — filled in progressively)"""
+"""CDC semantics exposed on the analytics query surface.
+
+These queries run the SAME package functions the streaming pipeline uses
+(wire parse, latest-per-key dedup, LSN-guarded merge) over the driver's
+`events` table treated as a changelog — giving the CDC core an independent
+SQL oracle on top of its unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.cdc.dedup import latest_per_key
+from kafka2delta_spark.cdc.merge import merge_cdc_batch
+from kafka2delta_spark.cdc.wire import avro_payload_col, schema_id_col
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+SPLIT_TS = "2024-01-15 00:00:00"
+
+
+@register(
+    "q70_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, ROUND(value, 4) AS value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+)
+def q70_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC dedup operator (P8 in SURVEY §2.1) on the query surface:
+    latest state per key via max_by hash-agg with (ts, event_id) ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(ev, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "q71_cdc_merge_changelog",
+    oracle=f"""
+    WITH state AS (
+        SELECT user_id, event_id, event_type, value FROM events
+        WHERE ts <= TIMESTAMP '{SPLIT_TS}'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
+    chg AS (
+        SELECT user_id, event_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
+        FROM events
+        WHERE ts > TIMESTAMP '{SPLIT_TS}'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
+    SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+           CASE WHEN c.user_id IS NULL OR (s.user_id IS NOT NULL AND c.event_id <= s.event_id)
+                THEN s.event_id ELSE c.event_id END AS event_id,
+           CASE WHEN c.user_id IS NULL OR (s.user_id IS NOT NULL AND c.event_id <= s.event_id)
+                THEN s.event_type ELSE c.event_type END AS event_type,
+           ROUND(CASE WHEN c.user_id IS NULL OR (s.user_id IS NOT NULL AND c.event_id <= s.event_id)
+                THEN s.value ELSE c.value END, 4) AS value
+    FROM state s FULL OUTER JOIN chg c ON s.user_id = c.user_id
+    WHERE NOT COALESCE(c.__deleted = 'true', FALSE)
+    """,
+)
+def q71_cdc_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full CDC apply path (dedup → LSN-guarded merge with deletes,
+    ref stream/stream.py:92-148 semantics) against a SQL oracle: events
+    before the split are the existing state; events after are the change
+    set, with 'error' events acting as deletes and event_id as the LSN."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    state = latest_per_key(
+        ev.filter(F.col("ts") <= split), ["user_id"], "event_id"
+    ).select("user_id", "event_id", "event_type", "value")
+    changes = latest_per_key(
+        ev.filter(F.col("ts") > split), ["user_id"], "event_id"
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(F.col("event_type") == "error", "true").otherwise("false").alias(
+            "__deleted"
+        ),
+    )
+    merged = merge_cdc_batch(state, changes, ["user_id"], lsn_col="event_id")
+    return merged.select(
+        "user_id", "event_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "q72_wire_format_parse",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey % 100000           AS schema_id,
+           16                            AS payload_len
+    FROM orders WHERE o_orderkey <= 2000
+    """,
+)
+def q72_wire_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confluent wire-format parsing (U1/U2 in SURVEY §2.1) against an
+    oracle: envelopes are built in-flight from order keys (magic byte +
+    big-endian schema id + md5-derived 16-byte payload), then parsed back
+    with the native-expression parsers."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    envelope = F.unhex(
+        F.concat(
+            F.lit("00"),
+            F.lpad(F.hex(F.col("o_orderkey") % 100000), 8, "0"),
+            F.md5(F.col("o_orderkey").cast("string")),
+        )
+    )
+    with_env = orders.select("o_orderkey", envelope.alias("value"))
+    return with_env.select(
+        "o_orderkey",
+        schema_id_col("value").cast("bigint").alias("schema_id"),
+        F.length(avro_payload_col("value")).cast("int").alias("payload_len"),
+    )
