@@ -1,1 +1,2 @@
-"""(placeholder — filled in progressively)"""
+"""LLM-data-pipeline function surface: text analysis, deduplication,
+similarity search, multimodal column plumbing."""

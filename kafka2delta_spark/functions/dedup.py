@@ -1,1 +1,321 @@
-"""(placeholder — filled in progressively)"""
+"""Deduplication operators for training-data pipelines.
+
+Five families, each cross-checked against a DuckDB oracle implementing the
+identical algorithm (portable primitives only — md5 for hashing, string
+min for minhash — so both engines compute bit-identical signatures):
+
+  * exact dedup — normalized-content hash groupBy.
+  * MinHash + LSH — shingle → per-seed minhash (min over md5 hex strings)
+    → band keys → bucket join for candidate pairs. The scale path: candidate
+    generation is a hash-shuffle on band keys, never an all-pairs join.
+  * SimHash — 16-bit signed-sum fingerprint over token hashes.
+  * n-gram Jaccard — exact similarity on shingle sets for candidate pairs
+    that share ≥1 shingle (explode + equi-join + group).
+  * embedding near-dup — cosine threshold within label partitions.
+
+Scale posture (100 TB): everything is explode → hash-shuffle → hash-agg;
+the only joins are equi-joins on shingle/band/bucket keys. All-pairs work
+only ever happens within a bucket/candidate group. For skewed shingles
+(stop-phrases), drop top-frequency shingles before the join (documented
+knob in jaccard_candidate_pairs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+N_MINHASH = 8  # minhash permutations (seeds)
+BAND_SIZE = 2  # → 4 bands of 2 signatures each
+
+
+def shingles_sql(col: str = "text", k: int = 3) -> str:
+    """DuckDB: distinct k-token shingles of a text column."""
+    return (
+        f"list_distinct([array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"for i in range(1, len(toks) - {k - 2})])"
+    )
+
+
+def shingles_col(toks: Column, k: int = 3) -> Column:
+    """Spark: distinct k-token shingles from a token array (native exprs)."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + off) for off in range(k)]
+            ),
+        )
+    )
+
+
+@register(
+    "q85_exact_dedup",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               md5(array_to_string(list_sort(regexp_split_to_array(lower(text), '\s+')), ' '))
+                   AS content_key
+        FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT)                      AS n_docs,
+           CAST(COUNT(DISTINCT content_key) AS BIGINT)   AS n_distinct,
+           CAST(COUNT(*) - COUNT(DISTINCT content_key) AS BIGINT) AS n_dups,
+           CAST(MIN(doc_id) AS BIGINT)                   AS first_doc
+    FROM norm
+    """,
+)
+def q85_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a normalized content key (sorted lowercase token bag
+    → order-insensitive duplicates count as dups). Hash-groupBy — one
+    shuffle of (key, 1) pairs; at 100 TB, keys are 16-byte hashes, not
+    documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.array_sort(F.split(F.lower(F.col("text")), r"\s+")), " ")
+    )
+    return docs.select("doc_id", key.alias("content_key")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("content_key").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.count_distinct("content_key")).alias("n_dups"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def _minhash_exprs_spark(sh: Column) -> list[Column]:
+    """Per-seed minhash = lexicographic min of md5(seed || shingle)."""
+    return [
+        F.array_min(F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
+        .alias(f"mh{seed}")
+        for seed in range(N_MINHASH)
+    ]
+
+
+_MINHASH_SQL = ", ".join(
+    f"list_min([md5('{seed}:' || s) for s in sh]) AS mh{seed}"
+    for seed in range(N_MINHASH)
+)
+_BANDS = [
+    (b, [f"mh{b * BAND_SIZE + j}" for j in range(BAND_SIZE)])
+    for b in range(N_MINHASH // BAND_SIZE)
+]
+_BAND_SQL = ", ".join(
+    f"({' || '.join(cols)}) AS band{b}" for b, cols in _BANDS
+)
+_BAND_UNNEST_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_id, band{b} AS band_key FROM banded"
+    for b, _ in _BANDS
+)
+
+
+@register(
+    "q86_minhash_lsh_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh_t AS (
+        SELECT doc_id, {shingles_sql()} AS sh FROM t WHERE len(toks) >= 3),
+    mh AS (
+        SELECT doc_id, {_MINHASH_SQL} FROM sh_t),
+    banded AS (
+        SELECT doc_id, {_BAND_SQL} FROM mh),
+    bands AS ({_BAND_UNNEST_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.band_id) AS BIGINT) AS n_shared_bands
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 8 minhashes, 4 bands × 2 rows. A pair
+    is a candidate iff it collides in ≥1 band. Candidate generation is
+    band-key equi-join (hash shuffle on band keys) — all-pairs comparison
+    never happens. Signatures are md5 hex strings so the oracle computes
+    bit-identical values."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sh_t = docs.select("doc_id", shingles_col(toks).alias("sh")).filter(
+        F.size(toks) >= 3
+    )
+    mh = sh_t.select("doc_id", *_minhash_exprs_spark(F.col("sh")))
+    banded = mh.select(
+        "doc_id",
+        *[F.concat(*[F.col(c) for c in cols]).alias(f"band{b}") for b, cols in _BANDS],
+    )
+    bands = banded.selectExpr(
+        "doc_id",
+        f"stack({len(_BANDS)}, "
+        + ", ".join(f"{b}, band{b}" for b, _ in _BANDS)
+        + ") AS (band_id, band_key)",
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count_distinct("a.band_id").alias("n_shared_bands"))
+    )
+
+
+@register(
+    "q87_simhash_fingerprints",
+    oracle=r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
+        FROM documents),
+    h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
+    bits AS (
+        SELECT doc_id,
+               """
+    + ",\n               ".join(
+        f"SUM(CASE WHEN substring(hx, {b + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(16)
+    )
+    + r"""
+        FROM h GROUP BY doc_id)
+    SELECT doc_id,
+           """
+    + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
+    + r""" AS simhash
+    FROM bits
+    """,
+)
+def q87_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: each distinct token votes ±1 per bit
+    position (bit b of md5 nibble b), fingerprint = bits with positive sum.
+    Near-dup docs differ in few bits (Hamming distance). Explode + hash-agg
+    — one shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    tok = docs.select("doc_id", F.explode(toks).alias("tok"))
+    h = tok.select("doc_id", F.md5("tok").alias("hx"))
+    bit_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.substring("hx", b + 1, 1) >= "8", 1).otherwise(-1)
+            ).alias(f"s{b}")
+            for b in range(16)
+        ]
+    )
+    fingerprint = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return bit_sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+@register(
+    "q88_jaccard_similar_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh_t AS (
+        SELECT doc_id, {shingles_sql(k=2)} AS sh FROM t WHERE len(toks) >= 2),
+    sizes AS (SELECT doc_id, len(sh) AS sz FROM sh_t),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           ROUND(n_common * 1.0 / (sa.sz + sb.sz - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.12
+    """,
+)
+def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram (bigram-shingle) Jaccard similarity for pairs sharing
+    ≥1 shingle. Candidates come from a shingle equi-join (shuffle on the
+    shingle hash), intersection counts from a hash-agg; set sizes broadcast
+    back. Skew note: at scale, drop the top-frequency shingles (stop
+    phrases) before the join — they generate quadratic candidates and can't
+    produce high-Jaccard pairs on their own."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    sh_t = docs.select("doc_id", shingles_col(toks, k=2).alias("sh")).filter(
+        F.size(toks) >= 2
+    )
+    sizes = sh_t.select("doc_id", F.size("sh").alias("sz"))
+    ex = sh_t.select("doc_id", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= 0.12)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@register(
+    "q89_embedding_near_dups",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.35
+    """,
+)
+def q89_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicates: cosine > 0.35 within label partitions.
+    The label equi-join bounds the pair space (at scale: LSH buckets or IVF
+    cells play the label's role — see q91); dot products are native HOF
+    ``aggregate`` over zipped arrays in doubles, matching the oracle
+    bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", "label", v.alias("v"))
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, z: acc + z,
+        )
+
+    n = e.select("vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.35)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )

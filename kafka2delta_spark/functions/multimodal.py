@@ -1,0 +1,146 @@
+"""Multimodal column handling: opaque binary payloads + typed metadata.
+
+Pattern for image/audio/video at 100 TB: store the raw media as a
+``binary`` column (or object-store URI) beside typed metadata columns;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas transforms over ``mapInPandas`` — per-partition batch iterators, so
+media libraries amortize setup per batch and bytes never take the
+row-at-a-time pickling path.
+
+The media libraries themselves (PIL/ffmpeg/torchaudio) are NOT in this
+environment, so the actual decoders are stubbed behind
+``NotImplementedError`` (clearly marked); what IS real — and tested, with a
+SQL oracle — is the full Spark-side plumbing: binary column synthesis,
+the mapInPandas batch shape, the output schema contract, and a
+deterministic fake feature extractor whose arithmetic the oracle
+reproduces byte-for-byte.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("fake_width", T.IntegerType()),
+        T.StructField("fake_height", T.IntegerType()),
+        T.StructField("header_sum", T.LongType()),
+    ]
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real image decode — requires an imaging library not present in this
+    environment. STUB."""
+    raise NotImplementedError("image decoding requires PIL/opencv (not installed)")
+
+
+def decode_audio(payload: bytes) -> "object":
+    """Real audio decode — requires an audio library. STUB."""
+    raise NotImplementedError("audio decoding requires soundfile/ffmpeg (not installed)")
+
+
+def sample_video_frames(payload: bytes, every_n: int = 30) -> "list":
+    """Real video frame sampling — requires ffmpeg. STUB."""
+    raise NotImplementedError("video frame sampling requires ffmpeg (not installed)")
+
+
+def fake_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic stand-in feature extractor with the real batch shape:
+    consumes (doc_id, payload) Arrow batches, emits typed features.
+    Arithmetic is intentionally simple so a SQL oracle can replicate it:
+        n_bytes     = len(payload)
+        fake_width  = n_bytes % 640
+        fake_height = n_bytes % 480
+        header_sum  = sum of the first 16 byte values
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        n_bytes = payloads.str.len().astype("int32")
+        header_sum = payloads.map(lambda b: sum(b[:16])).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "n_bytes": n_bytes,
+                "fake_width": (n_bytes % 640).astype("int32"),
+                "fake_height": (n_bytes % 480).astype("int32"),
+                "header_sum": header_sum,
+            }
+        )
+
+
+def extract_media_features(df: DataFrame) -> DataFrame:
+    """The reusable multimodal operator: (doc_id, payload binary) →
+    feature rows via Arrow-batched mapInPandas."""
+    return df.select("doc_id", "payload").mapInPandas(
+        fake_media_features, schema=FEATURE_SCHEMA
+    )
+
+
+@register(
+    "q95_multimodal_features",
+    oracle="""
+    WITH payloads AS (
+        SELECT doc_id, text::BLOB AS payload FROM documents),
+    feats AS (
+        SELECT doc_id,
+               octet_length(payload)                     AS n_bytes,
+               octet_length(payload) % 640               AS fake_width,
+               octet_length(payload) % 480               AS fake_height,
+               CAST(list_sum([ord(substring(text, i, 1)) for i in range(1, 17)]) AS BIGINT)
+                                                         AS header_sum
+        FROM payloads JOIN documents USING (doc_id))
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_bytes AS INT) AS n_bytes,
+           CAST(fake_width AS INT) AS fake_width,
+           CAST(fake_height AS INT) AS fake_height,
+           header_sum
+    FROM feats
+    """,
+)
+def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize a binary payload column
+    (UTF-8 bytes of the document text — ASCII here, so byte values equal
+    code points and the oracle can reproduce header_sum with ord()), run it
+    through the Arrow-batched mapInPandas feature extractor, return typed
+    features."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_media_features(with_payload)
+
+
+@register(
+    "q96_multimodal_metadata_join",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+           CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(text::BLOB)) AS BIGINT) AS max_bytes
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q96_multimodal_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-side aggregation over binary payload sizes — the
+    partition-pruning-friendly access path (metadata only, payload column
+    never read past the length)."""
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length(payload)).cast("bigint").alias("total_bytes"),
+        F.max(F.length(payload)).cast("bigint").alias("max_bytes"),
+    )

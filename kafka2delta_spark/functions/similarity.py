@@ -1,1 +1,248 @@
-"""(placeholder — filled in progressively)"""
+"""Similarity search over embedding columns.
+
+Three tiers:
+  * q90 — brute-force cosine top-k (the exactness baseline): broadcast the
+    query set against the corpus, score with native HOF dot products, take
+    top-k per query via ranking window. At scale the corpus never shuffles;
+    queries are broadcast.
+  * q91 — LSH-bucketed ANN (the scale path): deterministic random
+    hyperplanes (signs derived from md5, baked identically into the Spark
+    plan and the oracle SQL), 8-bit sign bucket per vector, candidate
+    search only within the query's bucket. Sub-linear candidate sets; the
+    bucket join is an equi-join on the bucket id.
+  * q92 — pairwise similarity statistics (within/across label), the
+    evaluation harness for the two above.
+
+Dot products: ``aggregate(zip_with(a, b, *), 0.0, +)`` over doubles —
+sequential left-to-right accumulation, bit-identical to DuckDB's
+``list_dot_product`` on DOUBLE[].
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+DIM = 64
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+TOP_K = 3
+# Multi-table sign-LSH: L tables × B bits. One wide table has near-zero
+# recall on weakly-clustered data (P(all bits agree) = p^B); multiple
+# narrow tables union their candidates: P = 1-(1-p^B)^L. With p≈0.67
+# (cosine 0.5 neighbors): one 8-bit table ≈ 4% recall; 4×4-bit ≈ 60%.
+N_TABLES = 4
+BITS_PER_TABLE = 4
+
+
+def dot(x: Column, y: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(x, y, lambda a, b: a * b), F.lit(0.0), lambda acc, z: acc + z
+    )
+
+
+def _vec(col: str = "embedding") -> Column:
+    return F.transform(F.col(col), lambda x: x.cast("double"))
+
+
+# Deterministic hyperplanes: coefficient (p, d) = +1 if the first hex char
+# of md5("plane:p:d") is >= '8' else -1. Computed once driver-side; baked
+# as literals into BOTH the Spark plan and the oracle SQL string.
+def _plane(p: int) -> list[int]:
+    return [
+        1 if hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()[0] >= "8" else -1
+        for d in range(DIM)
+    ]
+
+
+PLANES = [_plane(p) for p in range(N_TABLES * BITS_PER_TABLE)]
+
+_PLANES_SQL = {
+    p: "[" + ",".join(str(c) for c in PLANES[p]) + "]::DOUBLE[]"
+    for p in range(len(PLANES))
+}
+
+
+def _table_bucket_sql(t: int) -> str:
+    """DuckDB: bucket id of table t (bits from planes t*B .. t*B+B-1)."""
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_PLANES_SQL[t * BITS_PER_TABLE + j]}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(BITS_PER_TABLE)
+    )
+
+
+def _table_bucket_spark(v: Column, t: int) -> Column:
+    out = None
+    for j in range(BITS_PER_TABLE):
+        plane = F.array(*[F.lit(float(c)) for c in PLANES[t * BITS_PER_TABLE + j]])
+        term = F.when(dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out.cast("int")
+
+
+@register(
+    "q90_cosine_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.qid, n.vec_id AS nid,
+               list_dot_product(q.qv, n.v) / (q.qn * n.nrm) AS cosine
+        FROM q JOIN n ON n.vec_id <> q.qid)
+    SELECT qid, nid, ROUND(cosine, 4) AS cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        FROM scored)
+    WHERE rk <= {TOP_K}
+    """,
+)
+def q90_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: query side broadcast, corpus scanned once,
+    ranking window per query id (tie-break on neighbor id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id", _vec().alias("v")
+    ).select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    scored = (
+        n.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.select("qid", "nid", "cosine", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rk")
+    )
+
+
+_TABLES_SQL = ", ".join(
+    f"{_table_bucket_sql(t)} AS b{t}" for t in range(N_TABLES)
+)
+_TABLE_UNNEST_SQL = " UNION ALL ".join(
+    f"SELECT vec_id, v, nrm, {t} AS tbl, b{t} AS bucket FROM n" for t in range(N_TABLES)
+)
+
+
+@register(
+    "q91_ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                 {_TABLES_SQL}
+          FROM e),
+    hashed AS ({_TABLE_UNNEST_SQL}),
+    q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn, tbl, bucket
+          FROM hashed WHERE vec_id < {N_QUERIES}),
+    cand AS (
+        SELECT DISTINCT q.qid, q.qv, q.qn, h.vec_id AS nid, h.v, h.nrm
+        FROM q JOIN hashed h
+          ON h.tbl = q.tbl AND h.bucket = q.bucket AND h.vec_id <> q.qid),
+    scored AS (
+        SELECT qid, nid, list_dot_product(qv, v) / (qn * nrm) AS cosine FROM cand)
+    SELECT qid, nid, ROUND(cosine, 4) AS cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
+        FROM scored)
+    WHERE rk <= {TOP_K}
+    """,
+)
+def q91_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN via multi-table sign-LSH: 4 tables × 4 deterministic
+    hyperplane bits; a corpus vector is a candidate if it collides with the
+    query in ANY table (distinct union). Candidate generation is an
+    equi-join on (table, bucket) — the plan shape that survives 100 TB
+    (brute force q90 does not: its candidate set is the whole corpus)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", _vec().alias("v"))
+    n = base.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        *[_table_bucket_spark(F.col("v"), t).alias(f"b{t}") for t in range(N_TABLES)],
+    )
+    hashed = n.selectExpr(
+        "vec_id",
+        "v",
+        "nrm",
+        f"stack({N_TABLES}, "
+        + ", ".join(f"{t}, b{t}" for t in range(N_TABLES))
+        + ") AS (tbl, bucket)",
+    )
+    q = hashed.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("tbl").alias("qt"),
+        F.col("bucket").alias("qb"),
+    )
+    cand = (
+        hashed.join(
+            F.broadcast(q),
+            (F.col("tbl") == F.col("qt"))
+            & (F.col("bucket") == F.col("qb"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select("qid", "qv", "qn", F.col("vec_id").alias("nid"), "v", "nrm")
+        .distinct()
+    )
+    scored = cand.select(
+        "qid",
+        "nid",
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine"),
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.select("qid", "nid", "cosine", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rk")
+    )
+
+
+@register(
+    "q92_label_similarity_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings WHERE vec_id < 100),
+    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.label = b.label AS same_label,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 4) AS avg_cosine,
+           ROUND(MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)), 4) AS max_cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    GROUP BY 1
+    """,
+)
+def q92_label_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within- vs across-label cosine statistics on a bounded sample —
+    the quality harness for ANN parameter tuning."""
+    emb = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    n = emb.select("vec_id", "label", _vec().alias("v")).select(
+        "vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy((F.col("a.label") == F.col("b.label")).alias("same_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.avg(cos), 4).alias("avg_cosine"),
+            F.round(F.max(cos), 4).alias("max_cosine"),
+        )
+    )

@@ -1,1 +1,205 @@
-"""(placeholder — filled in progressively)"""
+"""Text analysis for training-data pipelines.
+
+All operators are pure native-expression pipelines (JVM codegen, zero
+Python UDFs): tokenization by regex, quality scoring from length/stopword/
+punctuation statistics, n-gram language identification, BPE-ish token
+counting, and content fingerprinting. Each has a DuckDB oracle implementing
+the identical arithmetic, so the scoring logic itself is cross-checked, not
+just the plumbing.
+
+Scale: every query here is embarrassingly parallel (per-row expressions +
+one hash-agg); no shuffles except the final aggregation. At 100 TB the
+scans stay pruned to (doc_id, text) and the per-language marker arrays are
+literal constants folded into codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+TOKEN_SPLIT_RE = r"\s+"
+BPE_ISH_RE = r"\w+|[^\w\s]"
+
+# language marker words (n-gram heuristic): tiny per-language stopword sets.
+# Deterministic and cross-engine-safe — the list is baked into both the
+# Spark plan and the oracle SQL.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "und", "das"],
+    "fr": ["le", "la", "et", "les"],
+    "es": ["el", "la", "y", "los"],
+    "zh": ["的", "是", "了", "在"],
+}
+STOPWORDS = ["the", "a", "and", "of", "to", "in"]
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, TOKEN_SPLIT_RE)
+
+
+@register(
+    "q80_text_quality_stats",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, text,
+               regexp_split_to_array(text, '\\s+') AS toks
+        FROM documents)
+    SELECT doc_id, lang,
+           LENGTH(text)                                       AS n_chars,
+           len(toks)                                          AS n_tokens,
+           len(list_distinct(toks))                           AS n_unique,
+           ROUND(LENGTH(text) * 1.0 / len(toks), 4)           AS chars_per_token,
+           len(list_filter(toks, t -> t IN ({",".join(repr(s) for s in STOPWORDS)})))
+                                                              AS n_stopwords,
+           ROUND(len(list_filter(toks, t -> t IN ({",".join(repr(s) for s in STOPWORDS)})))
+                 * 1.0 / len(toks), 4)                        AS stopword_ratio,
+           LENGTH(text) - LENGTH(regexp_replace(text, '[^\\w\\s]', '', 'g'))
+                                                              AS n_punct
+    FROM t
+    """,
+)
+def q80_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: length, token counts, type-token
+    stats, stopword ratio, punctuation count."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens_col()
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.round(F.length("text") / F.size(toks), 4).alias("chars_per_token"),
+        n_stop.alias("n_stopwords"),
+        F.round(n_stop / F.size(toks), 4).alias("stopword_ratio"),
+        (
+            F.length("text")
+            - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+        ).alias("n_punct"),
+    )
+
+
+def _lang_score_spark(toks: Column, lang: str) -> Column:
+    arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def _lang_score_sql(lang: str) -> str:
+    markers = ",".join(repr(m) for m in LANG_MARKERS[lang])
+    return f"len(list_filter(toks, t -> t IN ({markers})))"
+
+
+_LANGS = list(LANG_MARKERS)
+_PRED_SQL = "CASE "
+for _l in _LANGS:
+    _others = [f"s_{o}" for o in _LANGS if o != _l]
+    _PRED_SQL += f"WHEN s_{_l} >= GREATEST({', '.join(_others)}) THEN '{_l}' "
+_PRED_SQL += "END"
+
+
+@register(
+    "q81_language_id",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    scored AS (
+        SELECT doc_id, lang,
+               {", ".join(f"{_lang_score_sql(lang)} AS s_{lang}" for lang in _LANGS)}
+        FROM t)
+    SELECT lang, {_PRED_SQL} AS predicted, COUNT(*) AS n
+    FROM scored
+    GROUP BY lang, predicted
+    """,
+)
+def q81_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID: score each language by marker hits, pick
+    the argmax with a fixed preference order on ties (identical CASE chain
+    on both engines). Output is the (label, prediction) confusion table."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[_lang_score_spark(toks, lang).alias(f"s_{lang}") for lang in _LANGS],
+    )
+    pred = None
+    for lang in _LANGS:
+        others = [F.col(f"s_{o}") for o in _LANGS if o != lang]
+        cond = F.col(f"s_{lang}") >= F.greatest(*others)
+        pred = F.when(cond, lang) if pred is None else pred.when(cond, lang)
+    return (
+        scored.select("lang", pred.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q82_token_counting",
+    oracle=r"""
+    SELECT lang,
+           CAST(SUM(len(regexp_extract_all(text, '\w+|[^\w\s]'))) AS BIGINT)
+               AS total_bpe_tokens,
+           CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+               AS total_ws_tokens,
+           ROUND(AVG(len(regexp_extract_all(text, '\w+|[^\w\s]'))), 4)
+               AS avg_bpe_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q82_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    (word runs + single punctuation marks) — the standard pre-tokenizer
+    shape. Aggregated per language."""
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all("text", F.lit(BPE_ISH_RE), 0))
+    ws = F.size(tokens_col())
+    return docs.groupBy("lang").agg(
+        F.sum(bpe).cast("bigint").alias("total_bpe_tokens"),
+        F.sum(ws).cast("bigint").alias("total_ws_tokens"),
+        F.round(F.avg(bpe), 4).alias("avg_bpe_tokens"),
+    )
+
+
+@register(
+    "q83_doc_fingerprints",
+    oracle=r"""
+    WITH fp AS (
+        SELECT doc_id, source,
+               substring(md5(lower(regexp_replace(text, '[^\w]', '', 'g'))), 1, 16)
+                   AS fingerprint
+        FROM documents)
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT fingerprint) AS n_distinct,
+           MIN(fingerprint) AS min_fp
+    FROM fp
+    GROUP BY source
+    """,
+)
+def q83_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprinting: normalize (lowercase, strip non-word chars)
+    then hash — the exact-dedup key. Aggregated per source with distinct
+    counts (duplicate fingerprints ⇒ exact dups after normalization)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.substring(
+        F.md5(F.lower(F.regexp_replace("text", r"[^\w]", ""))), 1, 16
+    ).alias("fingerprint")
+    return (
+        docs.select("source", fp)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("fingerprint").alias("n_distinct"),
+            F.min("fingerprint").alias("min_fp"),
+        )
+    )
