@@ -36,6 +36,7 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
 def load_all_querysets() -> None:
     """Import every module that registers queries (idempotent)."""
     from kafka2delta_spark.operators import relational  # noqa: F401
+    from kafka2delta_spark.operators import tpch_like  # noqa: F401
     from kafka2delta_spark.operators import analytic  # noqa: F401
     from kafka2delta_spark.operators import asof  # noqa: F401
     from kafka2delta_spark.functions import text  # noqa: F401
