@@ -32,6 +32,41 @@ N_MINHASH = 8  # minhash permutations (seeds)
 BAND_SIZE = 2  # → 4 bands of 2 signatures each
 
 
+def pairs_within_groups(
+    grouped: DataFrame, out_a: str = "doc_a", out_b: str = "doc_b"
+) -> DataFrame:
+    """Expand each bucket's sorted id list into ordered (a < b) pairs.
+
+    Input: one row per bucket with an array column ``ids`` (pre-sorted).
+    Native-expression pair expansion — for each position i, pair ids[i]
+    with every later element — then explode. Replaces the classic
+    bucket self-join: one scan and one shuffle instead of two scans,
+    two shuffles, and a join, and the upstream pipeline (tokenize /
+    shingle / minhash) is evaluated once instead of twice.
+
+    Scale note: output is quadratic in bucket size, exactly like the
+    self-join it replaces — callers must bound bucket size upstream
+    (shingle width, band width, or a document-frequency cap)."""
+    ids = F.col("ids")
+    pair_structs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, F.size(ids)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(
+        *[c for c in grouped.columns if c != "ids"],
+        F.explode(pair_structs).alias("p"),
+    ).select(
+        *[c for c in grouped.columns if c != "ids"],
+        F.col("p.a").alias(out_a),
+        F.col("p.b").alias(out_b),
+    )
+
+
 def shingles_sql(col: str = "text", k: int = 3) -> str:
     """DuckDB: distinct k-token shingles of a text column."""
     return (
@@ -135,9 +170,11 @@ _BAND_UNNEST_SQL = " UNION ALL ".join(
 def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH candidate pairs: 8 minhashes, 4 bands × 2 rows. A pair
     is a candidate iff it collides in ≥1 band. Candidate generation is
-    band-key equi-join (hash shuffle on band keys) — all-pairs comparison
-    never happens. Signatures are md5 hex strings so the oracle computes
-    bit-identical values."""
+    one hash shuffle on band keys → in-bucket pair expansion (see
+    pairs_within_groups) — all-pairs comparison never happens and the
+    minhash pipeline is evaluated once, not twice as with a self-join.
+    Signatures are md5 hex strings so the oracle computes bit-identical
+    values."""
     docs = load_table(spark, sf_dir, "documents")
     # materialize the token array BEFORE the shingle lambda — otherwise the
     # regex split is inlined into the higher-order function and re-evaluated
@@ -161,18 +198,15 @@ def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"{b}, band{b}" for b, _ in _BANDS)
         + ") AS (band_id, band_key)",
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count_distinct("a.band_id").alias("n_shared_bands"))
+        pairs_within_groups(buckets)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("band_id").alias("n_shared_bands"))
     )
 
 
@@ -247,9 +281,9 @@ def q87_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (trigram-shingle) Jaccard similarity for pairs sharing
-    ≥1 shingle. Candidates come from a shingle equi-join (shuffle on the
-    shingle hash), intersection counts from a hash-agg; set sizes broadcast
-    back. Shingle width is the candidate-explosion knob: k=3 keeps
+    ≥1 shingle. Candidates come from one shuffle on the shingle hash →
+    in-bucket pair expansion (pairs_within_groups), intersection counts
+    from a hash-agg; set sizes broadcast back. Shingle width is the candidate-explosion knob: k=3 keeps
     per-shingle document frequency (and the join's quadratic blowup) low —
     k=2 on this vocabulary is ~10x the join output for the same final
     pairs. At scale, additionally drop the top-frequency shingles (stop
@@ -264,14 +298,14 @@ def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sizes = sh_t.select("doc_id", F.size("sh").alias("sz"))
     ex = sh_t.select("doc_id", F.explode("sh").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    buckets = (
+        ex.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        pairs_within_groups(buckets)
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
