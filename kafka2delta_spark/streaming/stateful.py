@@ -1,0 +1,286 @@
+"""Advanced streaming: stream-stream joins and custom stateful operators.
+
+The reference's only stateful construct is the Delta MERGE inside
+foreachBatch (SURVEY §2.1 P12/P13); this module supplies the two streaming
+capabilities SURVEY §2.2 lists beyond it: a watermarked stream-stream
+interval join, and an arbitrary-stateful operator built on
+``applyInPandasWithState`` (the public API for custom per-key state with
+event-time timeouts).
+
+Both run as TRUE multi-micro-batch streaming queries: the events table is
+split into two time-ordered files consumed with ``maxFilesPerTrigger=1``,
+so join state and session state genuinely carry across micro-batches —
+plus a far-future sentinel event whose watermark advance flushes every
+open session through the event-time timeout path.
+
+Scale posture: stream-stream join state is bounded by the watermark delay
+x event rate per key; session state is one small struct per active key.
+Both shuffle on the key — the state store is partitioned the same way, so
+a 1000-executor cluster holds 1/1000th of the keys per task."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+SENTINEL_USER = 99_999_999
+
+_SPLIT_DIRS: dict[str, str] = {}
+
+
+def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Split the events table into two time-ordered parquet files plus a
+    far-future sentinel event, in a scratch dir. With maxFilesPerTrigger=1
+    the file source turns each file into its own micro-batch, in name
+    order — so state genuinely crosses batch boundaries and the sentinel's
+    watermark advance closes every real session."""
+    if sf_dir in _SPLIT_DIRS:
+        return _SPLIT_DIRS[sf_dir]
+    ev = load_table(spark, sf_dir, "events")
+    d = tempfile.mkdtemp(prefix="events_split_")
+    mid_us = int(
+        ev.agg(F.expr("percentile(unix_micros(ts), 0.5)").alias("mid")).collect()[0][
+            "mid"
+        ]
+    )
+    ev.filter(F.unix_micros("ts") < mid_us).coalesce(1).write.mode("overwrite").parquet(
+        f"{d}/b0"
+    )
+    ev.filter(F.unix_micros("ts") >= mid_us).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/b1")
+    # sentinel = one event 10h after the real max ts
+    sent = (
+        load_table(spark, sf_dir, "events")
+        .orderBy(F.desc("ts"))
+        .limit(1)
+        .select(
+            (F.col("event_id") + 10**9).alias("event_id"),
+            (F.col("ts") + F.expr("INTERVAL 10 HOURS")).alias("ts"),
+            F.lit(SENTINEL_USER).cast("long").alias("user_id"),
+            F.lit("sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+    )
+    sent.coalesce(1).write.mode("overwrite").parquet(f"{d}/b2")
+    stream_dir = f"{d}/stream"
+    os.makedirs(stream_dir)
+    for i, sub in enumerate(["b0", "b1", "b2"]):
+        (src,) = [f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")]
+        os.symlink(f"{d}/{sub}/{src}", f"{stream_dir}/part-{i:03d}.parquet")
+    _SPLIT_DIRS[sf_dir] = stream_dir
+    return stream_dir
+
+
+def _open_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+def _drain(df: DataFrame, mode: str) -> str:
+    """Run a streaming DataFrame to a memory sink until drained; return the
+    sink table name.
+
+    Streaming state-store partition count is fixed at query start from
+    ``spark.sql.shuffle.partitions`` (AQE is off for stateful streams), and
+    every micro-batch pays checkpoint I/O per partition — so the session's
+    batch-tuned setting is dropped to 8 for the query's lifetime. On a real
+    cluster this knob is sized to executor count instead."""
+    spark = df.sparkSession
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return name
+
+
+@register(
+    "q56_stream_stream_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream inner join: purchases ⋈ clicks by the same user
+    within the preceding hour. Both sides are watermarked (2 h delay ≥ the
+    1 h join window, so no cross-batch match can be dropped) and the time
+    bound lets Spark evict join state as the watermark advances — bounded
+    state at any scale. Inner-join matches emit eagerly, so with the file
+    fully processed the append-mode result equals the batch interval join
+    — hence SQL-oracle-checkable."""
+    ev = _open_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    name = _drain(joined, "append")
+    return spark.table(name)
+
+
+_SESSION_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_SESSION_STATE = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _sessionize(key, pdf_iter, state):  # noqa: ANN001 — applyInPandasWithState contract
+    """Per-user sessionizer: events ≤30 min apart share a session. Closed
+    sessions emit immediately on an in-stream gap; the final open session
+    emits via event-time timeout once the watermark passes end+gap."""
+    import pandas as pd
+
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+
+    def emit(rows: list[tuple[int, int]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(rows),
+                "session_start": [pd.Timestamp(r[0], unit="us") for r in rows],
+                "n_events": [r[1] for r in rows],
+            }
+        )
+
+    if state.hasTimedOut:
+        start_us, end_us, n = state.get
+        state.remove()
+        yield emit([(start_us, n)])
+        return
+
+    ts_us: list[int] = []
+    for pdf in pdf_iter:
+        if len(pdf):
+            # pandas Timestamps are int64 nanoseconds; state keeps microseconds
+            ts_us.extend(int(t) for t in pdf["ts"].astype("int64") // 1000)
+    ts_us = sorted(ts_us)
+    if not ts_us:
+        return
+    cur = list(state.get) if state.exists else None
+    closed: list[tuple[int, int]] = []
+    for t in ts_us:
+        if cur is None:
+            cur = [t, t, 1]
+        elif t - cur[1] <= gap_us:
+            cur[1] = t
+            cur[2] += 1
+        else:
+            closed.append((cur[0], cur[2]))
+            cur = [t, t, 1]
+    state.update((cur[0], cur[1], cur[2]))
+    state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+    if closed:
+        yield emit(closed)
+
+
+@register(
+    "q57_stateful_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts >= COALESCE(LAG(ts) OVER w, ts - INTERVAL '1 second')
+                                + INTERVAL '{SESSION_GAP_MIN} minutes'
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sessions AS (
+        SELECT user_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged)
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, sid
+    """,
+)
+def q57_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the public
+    Spark API for arbitrary per-key state (SURVEY §2.2's 'custom stateful
+    operators' gap). Sessionizes each user's event stream with a 30-minute
+    inactivity gap across micro-batch boundaries; the far-future sentinel
+    event advances the watermark so every real session flushes through the
+    event-time-timeout path. Deterministic end state → full SQL oracle
+    parity with the lag-gap-cumsum islands rewrite (q52 checks the same
+    semantics against Spark's built-in session_window)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = _open_stream(spark, sf_dir)
+    sessions = (
+        ev.withWatermark("ts", "30 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize,
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    name = _drain(sessions, "append")
+    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
