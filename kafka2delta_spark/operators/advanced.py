@@ -1,0 +1,109 @@
+"""Map-typed columns and explicit scale patterns.
+
+Two gaps this module closes:
+
+  * **MapType + map higher-order functions** (SURVEY §2.2 lists map
+    constructors/HOFs; the reference has no ArrayType/MapType anywhere) —
+    q45 builds maps from columns and pushes them through
+    ``transform_values`` / ``map_filter`` / ``map_concat`` / ``explode``,
+    oracle-checked by replaying the same semantics as plain SQL unions.
+
+  * **Salted two-phase aggregation** (the standard skew-defeating shape) —
+    q62 aggregates a pathologically skewed key (5 event types over the
+    whole table) by first aggregating on (key, salt) so every core gets
+    work, then combining the 32 partials per key. Identical result to the
+    direct groupBy, which is what the oracle computes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+N_SALTS = 32
+
+
+@register(
+    "q45_map_functions",
+    oracle="""
+    WITH src AS (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax
+        FROM lineitem WHERE l_orderkey < 100)
+    SELECT l_orderkey, l_linenumber, 'qty' AS key,
+           l_quantity * 2 AS value
+    FROM src WHERE l_quantity * 2 >= 10
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', l_extendedprice
+    FROM src WHERE l_extendedprice >= 10
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', l_discount * 100
+    FROM src WHERE l_discount * 100 >= 10
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax', l_tax * 100
+    FROM src WHERE l_tax * 100 >= 10
+    """,
+)
+def q45_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType end-to-end: build a metric map per lineitem, double the qty
+    entry with ``transform_values``, merge a tax entry with ``map_concat``,
+    drop small values with ``map_filter``, and explode entries back to
+    rows. The oracle replays the identical arithmetic as four plain SQL
+    branches — checking map semantics, not just map plumbing. All map ops
+    are native expressions (no shuffle: one scan, one projection)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    m = F.create_map(
+        F.lit("qty"), F.col("l_quantity"),
+        F.lit("price"), F.col("l_extendedprice"),
+        F.lit("disc"), F.col("l_discount") * 100,
+    )
+    doubled = F.transform_values(
+        m, lambda k, v: F.when(k == "qty", v * 2).otherwise(v)
+    )
+    merged = F.map_concat(doubled, F.create_map(F.lit("tax"), F.col("l_tax") * 100))
+    kept = F.map_filter(merged, lambda k, v: v >= 10)
+    return li.select(
+        "l_orderkey", "l_linenumber", F.explode(kept).alias("key", "value")
+    )
+
+
+@register(
+    "q62_salted_heavy_hitters",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q62_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for a pathologically skewed key: only
+    5 event types exist, so a direct groupBy funnels the whole table into
+    5 reducers. Phase 1 aggregates on (event_type, hash(event_id) % 32) —
+    32x the parallelism, map-side combine still applies; phase 2 merges
+    the 32 partials per key (160 rows — trivial). COUNT(DISTINCT user_id)
+    composes across salts as a set union: phase 1 collects per-salt
+    distinct sets, phase 2 merges with array_distinct(flatten(...)). The
+    oracle computes the plain single-phase groupBy — results must be
+    identical."""
+    ev = load_table(spark, sf_dir, "events")
+    salt = F.pmod(F.xxhash64("event_id"), F.lit(N_SALTS)).alias("salt")
+    phase1 = ev.groupBy("event_type", salt).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum("value").alias("pv"),
+        F.collect_set("user_id").alias("pu"),
+    )
+    return (
+        phase1.groupBy("event_type")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.round(F.sum("pv"), 2).alias("total_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("pu")))).alias("n_users"),
+        )
+        .withColumn("n_users", F.col("n_users").cast("long"))
+    )
