@@ -31,16 +31,26 @@ from kafka2delta_spark.config import TableConfig
 
 
 class ParquetStateStore:
-    """Versioned parquet state for one table."""
+    """Versioned parquet state for one table.
+
+    ``retain_versions`` controls how many committed snapshots are kept:
+    older snapshots stay readable via ``read(version=...)`` (time travel,
+    Delta's ``versionAsOf``) until they age out of the retention window —
+    the parquet-store analogue of Delta's log retention + VACUUM."""
 
     VERSION_FILE = "_VERSION"
 
     def __init__(
-        self, spark: SparkSession, path: str, partition_cols: list[str] | None = None
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_cols: list[str] | None = None,
+        retain_versions: int = 2,
     ) -> None:
         self.spark = spark
         self.path = path
         self.partition_cols = list(partition_cols or [])
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(path, exist_ok=True)
 
     # -- version pointer ---------------------------------------------------
@@ -65,24 +75,54 @@ class ParquetStateStore:
     def exists(self) -> bool:
         return self._version() is not None
 
-    def read(self) -> DataFrame | None:
-        v = self._version()
-        if v is None:
+    def read(self, version: int | None = None) -> DataFrame | None:
+        """Read the current snapshot, or a retained historical one
+        (``version=``, Delta's ``versionAsOf`` time travel)."""
+        cur = self._version()
+        if cur is None:
             return None
+        v = cur if version is None else version
+        if not os.path.isdir(self._dir(v)):
+            raise ValueError(
+                f"version {v} not available (current {cur}, "
+                f"retained {self.history()})"
+            )
         return self.spark.read.parquet(self._dir(v))
 
+    def history(self) -> list[int]:
+        """Committed versions still on disk, oldest first. Dangling dirs
+        from crashed writers (version > pointer) are not listed."""
+        cur = self._version()
+        if cur is None:
+            return []
+        out = []
+        for name in sorted(os.listdir(self.path)):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) <= cur:
+                out.append(int(name[1:]))
+        return out
+
     def overwrite(self, df: DataFrame) -> None:
-        """Commit a new snapshot: write next version dir, flip the pointer,
-        drop superseded versions."""
+        """Commit a new snapshot: write next version dir, flip the pointer
+        atomically, then age out snapshots beyond the retention window."""
         v = (self._version() or 0) + 1
         writer = df.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self._dir(v))
-        old = self._version()
         self._set_version(v)
-        if old is not None:
+        for old in self.history()[: -self.retain_versions]:
             shutil.rmtree(self._dir(old), ignore_errors=True)
+
+    def optimize(self, target_files: int = 1) -> None:
+        """Compact the current snapshot into ``target_files`` files per
+        partition (Delta ``OPTIMIZE`` parity). CDC merges commit one
+        snapshot per micro-batch, so file counts track trigger cadence,
+        not data size — compaction restores read efficiency. Committed as
+        a normal version, so it is time-travel-visible and crash-safe."""
+        cur = self.read()
+        if cur is None:
+            return
+        self.overwrite(cur.coalesce(target_files))
 
 
 def create_table_if_not_exists(

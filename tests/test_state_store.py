@@ -1,0 +1,69 @@
+"""ParquetStateStore: commit protocol, time travel, retention, compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafka2delta_spark.state.store import ParquetStateStore
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetStateStore(spark, str(tmp_path / "tbl"), retain_versions=2)
+
+
+def test_read_before_any_commit(store):
+    assert store.read() is None
+    assert store.history() == []
+
+
+def test_commit_and_time_travel(spark, store):
+    store.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    store.overwrite(spark.createDataFrame([(1, "b"), (2, "c")], "id long, v string"))
+    assert _rows(store.read()) == [(1, "b"), (2, "c")]
+    assert store.history() == [1, 2]
+    assert _rows(store.read(version=1)) == [(1, "a")]
+
+
+def test_retention_ages_out_old_versions(spark, store):
+    for i in range(4):
+        store.overwrite(spark.createDataFrame([(i,)], "id long"))
+    assert store.history() == [3, 4]
+    assert _rows(store.read()) == [(3,)]
+    with pytest.raises(ValueError, match="not available"):
+        store.read(version=1)
+
+
+def test_dangling_writer_dir_invisible(spark, store, tmp_path):
+    store.overwrite(spark.createDataFrame([(1,)], "id long"))
+    # a crashed writer leaves v00000002 without flipping the pointer
+    spark.createDataFrame([(99,)], "id long").write.parquet(
+        str(tmp_path / "tbl" / "v00000002")
+    )
+    assert store.history() == [1]
+    assert _rows(store.read()) == [(1,)]
+
+
+def test_optimize_compacts_files(spark, store):
+    df = spark.createDataFrame([(i, i % 3) for i in range(300)], "id long, k long")
+    store.overwrite(df.repartition(16))
+    v = store._version()
+    n_before = len(
+        [f for f in os.listdir(store._dir(v)) if f.endswith(".parquet")]
+    )
+    assert n_before > 1
+    store.optimize(target_files=1)
+    v2 = store._version()
+    n_after = len(
+        [f for f in os.listdir(store._dir(v2)) if f.endswith(".parquet")]
+    )
+    assert n_after == 1
+    assert _rows(store.read()) == _rows(df)
+    # pre-compaction snapshot still time-travel readable
+    assert _rows(store.read(version=v)) == _rows(df)
