@@ -21,6 +21,7 @@ a 1000-executor cluster holds 1/1000th of the keys per task."""
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -50,8 +51,16 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
     watermark advance closes every real session."""
     if sf_dir in _SPLIT_DIRS:
         return _SPLIT_DIRS[sf_dir]
+    # deterministic scratch path keyed by the source dir -> built once per
+    # machine, reused across processes (bench runs pay the split only once)
+    key = sf_dir.strip("/").replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"events_split_{key}")
+    stream_dir = f"{d}/stream"
+    if os.path.isdir(stream_dir) and len(os.listdir(stream_dir)) == 3:
+        _SPLIT_DIRS[sf_dir] = stream_dir
+        return stream_dir
     ev = load_table(spark, sf_dir, "events")
-    d = tempfile.mkdtemp(prefix="events_split_")
+    os.makedirs(d, exist_ok=True)
     mid_us = int(
         ev.agg(F.expr("percentile(unix_micros(ts), 0.5)").alias("mid")).collect()[0][
             "mid"
@@ -78,11 +87,14 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
         )
     )
     sent.coalesce(1).write.mode("overwrite").parquet(f"{d}/b2")
-    stream_dir = f"{d}/stream"
-    os.makedirs(stream_dir)
+    tmp_stream = f"{d}/stream.tmp"
+    shutil.rmtree(tmp_stream, ignore_errors=True)
+    os.makedirs(tmp_stream)
     for i, sub in enumerate(["b0", "b1", "b2"]):
         (src,) = [f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")]
-        os.symlink(f"{d}/{sub}/{src}", f"{stream_dir}/part-{i:03d}.parquet")
+        os.symlink(f"{d}/{sub}/{src}", f"{tmp_stream}/part-{i:03d}.parquet")
+    shutil.rmtree(stream_dir, ignore_errors=True)
+    os.replace(tmp_stream, stream_dir)
     _SPLIT_DIRS[sf_dir] = stream_dir
     return stream_dir
 

@@ -1,0 +1,119 @@
+"""Property-based tests for the CDC merge invariants.
+
+The two guarantees the whole pipeline rests on (SURVEY §4: the LSN guard is
+what turns at-least-once foreachBatch into effectively-exactly-once):
+
+  * **batch-split invariance** — applying a change log in one batch or in
+    any contiguous split of batches yields the same final state (micro-batch
+    boundaries are an accident of trigger timing, never semantics);
+  * **replay idempotence** — re-applying any already-applied batch (Kafka
+    redelivery, checkpoint recovery) leaves upsert state unchanged.
+
+Random change logs come from hypothesis; each log is reduced per batch with
+``latest_per_key`` before merging, mirroring the pipeline. A driver-side
+model (plain dict replay of the per-batch latest rows) is the oracle.
+
+Note the delete asymmetry, preserved from the reference (its delete MERGE
+has no LSN guard — ref stream/stream.py:135-148): replaying a batch whose
+latest row for a key is a delete re-deletes the key even if a later batch
+re-inserted it. Replay idempotence is therefore asserted for upsert-only
+batches — the same contract the reference provides.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka2delta_spark.cdc.dedup import latest_per_key
+from kafka2delta_spark.cdc.merge import merge_cdc_batch
+
+KEYS = [1, 2, 3]
+SCHEMA = "pk long, val string, __log_sequence_number long, __deleted string"
+
+
+def _op(draw_key, lsn, deleted):
+    return (draw_key, f"v{lsn}", lsn, "true" if deleted else "false")
+
+
+ops_strategy = st.lists(
+    st.tuples(st.sampled_from(KEYS), st.booleans()),
+    min_size=1,
+    max_size=12,
+).map(lambda pairs: [_op(k, i + 1, d) for i, (k, d) in enumerate(pairs)])
+
+
+def _model_apply(state: dict, batch_rows) -> None:
+    """Driver-side oracle: replay the per-batch latest rows in merge order."""
+    latest = {}
+    for pk, val, lsn, deleted in batch_rows:
+        if pk not in latest or lsn > latest[pk][2]:
+            latest[pk] = (pk, val, lsn, deleted)
+    for pk, row in latest.items():
+        if row[3] == "true":
+            state.pop(pk, None)
+        elif pk not in state or row[2] > state[pk][2]:
+            state[pk] = (pk, row[1], row[2], None)
+
+
+def _spark_apply(spark, state_df, batch_rows):
+    batch = spark.createDataFrame(batch_rows, SCHEMA)
+    deduped = latest_per_key(batch, ["pk"], "__log_sequence_number")
+    return merge_cdc_batch(state_df, deduped, ["pk"])
+
+
+def _collect(state_df):
+    return sorted(
+        (r["pk"], r["val"], r["__log_sequence_number"]) for r in state_df.collect()
+    )
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy, split=st.integers(min_value=0, max_value=11))
+def test_batch_split_invariance(spark, ops, split):
+    """One batch vs two batches split anywhere: same final state, and both
+    equal the dict-model oracle."""
+    cut = min(split, len(ops))
+    one = _spark_apply(spark, None, ops)
+
+    two = _spark_apply(spark, None, ops[:cut]) if cut else None
+    if ops[cut:]:
+        two = _spark_apply(spark, two, ops[cut:])
+    model: dict = {}
+    if cut:
+        _model_apply(model, ops[:cut])
+    if ops[cut:]:
+        _model_apply(model, ops[cut:])
+    expected = sorted((pk, v[1], v[2]) for pk, v in model.items())
+    assert _collect(one) == expected
+    assert _collect(two) == expected
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(ops=ops_strategy)
+def test_replay_idempotence_upserts(spark, ops):
+    """Re-applying an upsert-only batch must not change state (LSN guard)."""
+    upserts = [(pk, val, lsn, "false") for pk, val, lsn, _ in ops]
+    once = _spark_apply(spark, None, upserts)
+    twice = _spark_apply(spark, once, upserts)
+    assert _collect(once) == _collect(twice)
+
+
+@pytest.mark.parametrize("stale_lsn", [1, 5])
+def test_out_of_order_batch_cannot_regress(spark, stale_lsn):
+    """A whole batch arriving late (lower LSNs than state) is a no-op for
+    its keys — monotonicity holds batch-to-batch, not just within a batch."""
+    fresh = [(1, "new", 10, "false")]
+    stale = [(1, "old", stale_lsn, "false")]
+    state = _spark_apply(spark, None, fresh)
+    after = _spark_apply(spark, state, stale)
+    assert _collect(after) == [(1, "new", 10)]
