@@ -1,6 +1,6 @@
-"""Map-typed columns and explicit scale patterns.
+"""Map-typed columns, explicit scale patterns, and the SQL entry point.
 
-Two gaps this module closes:
+Three gaps this module closes:
 
   * **MapType + map higher-order functions** (SURVEY §2.2 lists map
     constructors/HOFs; the reference has no ArrayType/MapType anywhere) —
@@ -13,6 +13,10 @@ Two gaps this module closes:
     whole table) by first aggregating on (key, salt) so every core gets
     work, then combining the 32 partials per key. Identical result to the
     direct groupBy, which is what the oracle computes.
+
+  * **``spark.sql`` front end** — q46 runs one SQL text (CTE, joins with
+    BROADCAST hints, window RANK) over temp views, proving both front ends
+    share the same Catalyst path.
 """
 
 from __future__ import annotations
@@ -106,4 +110,51 @@ def q62_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(F.array_distinct(F.flatten(F.collect_list("pu")))).alias("n_users"),
         )
         .withColumn("n_users", F.col("n_users").cast("long"))
+    )
+
+
+@register(
+    "q46_sql_api_revenue_rank",
+    oracle="""
+    WITH rev AS (
+        SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders   ON o_orderkey = l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation   ON n_nationkey = c_nationkey
+        GROUP BY 1, 2)
+    SELECT nation, o_year, revenue,
+           CAST(RANK() OVER (PARTITION BY o_year ORDER BY revenue DESC) AS INT)
+               AS rev_rank
+    FROM rev
+    QUALIFY rev_rank <= 3
+    """,
+)
+def q46_sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same engine through the ``spark.sql`` entry point: temp views +
+    one SQL text (CTE, 4-way join, window RANK, per-year top-3). Catalyst
+    compiles it to the identical physical plan the DataFrame API would get
+    — proving both front ends share the full optimizer path. Views are
+    per-table and idempotent; BROADCAST hints mark the dimension sides."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        WITH rev AS (
+            SELECT /*+ BROADCAST(v_customer, v_nation) */
+                   n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM v_lineitem
+            JOIN v_orders   ON o_orderkey = l_orderkey
+            JOIN v_customer ON c_custkey = o_custkey
+            JOIN v_nation   ON n_nationkey = c_nationkey
+            GROUP BY 1, 2)
+        SELECT nation, o_year, revenue, rev_rank FROM (
+            SELECT nation, o_year, revenue,
+                   CAST(RANK() OVER (PARTITION BY o_year
+                                     ORDER BY revenue DESC) AS INT) AS rev_rank
+            FROM rev)
+        WHERE rev_rank <= 3
+        """
     )
