@@ -344,12 +344,17 @@ def q41_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q42_math_conditional",
     oracle="""
     SELECT l_orderkey, l_linenumber,
-           ROUND(ABS(l_discount - 0.05), 4)              AS disc_dev,
-           CEIL(l_quantity)                              AS qty_ceil,
-           FLOOR(l_extendedprice / 1000)                 AS price_k,
-           ROUND(SQRT(l_extendedprice), 4)               AS price_sqrt,
-           ROUND(LN(l_extendedprice + 1), 6)             AS price_ln,
-           ROUND(POW(1 + l_tax, 2), 6)                   AS tax_sq,
+           CAST(ROUND(ABS(CAST(l_discount AS DECIMAL(12,6))
+                          - CAST(0.05 AS DECIMAL(12,6))), 4) AS DOUBLE) AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT)              AS qty_ceil,
+           CAST(FLOOR(l_extendedprice / 1000) AS BIGINT) AS price_k,
+           CAST(ROUND(CAST(SQRT(l_extendedprice) AS DECIMAL(28,10)), 4)
+                AS DOUBLE)                               AS price_sqrt,
+           CAST(ROUND(CAST(LN(l_extendedprice + 1) AS DECIMAL(28,10)), 6)
+                AS DOUBLE)                               AS price_ln,
+           CAST(ROUND((1 + CAST(l_tax AS DECIMAL(12,6)))
+                      * (1 + CAST(l_tax AS DECIMAL(12,6))), 6)
+                AS DOUBLE)                               AS tax_sq,
            CASE WHEN l_quantity > 25 THEN 'bulk'
                 WHEN l_quantity > 10 THEN 'mid'
                 ELSE 'small' END                         AS qty_class,
@@ -360,17 +365,34 @@ def q41_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q42_math_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math + conditional expression surface."""
+    """Math + conditional expression surface.
+
+    Every rounded float routes through a DECIMAL cast before ROUND (and the
+    oracle does the same): ROUND on raw doubles resolves near-tie values
+    differently across engines (Spark rounds the full binary expansion
+    HALF_UP, DuckDB rounds the scaled double), while decimal ROUND is exact
+    HALF_UP everywhere. Casting the rounded decimal back to DOUBLE yields
+    bit-identical floats on both engines. tax_sq uses exact decimal
+    multiplication instead of POW for the same reason.
+    """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") <= 400)
+    disc_dec = F.col("l_discount").cast("decimal(12,6)")
+    tax1 = F.lit(1) + F.col("l_tax").cast("decimal(12,6)")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("disc_dev"),
+        F.round(F.abs(disc_dec - F.lit(0.05).cast("decimal(12,6)")), 4)
+        .cast("double")
+        .alias("disc_dev"),
         F.ceil("l_quantity").alias("qty_ceil"),
         F.floor(F.col("l_extendedprice") / 1000).alias("price_k"),
-        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
-        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
-        F.round(F.pow(F.lit(1) + F.col("l_tax"), 2), 6).alias("tax_sq"),
+        F.round(F.sqrt("l_extendedprice").cast("decimal(28,10)"), 4)
+        .cast("double")
+        .alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1).cast("decimal(28,10)"), 6)
+        .cast("double")
+        .alias("price_ln"),
+        F.round(tax1 * tax1, 6).cast("double").alias("tax_sq"),
         F.when(F.col("l_quantity") > 25, "bulk")
         .when(F.col("l_quantity") > 10, "mid")
         .otherwise("small")

@@ -1,0 +1,63 @@
+"""Shared synchronous drain for the TRUE-streaming registry queries.
+
+Every streaming query in the registry (q53-q57) runs a real
+StructuredStreaming job against a file source and needs its full result
+synchronously. Draining is pure overhead relative to the query itself, so
+this helper centralizes the three cost levers:
+
+- ``Trigger.AvailableNow``: processes everything the source has (honoring
+  per-batch limits like ``maxFilesPerTrigger``) and terminates on its own —
+  no ``processAllAvailable`` polling latency, no idle-detection sleeps.
+- Streaming state-store partition count is fixed at query start from
+  ``spark.sql.shuffle.partitions`` (AQE is off for stateful streams), and
+  every micro-batch pays checkpoint I/O per partition — so the session's
+  batch-tuned setting (32) is dropped to 4 for the drain's lifetime. On a
+  real cluster this knob is sized to executor count instead.
+- One shared checkpoint scratch root per process (one mkdtemp, one subdir
+  per query) instead of a fresh mkdtemp per call.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame
+
+_CKPT_ROOT: list[str] = []
+
+DRAIN_SHUFFLE_PARTITIONS = "4"
+
+
+def _checkpoint_dir(name: str) -> str:
+    if not _CKPT_ROOT:
+        _CKPT_ROOT.append(tempfile.mkdtemp(prefix="k2d_ckpts_"))
+    d = os.path.join(_CKPT_ROOT[0], name)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def drain_to_memory(df: DataFrame, mode: str) -> str:
+    """Run a streaming DataFrame to a memory sink until the source is
+    exhausted; return the sink table name."""
+    spark = df.sparkSession
+    name = f"strm_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", DRAIN_SHUFFLE_PARTITIONS)
+    try:
+        q = (
+            df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return name

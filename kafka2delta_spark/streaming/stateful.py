@@ -23,7 +23,6 @@ from __future__ import annotations
 import os
 import shutil
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -36,6 +35,7 @@ from pyspark.sql.types import (
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.streaming.drain import drain_to_memory
 
 SESSION_GAP_MIN = 30
 SENTINEL_USER = 99_999_999
@@ -109,36 +109,6 @@ def _open_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _drain(df: DataFrame, mode: str) -> str:
-    """Run a streaming DataFrame to a memory sink until drained; return the
-    sink table name.
-
-    Streaming state-store partition count is fixed at query start from
-    ``spark.sql.shuffle.partitions`` (AQE is off for stateful streams), and
-    every micro-batch pays checkpoint I/O per partition — so the session's
-    batch-tuned setting is dropped to 8 for the query's lifetime. On a real
-    cluster this knob is sized to executor count instead."""
-    spark = df.sparkSession
-    name = f"strm_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try:
-        q = (
-            df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-    return name
-
-
 @register(
     "q56_stream_stream_interval_join",
     oracle="""
@@ -183,7 +153,7 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    name = _drain(joined, "append")
+    name = drain_to_memory(joined, "append")
     return spark.table(name)
 
 
@@ -294,5 +264,5 @@ def q57_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
-    name = _drain(sessions, "append")
+    name = drain_to_memory(sessions, "append")
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)

@@ -16,13 +16,13 @@ Spark's native session merge (state-store backed when streaming).
 from __future__ import annotations
 
 import tempfile
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.streaming.drain import drain_to_memory
 
 
 @register(
@@ -145,25 +145,13 @@ def q53_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whole file processed, complete-mode output equals the batch result —
     hence SQL-oracle-checkable."""
     ev = _events_stream(spark, sf_dir)
-    name = f"strm_{uuid.uuid4().hex[:8]}"
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return spark.table(drain_to_memory(agg, "complete"))
 
 
 @register(
@@ -180,24 +168,12 @@ def q54_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     query): max_by over (ts, event_id) in complete mode — the streaming
     twin of q70."""
     ev = _events_stream(spark, sf_dir)
-    name = f"strm_{uuid.uuid4().hex[:8]}"
     latest = ev.groupBy("user_id").agg(
         F.max_by(
             F.struct("event_id", "event_type"), F.struct("ts", "event_id")
         ).alias("__latest")
     ).select("user_id", "__latest.event_id", "__latest.event_type")
-    q = (
-        latest.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
+    return spark.table(drain_to_memory(latest, "complete"))
 
 
 @register("q55_stream_dedup_within_watermark")  # stateful dedup: rows-only check
@@ -206,19 +182,8 @@ def q55_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     exact dedup for at-least-once sources. Non-SQL-expressible (depends on
     watermark progression), so rows-only checked."""
     ev = _events_stream(spark, sf_dir)
-    name = f"strm_{uuid.uuid4().hex[:8]}"
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ck_"))
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    name = drain_to_memory(deduped, "append")
     return spark.table(name).select("event_id", "user_id", "event_type")

@@ -29,7 +29,9 @@ def normalize(df, cols):
             if v is None or (isinstance(v, float) and math.isnan(v)):
                 vals.append("NULL")
             elif isinstance(v, float):
-                vals.append(f"{v:.6f}".rstrip("0").rstrip("."))
+                # Exact (shortest round-trip) repr: the driver's gate hashes
+                # exact values, so a sub-1e-6 divergence must fail here too.
+                vals.append(repr(v))
             elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
                 vals.append(str([x for x in v]))
             else:
