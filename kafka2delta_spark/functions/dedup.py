@@ -30,6 +30,13 @@ from kafka2delta_spark.sources.tables import load_table
 
 N_MINHASH = 8  # minhash permutations (seeds)
 BAND_SIZE = 2  # → 4 bands of 2 signatures each
+# Candidate-explosion guards: a bucket of b docs emits C(b,2) pairs, so one
+# stop-phrase shingle shared by 1M docs would emit 5e11 pairs. Buckets wider
+# than the cap are dropped from candidate generation on BOTH engines (for
+# q88 the capped shingles leave the shingle space entirely, so Jaccard stays
+# exact on the reduced space). Pair output is bounded by n_buckets * C(cap,2).
+SHINGLE_DF_CAP = 64  # q88: max docs sharing a shingle
+BAND_BUCKET_CAP = 64  # q86: max docs colliding in one band
 
 
 def pairs_within_groups(
@@ -182,12 +189,17 @@ _BAND_UNNEST_SQL = " UNION ALL ".join(
         SELECT doc_id, {_MINHASH_SQL} FROM sh_t),
     banded AS (
         SELECT doc_id, {_BAND_SQL} FROM mh),
-    bands AS ({_BAND_UNNEST_SQL})
+    bands AS ({_BAND_UNNEST_SQL}),
+    widths AS (
+        SELECT band_id, band_key, COUNT(*) AS w
+        FROM bands GROUP BY band_id, band_key)
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(COUNT(DISTINCT a.band_id) AS BIGINT) AS n_shared_bands
     FROM bands a JOIN bands b
       ON a.band_id = b.band_id AND a.band_key = b.band_key
      AND a.doc_id < b.doc_id
+    JOIN widths w ON w.band_id = a.band_id AND w.band_key = a.band_key
+    WHERE w.w <= {BAND_BUCKET_CAP}
     GROUP BY a.doc_id, b.doc_id
     """,
 )
@@ -225,7 +237,7 @@ def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band_id", "band_key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids").between(2, BAND_BUCKET_CAP))
     )
     return (
         pairs_within_groups(buckets)
@@ -289,8 +301,12 @@ def q87_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql(k=3)} AS sh FROM t WHERE len(toks) >= 3),
-    sizes AS (SELECT doc_id, len(sh) AS sz FROM sh_t),
-    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+    raw_ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+    df AS (SELECT shingle, COUNT(*) AS n_docs FROM raw_ex GROUP BY shingle),
+    ex AS (SELECT r.doc_id, r.shingle
+           FROM raw_ex r JOIN df USING (shingle)
+           WHERE df.n_docs <= {SHINGLE_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -310,15 +326,23 @@ def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from a hash-agg; set sizes broadcast back. Shingle width is the candidate-explosion knob: k=3 keeps
     per-shingle document frequency (and the join's quadratic blowup) low —
     k=2 on this vocabulary is ~10x the join output for the same final
-    pairs. At scale, additionally drop the top-frequency shingles (stop
-    phrases) before the join."""
+    pairs. Shingles shared by more than SHINGLE_DF_CAP docs (stop phrases)
+    are dropped from the shingle space before candidates AND set sizes, so
+    Jaccard stays exact on the reduced space while pair output is bounded
+    by n_shingles * C(cap, 2); both derive from one groupBy(shingle) whose
+    exchange the plan reuses (ReusedExchange)."""
     ex = shingle_rows(spark, sf_dir, k=3)
-    sizes = ex.groupBy("doc_id").agg(F.count(F.lit(1)).cast("int").alias("sz"))
-    buckets = (
+    grouped = (
         ex.groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        .filter(F.size("ids") <= SHINGLE_DF_CAP)
     )
+    sizes = (
+        grouped.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("sz"))
+    )
+    buckets = grouped.filter(F.size("ids") > 1)
     inter = (
         pairs_within_groups(buckets)
         .groupBy("doc_a", "doc_b")
@@ -335,28 +359,60 @@ def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q89_embedding_near_dups",
-    oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
-               FROM embeddings),
-    n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
-    FROM n a JOIN n b
-      ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) > 0.35
-    """,
-)
+# Near-dup LSH layout: 2 tables x 8 hyperplane bits (256 buckets/table),
+# reusing the 16 deterministic planes shared with q91. More bits -> smaller
+# buckets (pair space ~ sum of bucket^2); more tables -> higher recall.
+ND_TABLES = 2
+ND_BITS = 8
+
+
+def _neardup_oracle() -> str:
+    from kafka2delta_spark.functions.similarity import plane_bucket_sql
+
+    bucket_cols = ", ".join(
+        f"{plane_bucket_sql(t * ND_BITS, ND_BITS)} AS b{t}" for t in range(ND_TABLES)
+    )
+    unnest = " UNION ALL ".join(
+        f"SELECT vec_id, b{t} AS bucket, {t} AS tbl FROM n" for t in range(ND_TABLES)
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                 {bucket_cols}
+          FROM e),
+    hashed AS ({unnest}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM hashed a JOIN hashed b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+    SELECT c.vec_a, c.vec_b,
+           ROUND(list_dot_product(x.v, y.v) / (x.nrm * y.nrm), 4) AS cosine
+    FROM cand c
+    JOIN n x ON x.vec_id = c.vec_a
+    JOIN n y ON y.vec_id = c.vec_b
+    WHERE list_dot_product(x.v, y.v) / (x.nrm * y.nrm) > 0.35
+    """
+
+
+@register("q89_embedding_near_dups", oracle=_neardup_oracle())
 def q89_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicates: cosine > 0.35 within label partitions.
-    The label equi-join bounds the pair space (at scale: LSH buckets or IVF
-    cells play the label's role — see q91); dot products are native HOF
-    ``aggregate`` over zipped arrays in doubles, matching the oracle
-    bit-for-bit."""
+    """Embedding near-duplicates at scale: sign-LSH bucket candidates,
+    exact-cosine verification, threshold after exact scoring.
+
+    Candidates come from 2 LSH tables x 8 deterministic hyperplane bits
+    (planes shared with q91's ANN): a pair is compared iff it collides in
+    at least one table, so the pair space is bounded by bucket size — at
+    100x the corpus, buckets grow 100x but the all-pairs blowup stays
+    inside buckets (and the bit count is the knob that shrinks them),
+    unlike the label-partitioned all-pairs this replaces. Each bucket
+    carries (vec_id, v, nrm) structs so scoring needs no join-back; pairs
+    colliding in both tables dedup on (vec_a, vec_b) before emit. Dot
+    products are native HOF ``aggregate`` over doubles, bit-identical to
+    the oracle's ``list_dot_product``."""
+    from kafka2delta_spark.functions.similarity import plane_bucket_spark
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    e = emb.select("vec_id", "label", v.alias("v"))
 
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
@@ -365,19 +421,40 @@ def q89_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, z: acc + z,
         )
 
-    n = e.select("vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
-    a, b = n.alias("a"), n.alias("b")
-    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    e = emb.select("vec_id", v.alias("v"))
+    n = e.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        *[
+            plane_bucket_spark(F.col("v"), t * ND_BITS, ND_BITS).alias(f"b{t}")
+            for t in range(ND_TABLES)
+        ],
+    )
+    hashed = n.selectExpr(
+        "vec_id",
+        "v",
+        "nrm",
+        f"stack({ND_TABLES}, "
+        + ", ".join(f"{t}, b{t}" for t in range(ND_TABLES))
+        + ") AS (tbl, bucket)",
+    )
+    buckets = (
+        hashed.groupBy("tbl", "bucket")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("vec_id", "v", "nrm"))).alias("ids")
+        )
+        .filter(F.size("ids") > 1)
+    )
+    pairs = pairs_within_groups(buckets, "pa", "pb")
+    cos = dot(F.col("pa.v"), F.col("pb.v")) / (F.col("pa.nrm") * F.col("pb.nrm"))
     return (
-        a.join(
-            b,
-            (F.col("a.label") == F.col("b.label"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        pairs.select(
+            F.col("pa.vec_id").alias("vec_a"),
+            F.col("pb.vec_id").alias("vec_b"),
+            cos.alias("cosine"),
         )
-        .filter(cos > 0.35)
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(cos, 4).alias("cosine"),
-        )
+        .filter(F.col("cosine") > 0.35)
+        .groupBy("vec_a", "vec_b")
+        .agg(F.round(F.min("cosine"), 4).alias("cosine"))
     )

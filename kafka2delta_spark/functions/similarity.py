@@ -68,22 +68,34 @@ _PLANES_SQL = {
 }
 
 
-def _table_bucket_sql(t: int) -> str:
-    """DuckDB: bucket id of table t (bits from planes t*B .. t*B+B-1)."""
+def plane_bucket_sql(first_plane: int, bits: int, vcol: str = "v") -> str:
+    """DuckDB: sign-LSH bucket id from ``bits`` consecutive planes starting
+    at ``first_plane``."""
     return " + ".join(
-        f"(CASE WHEN list_dot_product(v, {_PLANES_SQL[t * BITS_PER_TABLE + j]}) > 0 "
+        f"(CASE WHEN list_dot_product({vcol}, {_PLANES_SQL[first_plane + j]}) > 0 "
         f"THEN {1 << j} ELSE 0 END)"
-        for j in range(BITS_PER_TABLE)
+        for j in range(bits)
     )
 
 
-def _table_bucket_spark(v: Column, t: int) -> Column:
+def plane_bucket_spark(v: Column, first_plane: int, bits: int) -> Column:
+    """Spark: same bucket id as ``plane_bucket_sql`` — hyperplane sign bits
+    baked as literal arrays into the plan."""
     out = None
-    for j in range(BITS_PER_TABLE):
-        plane = F.array(*[F.lit(float(c)) for c in PLANES[t * BITS_PER_TABLE + j]])
+    for j in range(bits):
+        plane = F.array(*[F.lit(float(c)) for c in PLANES[first_plane + j]])
         term = F.when(dot(v, plane) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         out = term if out is None else out + term
     return out.cast("int")
+
+
+def _table_bucket_sql(t: int) -> str:
+    """DuckDB: bucket id of table t (bits from planes t*B .. t*B+B-1)."""
+    return plane_bucket_sql(t * BITS_PER_TABLE, BITS_PER_TABLE)
+
+
+def _table_bucket_spark(v: Column, t: int) -> Column:
+    return plane_bucket_spark(v, t * BITS_PER_TABLE, BITS_PER_TABLE)
 
 
 @register(
