@@ -3,15 +3,21 @@
 The reference applies each deduped micro-batch slice with two sequential
 Delta ``MERGE INTO`` statements: an upsert MERGE with an LSN monotonic guard
 (ref stream/stream.py:114-133, guard at :125) then an unguarded delete MERGE
-(ref stream/stream.py:135-148). Semantics preserved here, folded into ONE
-merge pass (SURVEY §4's recommended fix — halves the target-table joins and
-closes the upsert/delete ordering gap):
+(ref stream/stream.py:135-148). Folded here into ONE merge pass (SURVEY §4's
+recommended fix — halves the target-table joins and closes the upsert/delete
+ordering gap), with the LSN guard extended to deletes, closing the
+reference's late-replayed-delete gap (an old delete batch redelivered after
+a newer re-insert must be a no-op, same as a stale upsert):
 
   for the (already latest-per-key) change row of key K:
-    * ``__deleted = 'true'``  → K removed from state (no LSN guard, matching
-      the reference's delete MERGE).
-    * otherwise               → insert if K absent; update only if
+    * ``__deleted = 'true'``  → K removed from state iff
+      ``change.lsn > state.lsn``; a delete for an absent key is a no-op.
+    * otherwise (including NULL flag) → insert if K absent; update only if
       ``change.lsn > state.lsn`` (replay-idempotent upserts).
+
+A NULL ``__deleted`` flag counts as an upsert on BOTH execution paths
+(``COALESCE(__deleted = 'true', false)``) — previously the Delta path
+silently dropped such rows because NULL matched no merge clause.
 
 Two execution paths:
   * ``apply_cdc_delta`` — Delta ``DeltaTable.merge`` (single MERGE with
@@ -75,26 +81,30 @@ def merge_cdc_batch(
     c = changes_df.select(
         *[F.col(c_).alias(f"__k_{c_}") for c_ in key_cols],
         F.struct(*[F.col(c_) for c_ in target_cols]).alias("__c"),
-        (F.col(deleted_col) == F.lit("true")).alias("__is_delete"),
+        F.coalesce(F.col(deleted_col) == F.lit("true"), F.lit(False)).alias(
+            "__is_delete"
+        ),
     )
     joined = s.join(c, on=[f"__k_{k}" for k in key_cols], how="full_outer")
 
-    resolved = (
-        joined
-        # delete wins whenever the latest change for the key is a delete
-        .filter(~F.coalesce(F.col("__is_delete"), F.lit(False)))
-        .select(
-            F.when(F.col("__c").isNull(), F.col("__s"))
-            .when(F.col("__s").isNull(), F.col("__c"))
-            # LSN monotonic guard (ref stream/stream.py:125): only strictly
-            # newer changes replace existing state.
-            .when(F.col(f"__c.{lsn_col}") > F.col(f"__s.{lsn_col}"), F.col("__c"))
-            .otherwise(F.col("__s"))
-            .alias("__row")
+    # LSN monotonic guard (ref stream/stream.py:125) on upserts AND deletes:
+    # only a strictly newer change replaces or removes existing state.
+    newer = F.col(f"__c.{lsn_col}") > F.col(f"__s.{lsn_col}")
+    row = (
+        F.when(F.col("__c").isNull(), F.col("__s"))
+        .when(
+            F.col("__s").isNull(),
+            F.when(F.col("__is_delete"), F.lit(None)).otherwise(F.col("__c")),
         )
+        .when(F.col("__is_delete"), F.when(newer, F.lit(None)).otherwise(F.col("__s")))
+        .when(newer, F.col("__c"))
+        .otherwise(F.col("__s"))
+    )
+    return (
+        joined.select(row.alias("__row"))
+        .filter(F.col("__row").isNotNull())
         .select("__row.*")
     )
-    return resolved
 
 
 def apply_cdc_delta(
@@ -128,13 +138,21 @@ def apply_cdc_delta(
     (
         target.alias("t")
         .merge(changes_df.alias("s"), on)
-        .whenMatchedDelete(condition=f"s.`{deleted_col}` = 'true'")
+        .whenMatchedDelete(
+            condition=(
+                f"s.`{deleted_col}` = 'true' AND s.`{lsn_col}` > t.`{lsn_col}`"
+            )
+        )
         .whenMatchedUpdate(
-            condition=f"s.`{deleted_col}` != 'true' AND t.`{lsn_col}` < s.`{lsn_col}`",
+            condition=(
+                f"NOT COALESCE(s.`{deleted_col}` = 'true', false) "
+                f"AND s.`{lsn_col}` > t.`{lsn_col}`"
+            ),
             set=set_map,
         )
         .whenNotMatchedInsert(
-            condition=f"s.`{deleted_col}` != 'true'", values=set_map
+            condition=f"NOT COALESCE(s.`{deleted_col}` = 'true', false)",
+            values=set_map,
         )
         .execute()
     )

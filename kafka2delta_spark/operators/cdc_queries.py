@@ -60,12 +60,14 @@ def q70_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CASE WHEN c.user_id IS NULL OR (s.user_id IS NOT NULL AND c.event_id <= s.event_id)
                 THEN s.value ELSE c.value END, 4) AS value
     FROM state s FULL OUTER JOIN chg c ON s.user_id = c.user_id
-    WHERE NOT COALESCE(c.__deleted = 'true', FALSE)
+    WHERE NOT (COALESCE(c.__deleted = 'true', FALSE)
+               AND (s.user_id IS NULL OR c.event_id > s.event_id))
     """,
 )
 def q71_cdc_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full CDC apply path (dedup → LSN-guarded merge with deletes,
-    ref stream/stream.py:92-148 semantics) against a SQL oracle: events
+    """The full CDC apply path (dedup → merge with the LSN guard on both
+    upserts and deletes, ref stream/stream.py:92-148 plus the guarded-delete
+    extension) against a SQL oracle: events
     before the split are the existing state; events after are the change
     set, with 'error' events acting as deletes and event_id as the LSN."""
     ev = load_table(spark, sf_dir, "events").select(

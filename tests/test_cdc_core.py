@@ -227,7 +227,7 @@ def test_merge_insert_update_delete(spark):
         spark,
         [
             (2, "updated", 200, "false"),  # newer → update
-            (3, "gone", 150, "true"),  # delete (no guard)
+            (3, "gone", 150, "true"),  # delete (newer lsn → applies)
             (4, "new", 50, "false"),  # insert
         ],
     )
@@ -242,6 +242,25 @@ def test_merge_lsn_guard_rejects_stale(spark):
     changes = _changes(spark, [(1, "stale", 400, "false")])
     out = merge_cdc_batch(state, changes, ["id"])
     assert out.collect()[0]["name"] == "current"  # ref stream/stream.py:125
+
+
+def test_merge_lsn_guard_rejects_stale_delete(spark):
+    """A replayed delete older than current state is a no-op (the guard
+    covers deletes, closing the reference's late-replayed-delete gap)."""
+    state = _state(spark, [(1, "current", 500)])
+    changes = _changes(spark, [(1, "old-del", 400, "true")])
+    out = merge_cdc_batch(state, changes, ["id"])
+    assert [(r["id"], r["name"]) for r in out.collect()] == [(1, "current")]
+
+
+def test_merge_null_deleted_flag_is_upsert(spark):
+    """NULL __deleted (no SMT rewrite) counts as an upsert on the
+    engine-neutral path — same semantics as the Delta path's COALESCE."""
+    state = _state(spark, [(1, "old", 100)])
+    changes = _changes(spark, [(1, "newer", 200, None), (2, "fresh", 50, None)])
+    out = merge_cdc_batch(state, changes, ["id"])
+    got = {r["id"]: r["name"] for r in out.collect()}
+    assert got == {1: "newer", 2: "fresh"}
 
 
 def test_merge_bootstrap_no_state(spark):

@@ -7,17 +7,15 @@ what turns at-least-once foreachBatch into effectively-exactly-once):
     any contiguous split of batches yields the same final state (micro-batch
     boundaries are an accident of trigger timing, never semantics);
   * **replay idempotence** — re-applying any already-applied batch (Kafka
-    redelivery, checkpoint recovery) leaves upsert state unchanged.
+    redelivery, checkpoint recovery) leaves state unchanged — for delete
+    batches too, because the LSN guard covers deletes as well as upserts
+    (the reference's delete MERGE has no guard — ref stream/stream.py:135-148
+    — so a late-replayed delete there removes newer re-inserted state; this
+    engine closes that gap).
 
 Random change logs come from hypothesis; each log is reduced per batch with
 ``latest_per_key`` before merging, mirroring the pipeline. A driver-side
 model (plain dict replay of the per-batch latest rows) is the oracle.
-
-Note the delete asymmetry, preserved from the reference (its delete MERGE
-has no LSN guard — ref stream/stream.py:135-148): replaying a batch whose
-latest row for a key is a delete re-deletes the key even if a later batch
-re-inserted it. Replay idempotence is therefore asserted for upsert-only
-batches — the same contract the reference provides.
 """
 
 from __future__ import annotations
@@ -52,7 +50,9 @@ def _model_apply(state: dict, batch_rows) -> None:
             latest[pk] = (pk, val, lsn, deleted)
     for pk, row in latest.items():
         if row[3] == "true":
-            state.pop(pk, None)
+            # LSN-guarded delete: only strictly newer deletes remove state
+            if pk in state and row[2] > state[pk][2]:
+                state.pop(pk)
         elif pk not in state or row[2] > state[pk][2]:
             state[pk] = (pk, row[1], row[2], None)
 
@@ -100,12 +100,22 @@ def test_batch_split_invariance(spark, ops, split):
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(ops=ops_strategy)
-def test_replay_idempotence_upserts(spark, ops):
-    """Re-applying an upsert-only batch must not change state (LSN guard)."""
-    upserts = [(pk, val, lsn, "false") for pk, val, lsn, _ in ops]
-    once = _spark_apply(spark, None, upserts)
-    twice = _spark_apply(spark, once, upserts)
+def test_replay_idempotence(spark, ops):
+    """Re-applying any already-applied batch — deletes included — must not
+    change state: the LSN guard covers both merge branches."""
+    once = _spark_apply(spark, None, ops)
+    twice = _spark_apply(spark, once, ops)
     assert _collect(once) == _collect(twice)
+
+
+def test_late_replayed_delete_is_noop(spark):
+    """The reference's gap, closed: a delete batch redelivered after a newer
+    re-insert must not remove the newer state."""
+    state = _spark_apply(spark, None, [(1, "v1", 1, "false")])
+    state = _spark_apply(spark, state, [(1, "del", 2, "true")])
+    state = _spark_apply(spark, state, [(1, "v3", 3, "false")])
+    replayed = _spark_apply(spark, state, [(1, "del", 2, "true")])
+    assert _collect(replayed) == [(1, "v3", 3)]
 
 
 @pytest.mark.parametrize("stale_lsn", [1, 5])
