@@ -32,7 +32,12 @@ from kafka2delta_spark.cdc.registry import (
 )
 from kafka2delta_spark.cdc.dedup import latest_per_key
 from kafka2delta_spark.cdc.merge import merge_cdc_batch, split_upserts_deletes
-from kafka2delta_spark.state.store import ParquetStateStore, create_table_if_not_exists
+from kafka2delta_spark.state.store import (
+    DeltaStateStore,
+    ParquetStateStore,
+    create_table_if_not_exists,
+)
+from kafka2delta_spark.streaming.listener import StreamProgressListener
 from kafka2delta_spark.streaming.stream import stream_to_delta
 from kafka2delta_spark.session import build_session
 
@@ -49,7 +54,9 @@ __all__ = [
     "latest_per_key",
     "merge_cdc_batch",
     "split_upserts_deletes",
+    "DeltaStateStore",
     "ParquetStateStore",
+    "StreamProgressListener",
     "create_table_if_not_exists",
     "stream_to_delta",
     "build_session",

@@ -6,7 +6,8 @@ this environment the Delta jars are absent, so the engine abstracts the
 sink behind a minimal store interface with two implementations:
 
   * ``DeltaStateStore`` — thin wrapper over delta-spark (gated import);
-    mutation happens in-place via :func:`kafka2delta_spark.cdc.merge.apply_cdc_delta`.
+    mutation happens in-place via :func:`kafka2delta_spark.cdc.merge.apply_cdc_delta`;
+    registration is the reference's own ``saveAsTable``.
   * ``ParquetStateStore`` — versioned-directory parquet store with an
     atomic current-version pointer (a one-file transaction log). Readers
     always see a complete snapshot; a crashed writer leaves a dangling
@@ -46,12 +47,34 @@ class ParquetStateStore:
         path: str,
         partition_cols: list[str] | None = None,
         retain_versions: int = 2,
+        table_name: str | None = None,
     ) -> None:
         self.spark = spark
         self.path = path
         self.partition_cols = list(partition_cols or [])
         self.retain_versions = max(1, retain_versions)
+        self.table_name = table_name
         os.makedirs(path, exist_ok=True)
+
+    # -- catalog registration ----------------------------------------------
+    def _register(self) -> None:
+        """Register/refresh ``schema.table`` in the session catalog as a view
+        over the current snapshot (metastore parity with the reference's
+        ``saveAsTable`` — ref utils/utils.py:37-58; its MERGE mutates one
+        location in place, while this store commits versioned dirs, so the
+        catalog entry is repointed per commit instead of created once)."""
+        if not self.table_name:
+            return
+        cur = self._version()
+        if cur is None:
+            return
+        db = self.table_name.split(".")[0] if "." in self.table_name else None
+        if db:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+        self.spark.sql(
+            f"CREATE OR REPLACE VIEW {self.table_name} AS "
+            f"SELECT * FROM parquet.`{self._dir(cur)}`"
+        )
 
     # -- version pointer ---------------------------------------------------
     def _version(self) -> int | None:
@@ -110,6 +133,7 @@ class ParquetStateStore:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self._dir(v))
         self._set_version(v)
+        self._register()
         for old in self.history()[: -self.retain_versions]:
             shutil.rmtree(self._dir(old), ignore_errors=True)
 
@@ -125,17 +149,94 @@ class ParquetStateStore:
         self.overwrite(cur.coalesce(target_files))
 
 
+class DeltaStateStore:
+    """Delta-backed state for one table (requires delta-spark; gated import).
+
+    Same interface as ParquetStateStore where semantics overlap: the Delta
+    transaction log plays the version pointer's role (``read(version=...)``
+    maps to ``versionAsOf`` time travel), mutation happens in place via
+    :func:`kafka2delta_spark.cdc.merge.apply_cdc_delta` rather than
+    snapshot replacement, and registration is the reference's own
+    ``saveAsTable`` (ref utils/utils.py:37-58)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_cols: list[str] | None = None,
+        table_name: str | None = None,
+    ) -> None:
+        import delta  # noqa: F401 — fail fast when delta-spark is absent
+
+        self.spark = spark
+        self.path = path
+        self.partition_cols = list(partition_cols or [])
+        self.table_name = table_name
+
+    def exists(self) -> bool:
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(self.spark, self.path)
+
+    def read(self, version: int | None = None) -> DataFrame | None:
+        if not self.exists():
+            return None
+        reader = self.spark.read.format("delta")
+        if version is not None:
+            reader = reader.option("versionAsOf", version)
+        return reader.load(self.path)
+
+    def create_if_not_exists(self, schema: T.StructType) -> None:
+        """Reference-exact creation: empty typed snapshot + saveAsTable
+        under ``schema.table`` (ref utils/utils.py:37-58)."""
+        if self.table_name and self.spark.catalog.tableExists(self.table_name):
+            return
+        if self.exists() and not self.table_name:
+            return
+        writer = (
+            self.spark.createDataFrame([], schema)
+            .write.format("delta")
+            .option("path", self.path)
+        )
+        if self.partition_cols:
+            writer = writer.partitionBy(*self.partition_cols)
+        if self.table_name:
+            db = self.table_name.split(".")[0] if "." in self.table_name else None
+            if db:
+                self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+            writer.saveAsTable(self.table_name)
+        else:
+            writer.save(self.path)
+
+    def merge(self, changes_df: DataFrame, key_cols: list[str]) -> None:
+        from kafka2delta_spark.cdc.merge import apply_cdc_delta
+
+        apply_cdc_delta(
+            self.spark, self.path, changes_df, key_cols, self.partition_cols
+        )
+
+
 def create_table_if_not_exists(
     spark: SparkSession, schema: T.StructType, config: TableConfig
 ) -> ParquetStateStore:
-    """Create an empty partitioned table if absent (ref utils/utils.py:37-58).
+    """Create an empty partitioned table if absent and register it in the
+    session catalog under ``config.full_table_name``
+    (ref utils/utils.py:37-58) so it is queryable by name.
 
-    With delta-spark available this would be ``DeltaTable.createIfNotExists``;
-    here it initializes a ParquetStateStore with an empty snapshot so the
-    first merge sees a typed (possibly empty) state.
+    With delta-spark available use ``DeltaStateStore.create_if_not_exists``
+    (the reference's exact ``saveAsTable`` path); here it initializes a
+    ParquetStateStore with an empty snapshot so the first merge sees a
+    typed (possibly empty) state, and the store repoints the catalog entry
+    on every commit.
     """
-    store = ParquetStateStore(spark, config.path, config.partition_cols)
+    store = ParquetStateStore(
+        spark, config.path, config.partition_cols, table_name=config.full_table_name
+    )
+    if spark.catalog.tableExists(config.full_table_name) and store.exists():
+        return store
     if not store.exists():
         empty = spark.createDataFrame([], schema)
         store.overwrite(empty)
+    else:
+        store._register()
     return store

@@ -172,7 +172,9 @@ def stream_to_delta(
     live broker — the Kafka connector jar is environment-dependent.
     """
     stores = {
-        t: ParquetStateStore(spark, cfg.path, cfg.partition_cols)
+        t: ParquetStateStore(
+            spark, cfg.path, cfg.partition_cols, table_name=cfg.full_table_name
+        )
         for t, cfg in table_configs.items()
     }
     if source_df is None:

@@ -67,3 +67,32 @@ def test_optimize_compacts_files(spark, store):
     assert _rows(store.read()) == _rows(df)
     # pre-compaction snapshot still time-travel readable
     assert _rows(store.read(version=v)) == _rows(df)
+
+
+def test_catalog_registration_repoints_per_commit(spark, tmp_path):
+    """S4 metastore parity: a named store is queryable via spark.table and
+    the catalog entry follows the version pointer across commits."""
+    store = ParquetStateStore(
+        spark, str(tmp_path / "named"), table_name="k2d_cat.users"
+    )
+    store.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert spark.catalog.tableExists("k2d_cat.users")
+    assert _rows(spark.table("k2d_cat.users")) == [(1, "a")]
+    store.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+    assert _rows(spark.table("k2d_cat.users")) == [(2, "b")]
+
+
+def test_create_table_if_not_exists_registers_name(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from kafka2delta_spark.config import TableConfig
+    from kafka2delta_spark.state.store import create_table_if_not_exists
+
+    cfg = TableConfig(
+        schema_name="k2d_cat2", table_name="t", path=str(tmp_path / "t")
+    )
+    schema = T.StructType([T.StructField("id", T.LongType())])
+    store = create_table_if_not_exists(spark, schema, cfg)
+    assert spark.catalog.tableExists("k2d_cat2.t")
+    assert spark.table("k2d_cat2.t").count() == 0
+    assert store.read().schema == schema
