@@ -1,0 +1,252 @@
+"""Training-data pipeline operators: splits, packing, sampling, contamination, eval.
+
+The ops a large-scale LLM training-data pipeline runs between "documents
+exist" and "batches reach the trainer", beyond dedup/similarity (dedup.py,
+similarity.py):
+
+  * q63 — deterministic train/val/test assignment. Hash-based (md5 hex
+    prefix), so membership is a pure function of the key: stable across
+    runs, machines, and engine versions; no rand() seed coordination, no
+    shuffle — embarrassingly parallel per row.
+  * q64 — sequence packing: assign documents to fixed-token-budget bins.
+    The Spark-parallel form is cumulative-token binning per stream (one
+    window over a per-group sort) — deterministic, one shuffle; true
+    first-fit packing is inherently sequential, and at 100 TB the
+    per-group cumsum is the shape that scales (groups are the parallel
+    unit).
+  * q65 — stratified sampling: fixed fraction per (lang, source) stratum,
+    rank-by-hash so the sample is deterministic and reproducible —
+    ``df.sampleBy`` is seeded-random per task and not stable across
+    retries/planning changes.
+  * q84 — benchmark contamination: which corpus docs share 5-gram
+    shingles with a benchmark set. Equi-join on the shingle — at scale
+    the benchmark side is tiny and broadcast, so the corpus never
+    shuffles.
+  * q94 — ANN quality eval: recall of the q91 LSH index against the q90
+    exact top-k, composed from the registered operators themselves (the
+    oracle composes their oracle SQL the same way).
+
+All oracles implement the identical algorithm on DuckDB (md5 prefixes,
+window cumsums, shingle joins) — scoring is cross-checked, not just
+plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka2delta_spark.queryset import ORACLES, register
+from kafka2delta_spark.sources.tables import load_table
+
+# import for side effect: q90/q91 must be registered before q94 composes them
+from kafka2delta_spark.functions import similarity  # noqa: F401
+from kafka2delta_spark.functions.dedup import shingle_rows, shingles_sql
+
+# md5-hex-prefix split bounds: first 2 hex chars are uniform over 00..ff.
+# 'cd' = 205/256 ~ 80%; 'e6' = 230/256 ~ 90%.
+TRAIN_BOUND = "cd"
+VAL_BOUND = "e6"
+
+PACK_TOKENS = 2048  # q64 bin budget
+
+SAMPLE_PCT = 10  # q65 per-stratum sample: ceil(n/10) docs
+
+BENCH_MOD = 29  # q84 stand-in benchmark set: doc_id % 29 == 0
+CONTAM_K = 5  # shingle width for contamination
+
+
+@register(
+    "q63_dataset_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, n_chars,
+               CASE WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '{TRAIN_BOUND}'
+                        THEN 'train'
+                    WHEN substr(md5(doc_id::VARCHAR), 1, 2) < '{VAL_BOUND}'
+                        THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents)
+    SELECT split, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM assigned GROUP BY split, lang
+    """,
+)
+def q63_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (~80/10/10) keyed on md5(doc_id):
+    membership is a pure per-row function — no global shuffle, no seed
+    state, identical on any engine or cluster size."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < TRAIN_BOUND, "train")
+        .when(bucket < VAL_BOUND, "val")
+        .otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "q64_sequence_packing",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang,
+               len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        FROM documents),
+    packed AS (
+        SELECT lang, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                               ROWS UNBOUNDED PRECEDING) - 1)
+                          / {PACK_TOKENS}) AS BIGINT) AS bin_id
+        FROM toks)
+    SELECT lang, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY lang, bin_id
+    """,
+)
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into ~{PACK_TOKENS}-token training bins per language
+    stream: cumulative token count over a deterministic order, bin id =
+    cumsum div budget. One window per group — the parallel-friendly
+    approximation of first-fit packing (a doc may straddle its bin
+    boundary; the trainer's sample cutter handles the tail)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tokens")
+    )
+    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    packed = toks.select(
+        "lang",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_TOKENS).alias("bin_id"),
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+@register(
+    "q65_stratified_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, lang, source,
+               ROW_NUMBER() OVER (PARTITION BY lang, source
+                                  ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY lang, source) AS n
+        FROM documents)
+    SELECT doc_id, lang, source
+    FROM ranked WHERE rn <= (n + {SAMPLE_PCT} - 1) // {SAMPLE_PCT}
+    """,
+)
+def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~10% sample per (lang, source) stratum: rank docs by
+    md5(doc_id) inside the stratum, keep the first ceil(n/10). Unlike
+    seeded ``sampleBy``, the sample is a deterministic function of the
+    data — stable under retries, partitioning changes, and engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    wo = W.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    wc = W.partitionBy("lang", "source")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    quota = F.expr(f"(n + {SAMPLE_PCT} - 1) div {SAMPLE_PCT}")
+    return ranked.filter(F.col("rn") <= quota).select("doc_id", "lang", "source")
+
+
+@register(
+    "q84_benchmark_contamination",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        FROM documents),
+    sh_t AS (
+        SELECT doc_id, {shingles_sql(k=CONTAM_K)} AS sh
+        FROM t WHERE len(toks) >= {CONTAM_K}),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+    bench AS (SELECT doc_id, shingle FROM ex WHERE doc_id % {BENCH_MOD} = 0),
+    corpus AS (SELECT doc_id, shingle FROM ex WHERE doc_id % {BENCH_MOD} != 0)
+    SELECT c.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_contaminated_grams,
+           CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS n_bench_docs
+    FROM corpus c JOIN bench b ON c.shingle = b.shingle
+    GROUP BY c.doc_id
+    """,
+)
+def q84_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: corpus docs sharing {CONTAM_K}-gram
+    shingles with a benchmark set (stand-in: doc_id % {BENCH_MOD} == 0 —
+    in production, a second table). The benchmark shingle set is tiny
+    relative to the corpus and explicitly broadcast, so the corpus-side
+    scan never shuffles — the decontamination shape that survives 100 TB."""
+    sh = shingle_rows(spark, sf_dir, k=CONTAM_K)
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    bench = sh.filter(is_bench).select(
+        F.col("doc_id").alias("bench_doc"), "shingle"
+    )
+    corpus = sh.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_contaminated_grams"),
+            F.count_distinct("bench_doc").alias("n_bench_docs"),
+        )
+    )
+
+
+def _recall_oracle() -> str:
+    return f"""
+    WITH exact_topk AS ({ORACLES["q90_cosine_topk_bruteforce"]}),
+    approx_topk AS ({ORACLES["q91_ann_lsh_topk"]})
+    SELECT e.qid,
+           CAST(COUNT(a.nid) AS BIGINT) AS n_found,
+           ROUND(COUNT(a.nid) / {similarity.TOP_K}.0, 4) AS recall
+    FROM exact_topk e
+    LEFT JOIN approx_topk a ON a.qid = e.qid AND a.nid = e.nid
+    GROUP BY e.qid
+    """
+
+
+@register("q94_ann_recall_eval", oracle=_recall_oracle())
+def q94_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH ANN index (q91) against exact top-k (q90),
+    composed from the registered operators themselves — the eval loop a
+    pipeline runs when tuning N_TABLES/BITS_PER_TABLE. Both inputs are
+    per-query top-{similarity.TOP_K} sets, so the join is trivially small."""
+    exact = similarity.q90_cosine_topk_bruteforce(spark, sf_dir).select(
+        "qid", "nid"
+    )
+    approx = similarity.q91_ann_lsh_topk(spark, sf_dir).select(
+        F.col("qid").alias("a_qid"), F.col("nid").alias("a_nid")
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("qid") == F.col("a_qid")) & (F.col("nid") == F.col("a_nid")),
+            "left",
+        )
+        .groupBy("qid")
+        .agg(
+            F.count("a_nid").alias("n_found"),
+            F.round(F.count("a_nid") / similarity.TOP_K, 4).alias("recall"),
+        )
+    )

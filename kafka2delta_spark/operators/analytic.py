@@ -226,23 +226,25 @@ def q36_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q37_pivot_event_types",
     oracle="""
     SELECT user_id,
-           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
-           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
-           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
-           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
-           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS n_error
     FROM events
     GROUP BY user_id
     """,
 )
 def q37_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot with an explicit value list (no extra distinct-discovery job —
-    at scale always pass the values)."""
+    at scale always pass the values). Output columns carry an ``n_`` prefix:
+    bare ``view``/``error`` are reserved-ish words on some engines."""
     ev = load_table(spark, sf_dir, "events")
     kinds = ["click", "view", "purchase", "signup", "error"]
     piv = ev.groupBy("user_id").pivot("event_type", kinds).count()
     return piv.select(
-        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).alias(f"n_{k}") for k in kinds],
     )
 
 
