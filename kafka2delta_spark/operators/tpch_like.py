@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
@@ -62,24 +63,34 @@ def _revenue() -> F.Column:
 )
 def q02_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape without partsupp: cheapest observed supplier per part.
-    The correlated MIN is decorrelated into agg → min-per-key → equi-join
-    back (ties kept, like the SQL); part/supplier dims broadcast. Two
-    shuffles total at any scale: (partkey, suppkey) agg, partkey min."""
+
+    The selective dim filter (p_size <= 5) broadcast-joins against the
+    fact BEFORE the aggregation, so the big shuffle carries only matching
+    parts — at 100 TB this is the difference between aggregating the whole
+    fact and ~a tenth of it. The correlated MIN decorrelates into one
+    window min over the agg output (ties kept, like the SQL): two shuffles
+    total — the (partkey, suppkey) agg and the partkey window — instead of
+    agg + min-agg + self-join."""
     li = load_table(spark, sf_dir, "lineitem")
-    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    part5 = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 5)
+        .select("p_partkey", "p_brand")
+    )
     supp = load_table(spark, sf_dir, "supplier")
-    ps = li.groupBy(
-        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
-    ).agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
-            "unit_price"
+    ps = (
+        li.join(F.broadcast(part5), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_partkey", "p_brand", F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
+                "unit_price"
+            )
         )
     )
-    m = ps.groupBy("partkey").agg(F.min("unit_price").alias("min_price"))
+    w = Window.partitionBy("p_partkey")
     return (
-        ps.join(m, (ps.partkey == m.partkey) & (ps.unit_price == m.min_price))
-        .drop(m.partkey)
-        .join(F.broadcast(part), F.col("partkey") == F.col("p_partkey"))
+        ps.withColumn("min_price", F.min("unit_price").over(w))
+        .filter(F.col("unit_price") == F.col("min_price"))
         .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey", "p_brand", F.col("s_name").alias("supplier_name"), "unit_price"

@@ -96,3 +96,30 @@ def test_create_table_if_not_exists_registers_name(spark, tmp_path):
     assert spark.catalog.tableExists("k2d_cat2.t")
     assert spark.table("k2d_cat2.t").count() == 0
     assert store.read().schema == schema
+
+
+def test_optimize_cluster_by_gives_disjoint_file_ranges(spark, store):
+    """OPTIMIZE ZORDER parity: after cluster_by compaction each file covers
+    a disjoint key range, so parquet min/max stats can skip whole files."""
+    df = spark.createDataFrame(
+        [((i * 37) % 500, f"p{i}") for i in range(500)], "k long, payload string"
+    )
+    store.overwrite(df.repartition(8))  # keys scattered across files
+    store.optimize(target_files=4, cluster_by=["k"])
+    v = store._version()
+    files = [
+        os.path.join(store._dir(v), f)
+        for f in os.listdir(store._dir(v))
+        if f.endswith(".parquet")
+    ]
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        row = spark.read.parquet(f).agg({"k": "min"}).collect()[0]
+        lo = row[0]
+        hi = spark.read.parquet(f).agg({"k": "max"}).collect()[0][0]
+        ranges.append((lo, hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # no overlap -> min/max skipping works
+    assert _rows(store.read()) == _rows(df)
