@@ -189,6 +189,10 @@ class DeltaStateStore:
         self.path = path
         self.partition_cols = list(partition_cols or [])
         self.table_name = table_name
+        # Schema evolution during MERGE (new source columns appended to the
+        # target) — the reference enables the same conf in its harness
+        # (ref stream/test/conftest.py:101).
+        spark.conf.set("spark.databricks.delta.schema.autoMerge.enabled", "true")
 
     def exists(self) -> bool:
         from delta.tables import DeltaTable
@@ -205,10 +209,24 @@ class DeltaStateStore:
 
     def create_if_not_exists(self, schema: T.StructType) -> None:
         """Reference-exact creation: empty typed snapshot + saveAsTable
-        under ``schema.table`` (ref utils/utils.py:37-58)."""
+        under ``schema.table`` (ref utils/utils.py:37-58).
+
+        When Delta files already exist at ``path`` but the catalog entry is
+        absent (fresh session with an in-memory catalog, or a dropped
+        metastore entry), re-register the existing location instead of
+        writing — ``saveAsTable`` over a non-empty Delta location would
+        raise with the default ErrorIfExists mode."""
         if self.table_name and self.spark.catalog.tableExists(self.table_name):
             return
-        if self.exists() and not self.table_name:
+        if self.exists():
+            if self.table_name:
+                db = self.table_name.split(".")[0] if "." in self.table_name else None
+                if db:
+                    self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{db}`")
+                self.spark.sql(
+                    f"CREATE TABLE IF NOT EXISTS {self.table_name} "
+                    f"USING DELTA LOCATION '{self.path}'"
+                )
             return
         writer = (
             self.spark.createDataFrame([], schema)

@@ -40,7 +40,12 @@ def _checkpoint_dir(name: str) -> str:
 
 def drain_to_memory(df: DataFrame, mode: str) -> str:
     """Run a streaming DataFrame to a memory sink until the source is
-    exhausted; return the sink table name."""
+    exhausted; return the sink table name.
+
+    NOT reentrant: it temporarily mutates the session-global
+    ``spark.sql.shuffle.partitions`` and restores it on exit, so two
+    concurrent (or nested) drains on the same session can restore a stale
+    value. Registry queries run sequentially, which is the supported use."""
     spark = df.sparkSession
     name = f"strm_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")

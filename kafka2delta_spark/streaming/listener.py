@@ -37,14 +37,34 @@ class StreamProgressListener(StreamingQueryListener):
         self.total_rows = 0
         self.marker_rows = 0
         self.n_batches = 0
-        self.error: str | None = None
-        self.terminated = False
+        # Terminal state is keyed per query id: query A failing must stay
+        # visible to waiters even if query B starts afterwards (a shared
+        # flag pair would be cleared by B's onQueryStarted).
+        self._active: set[str] = set()
+        self._errors: dict[str, str] = {}
+        self._terminated: dict[str, bool] = {}
+
+    # -- aggregate views (back-compat with the flag-pair API) --------------
+    @property
+    def error(self) -> str | None:
+        """First recorded error across tracked queries (None if clean).
+        A restart of the *same* query id clears only that query's error."""
+        with self._cond:
+            return next(iter(self._errors.values()), None)
+
+    @property
+    def terminated(self) -> bool:
+        """True once any tracked query has terminated."""
+        with self._cond:
+            return any(self._terminated.values())
 
     # -- listener callbacks (run on the listener bus thread) ---------------
     def onQueryStarted(self, event) -> None:  # noqa: N802 — Spark API
         with self._cond:
-            self.terminated = False
-            self.error = None
+            qid = str(event.id)
+            self._active.add(qid)
+            self._errors.pop(qid, None)
+            self._terminated[qid] = False
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
         with self._cond:
@@ -60,9 +80,11 @@ class StreamProgressListener(StreamingQueryListener):
 
     def onQueryTerminated(self, event) -> None:  # noqa: N802
         with self._cond:
-            self.terminated = True
+            qid = str(event.id)
+            self._active.discard(qid)
+            self._terminated[qid] = True
             if event.exception:
-                self.error = str(event.exception)
+                self._errors[qid] = str(event.exception)
             self._cond.notify_all()
 
     # -- waiter API --------------------------------------------------------
@@ -77,7 +99,10 @@ class StreamProgressListener(StreamingQueryListener):
         deadline = time.monotonic() + timeout
         with self._cond:
             while self.marker_rows < expected:
-                if self.error or self.terminated:
+                # Fail fast on any recorded error; on clean termination only
+                # once NO tracked query is still active (an unrelated query
+                # finishing must not abort a waiter on a live one).
+                if self._errors or (any(self._terminated.values()) and not self._active):
                     return False
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -90,7 +115,7 @@ class StreamProgressListener(StreamingQueryListener):
         finishes). Returns False on timeout; check ``error`` for failures."""
         deadline = time.monotonic() + timeout
         with self._cond:
-            while not self.terminated:
+            while not any(self._terminated.values()):
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     return False
@@ -103,6 +128,7 @@ class StreamProgressListener(StreamingQueryListener):
             return {
                 "total_rows": self.total_rows,
                 "n_batches": self.n_batches,
-                "error": self.error,
-                "terminated": self.terminated,
+                "error": next(iter(self._errors.values()), None),
+                "errors": dict(self._errors),
+                "terminated": any(self._terminated.values()),
             }

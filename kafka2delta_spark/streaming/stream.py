@@ -28,6 +28,7 @@ from typing import Callable, Mapping
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka2delta_spark.cdc.avro_codec import decode_avro
 from kafka2delta_spark.cdc.debezium import cast_debezium_columns
@@ -36,16 +37,44 @@ from kafka2delta_spark.cdc.merge import merge_cdc_batch
 from kafka2delta_spark.cdc.registry import SchemaRegistry, column_names_from_schema_str
 from kafka2delta_spark.cdc.wire import parse_confluent_envelope
 from kafka2delta_spark.config import DELETED_COL, LSN_COL, TableConfig
-from kafka2delta_spark.state.store import ParquetStateStore
+from kafka2delta_spark.state.store import DeltaStateStore, ParquetStateStore
 
 DEFAULT_AVRO_OPTIONS = {"mode": "FAILFAST"}  # ref stream/stream.py:36-37
+
+
+def delta_available() -> bool:
+    """True when delta-spark is importable (jar + python pkg present)."""
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def make_state_store(
+    spark: SparkSession, cfg: TableConfig, backend: str = "auto"
+) -> ParquetStateStore | DeltaStateStore:
+    """Select the state-store backend for one table.
+
+    ``auto`` picks :class:`DeltaStateStore` when delta-spark imports (the
+    reference's actual sink — file-level MERGE instead of full-state
+    rewrite, ref stream/stream.py:114-148) and falls back to the versioned
+    :class:`ParquetStateStore` otherwise (this sandbox). ``delta`` /
+    ``parquet`` force a backend.
+    """
+    if backend not in ("auto", "delta", "parquet"):
+        raise ValueError(f"unknown store backend: {backend}")
+    use_delta = backend == "delta" or (backend == "auto" and delta_available())
+    cls = DeltaStateStore if use_delta else ParquetStateStore
+    return cls(spark, cfg.path, cfg.partition_cols, table_name=cfg.full_table_name)
 
 
 def process_topic_slice(
     slice_df: DataFrame,
     registry: SchemaRegistry,
     config: TableConfig,
-    store: ParquetStateStore,
+    store: ParquetStateStore | DeltaStateStore,
     lsn_col: str = LSN_COL,
     deleted_col: str = DELETED_COL,
 ) -> None:
@@ -88,6 +117,19 @@ def process_topic_slice(
                 *latest.columns, *[F.expr(e) for e in config.additional_cols]
             )
 
+        if isinstance(store, DeltaStateStore):
+            # In-place file-level MERGE (the reference's sink semantics,
+            # ref stream/stream.py:114-148): only files holding matched keys
+            # rewrite; schema evolution via Delta autoMerge. This is the
+            # scale path — the parquet branch below rewrites the whole
+            # snapshot per commit.
+            target_schema = T.StructType(
+                [f for f in latest.schema.fields if f.name != deleted_col]
+            )
+            store.create_if_not_exists(target_schema)
+            store.merge(latest, pk_cols)
+            continue
+
         state = store.read()
         # Schema evolution (Delta autoMerge equivalent, ref conftest.py:101):
         # union by name with missing columns as NULLs in either direction.
@@ -123,7 +165,7 @@ def apply_cdc_micro_batch(
     batch_df: DataFrame,
     registry: SchemaRegistry,
     table_configs: Mapping[str, TableConfig],
-    stores: Mapping[str, ParquetStateStore],
+    stores: Mapping[str, ParquetStateStore | DeltaStateStore],
     max_concurrent_topics: int = 4,
 ) -> None:
     """One micro-batch: envelope parse once, fan out per topic.
@@ -163,6 +205,7 @@ def stream_to_delta(
     fail_on_data_loss: bool = True,
     processing_time: str = "0 seconds",
     source_df: DataFrame | None = None,
+    store_backend: str = "auto",
 ):
     """Start the CDC replication streaming query.
 
@@ -170,11 +213,12 @@ def stream_to_delta(
     tests inject any streaming DataFrame with the Kafka source schema
     (topic/partition/offset/timestamp/timestampType/key/value) in place of a
     live broker — the Kafka connector jar is environment-dependent.
+    ``store_backend`` selects the sink: ``auto`` (Delta MERGE when
+    delta-spark is importable, else versioned parquet), ``delta``,
+    ``parquet``.
     """
     stores = {
-        t: ParquetStateStore(
-            spark, cfg.path, cfg.partition_cols, table_name=cfg.full_table_name
-        )
+        t: make_state_store(spark, cfg, store_backend)
         for t, cfg in table_configs.items()
     }
     if source_df is None:

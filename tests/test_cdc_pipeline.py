@@ -17,8 +17,11 @@ from kafka2delta_spark.cdc.avro_codec import encode_avro_payload
 from kafka2delta_spark.cdc.registry import InMemorySchemaRegistry
 from kafka2delta_spark.cdc.wire import make_confluent_envelope
 from kafka2delta_spark.config import TableConfig
-from kafka2delta_spark.state.store import ParquetStateStore
-from kafka2delta_spark.streaming.stream import apply_cdc_micro_batch
+from kafka2delta_spark.streaming.stream import (
+    apply_cdc_micro_batch,
+    delta_available,
+    make_state_store,
+)
 
 TOPIC = "postgres.public.users"
 
@@ -57,8 +60,18 @@ KAFKA_SCHEMA = (
 )
 
 
-@pytest.fixture
-def rig(spark, tmp_path):
+@pytest.fixture(
+    params=[
+        "parquet",
+        pytest.param(
+            "delta",
+            marks=pytest.mark.skipif(
+                not delta_available(), reason="delta-spark not on the classpath"
+            ),
+        ),
+    ]
+)
+def rig(request, spark, tmp_path):
     registry = InMemorySchemaRegistry()
     key_sid = registry.register(KEY_SCHEMA)
     v1_sid = registry.register(USERS_V1)
@@ -70,7 +83,8 @@ def rig(spark, tmp_path):
         additional_cols=["YEAR(created_at) AS year", "MONTH(created_at) AS month"],
         partition_cols=["year", "month"],
     )
-    store = ParquetStateStore(spark, config.path, config.partition_cols)
+    store = make_state_store(spark, config, backend=request.param)
+    store.table_name = None  # catalog registration covered by its own test
     return registry, key_sid, v1_sid, v2_sid, config, store
 
 
