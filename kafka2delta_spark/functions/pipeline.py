@@ -117,20 +117,46 @@ def q63_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack documents into ~{PACK_TOKENS}-token training bins per language
     stream: cumulative token count over a deterministic order, bin id =
-    cumsum div budget. One window per group — the parallel-friendly
-    approximation of first-fit packing (a doc may straddle its bin
-    boundary; the trainer's sample cutter handles the tail)."""
+    cumsum div budget — the parallel-friendly approximation of first-fit
+    packing (a doc may straddle its bin boundary; the trainer's sample
+    cutter handles the tail).
+
+    The cumsum is two-level so parallelism is NOT bounded by the number of
+    languages (a ``W.partitionBy("lang")`` window makes a monolingual 100 TB
+    corpus ONE task): range-partition on (lang, doc_id) → local cumsum per
+    (partition, lang) slice; per-slice totals (metadata-sized) → per-lang
+    prefix offsets, broadcast back. cumsum = offset + local cumsum, exactly
+    the single-window value (same oracle)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tokens")
     )
-    w = W.partitionBy("lang").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = toks.repartitionByRange(n_parts, "lang", "doc_id").withColumn(
+        "__pid", F.spark_partition_id()
     )
-    packed = toks.select(
+    wl = (
+        W.partitionBy("__pid", "lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted.withColumn("__local_sum", F.sum("n_tokens").over(wl))
+    sums = parted.groupBy("__pid", "lang").agg(F.sum("n_tokens").alias("__slice_sum"))
+    # per-lang prefix offsets over ≤ n_parts × |langs| rows — metadata-sized
+    woff = W.partitionBy("lang").orderBy("__pid").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    offsets = sums.select(
+        "__pid",
+        "lang",
+        F.coalesce(F.sum("__slice_sum").over(woff), F.lit(0)).alias("__off"),
+    )
+    packed = local.join(F.broadcast(offsets), ["__pid", "lang"]).select(
         "lang",
         "n_tokens",
-        F.floor((F.sum("n_tokens").over(w) - 1) / PACK_TOKENS).alias("bin_id"),
+        F.floor((F.col("__local_sum") + F.col("__off") - 1) / PACK_TOKENS).alias(
+            "bin_id"
+        ),
     )
     return packed.groupBy("lang", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -124,16 +124,62 @@ def q32_moving_avg_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q33_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global (unpartitioned) analytic window — deliberately the one query
-    that serializes on a single task; fine for a dimension table, never done
-    on a fact table (documented anti-pattern)."""
-    cust = load_table(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
-    return cust.select(
-        "c_custkey",
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.ntile(10).over(w).alias("decile"),
+    """Global percentile analytics WITHOUT the global window.
+
+    A naive ``W.orderBy(...)`` (no partition key) sends every row to ONE
+    WindowExec task — fine at sf0.1, serialized at 100×. Scale-safe
+    two-pass global rank instead:
+
+      1. ``repartitionByRange`` on the sort key → range partition i holds
+         strictly smaller keys than partition i+1; per-partition
+         ``row_number`` needs only a local sort (parallel).
+      2. Per-partition row counts (tiny — one row per partition) → prefix
+         offsets via a window over that metadata-sized side, broadcast back.
+         global_rank = offset + local row_number.
+
+    The sort key (c_acctbal, c_custkey) is unique, so rank == row_number and
+    percent_rank/cume_dist/ntile reduce to exact arithmetic on the global
+    rank — results are bit-identical to the single-window plan (same oracle).
+    """
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    wp = W.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
+    ranked = (
+        cust.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn("__rn", F.row_number().over(wp))
+    )
+    counts = ranked.groupBy("__pid").agg(F.count("*").alias("__cnt"))
+    # prefix-sum over per-partition counts via a broadcast triangular
+    # self-join — counts is metadata-sized (== n_parts rows), so the O(p²)
+    # pairing is trivial and avoids any unpartitioned window entirely
+    prior = counts.select(
+        F.col("__pid").alias("__pid2"), F.col("__cnt").alias("__cnt2")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"))
+    )
+    totals = counts.agg(F.sum("__cnt").alias("__n"))
+
+    rk = F.col("__rn") + F.col("__off")
+    n = F.col("__n")
+    # NTILE(10) arithmetic: first (n % 10) buckets get floor(n/10)+1 rows
+    q, r = F.floor(n / 10), n % 10
+    boundary = r * (q + 1)
+    decile = F.when(rk <= boundary, F.floor((rk - 1) / (q + 1)) + 1).otherwise(
+        r + F.floor((rk - 1 - boundary) / F.greatest(q, F.lit(1))) + 1
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "c_custkey",
+            F.round((rk - 1) / F.greatest(n - 1, F.lit(1)), 6).alias("pct_rank"),
+            F.round(rk / n, 6).alias("cume"),
+            decile.cast("int").alias("decile"),
+        )
     )
 
 
