@@ -407,19 +407,13 @@ def q89_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     unlike the label-partitioned all-pairs this replaces. Each bucket
     carries (vec_id, v, nrm) structs so scoring needs no join-back; pairs
     colliding in both tables dedup on (vec_a, vec_b) before emit. Dot
-    products are native HOF ``aggregate`` over doubles, bit-identical to
-    the oracle's ``list_dot_product``."""
-    from kafka2delta_spark.functions.similarity import plane_bucket_spark
+    products go through :func:`similarity.dot` — HOF ``aggregate`` by
+    default (bit-identical to the oracle's ``list_dot_product``), numpy
+    pandas_udf when ``K2D_VECTORIZED_DOT=1`` (the production path)."""
+    from kafka2delta_spark.functions.similarity import dot, plane_bucket_spark
 
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-
-    def dot(x: Column, y: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(x, y, lambda a, b: a * b),
-            F.lit(0.0),
-            lambda acc, z: acc + z,
-        )
 
     e = emb.select("vec_id", v.alias("v"))
     n = e.select(
