@@ -246,10 +246,10 @@ def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q87_simhash_fingerprints",
-    oracle=r"""
-    WITH tok AS (
+# Shared CTE chain computing (doc_id, simhash) — reused by the q87 and
+# q87b oracles so both engines derive pairs from the identical fingerprint.
+_SIMHASH_CTES = (
+    r"""tok AS (
         SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
         FROM documents),
     h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
@@ -261,19 +261,24 @@ def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(16)
     )
     + r"""
-        FROM h GROUP BY doc_id)
-    SELECT doc_id,
-           """
+        FROM h GROUP BY doc_id),
+    fp AS (
+        SELECT doc_id,
+               """
     + " + ".join(f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))
     + r""" AS simhash
-    FROM bits
-    """,
+        FROM bits)"""
 )
-def q87_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document: each distinct token votes ±1 per bit
-    position (bit b of md5 nibble b), fingerprint = bits with positive sum.
-    Near-dup docs differ in few bits (Hamming distance). Explode + hash-agg
-    — one shuffle on doc_id."""
+
+
+@register(
+    "q87_simhash_fingerprints",
+    oracle=f"WITH {_SIMHASH_CTES} SELECT doc_id, simhash FROM fp",
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — 16-bit SimHash per document: each distinct token
+    votes ±1 per bit position (bit b of md5 nibble b), fingerprint = bits
+    with positive sum. Explode + hash-agg — one shuffle on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
     tok = docs.select("doc_id", F.explode(toks).alias("tok"))
@@ -291,6 +296,103 @@ def q87_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
         fingerprint = term if fingerprint is None else fingerprint + term
     return bit_sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+# SimHash neighbor pairing: 16-bit fingerprint split into 4 bands × 4 bits.
+# Pigeonhole: a pair at Hamming distance ≤ 3 differs in at most 3 bands, so
+# it MUST collide in ≥ 1 band — banded candidate generation + exact
+# verification is EXACT (recall 1.0) for hd ≤ HAMMING_MAX = bands - 1.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 4
+HAMMING_MAX = SIMHASH_BANDS - 1
+
+
+@register(
+    "q87b_simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+)
+def q87b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs at Hamming distance ≤ {HAMMING_MAX}.
+
+    Two-level: dedup to UNIQUE fingerprints first, pair those, then expand
+    back to documents — because near-dup corpora collapse many docs onto
+    one fingerprint (this corpus: 5000 docs → ~1000 fingerprints), so
+    pairing docs directly makes bucket sizes (and the in-bucket quadratic
+    term) track document count instead of fingerprint count.
+
+      1. Banded-bits LSH over unique fingerprints: band b = bits
+         [4b, 4b+4); fingerprints sharing any band value are candidates
+         (hash shuffle on (band_id, band_val) → in-bucket pair expansion,
+         the q86 shape); verify exactly with ``bit_count(a XOR b)``.
+         Pigeonhole: hd ≤ 3 differs in ≤ 3 of 4 bands → always collides
+         somewhere → EXACT (recall 1.0). The oracle brute-forces all doc
+         pairs and must agree exactly.
+      2. Doc expansion is plain codegen equi-joins on the fingerprint:
+         same-fingerprint pairs (hd 0) via self-join, cross-fingerprint
+         pairs via fp-pair ⋈ docs ⋈ docs — no giant collect_list buckets.
+
+    Scale: at 100 TB widen the fingerprint (64-bit simhash, 16-bit bands)
+    rather than capping buckets — a cap would break the exactness
+    guarantee; the doc-expansion joins are output-bound, and the output is
+    genuinely quadratic only where the corpus genuinely is."""
+    fp = simhash_fingerprints(spark, sf_dir)
+    uniq = fp.select("simhash").distinct()
+    stack_args = ", ".join(
+        f"{b}, cast(shiftright(simhash, {b * SIMHASH_BAND_BITS}) & "
+        f"{(1 << SIMHASH_BAND_BITS) - 1} as int)"
+        for b in range(SIMHASH_BANDS)
+    )
+    bands = uniq.selectExpr(
+        "simhash",
+        f"stack({SIMHASH_BANDS}, {stack_args}) AS (band_id, band_val)",
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_list("simhash")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    fp_pairs = (
+        pairs_within_groups(buckets, "fa", "fb")
+        .select("fa", "fb")
+        .distinct()
+        .filter(
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))) <= HAMMING_MAX
+        )
+    )
+    # hd = 0: docs sharing a fingerprint (self-join, ordered)
+    a, b = fp.alias("a"), fp.alias("b")
+    same = a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.lit(0).alias("hamming"),
+    )
+    # hd ≥ 1: every doc with fingerprint fa × every doc with fb (fa < fb
+    # canonically, so each unordered doc pair appears exactly once).
+    # Broadcast side = fp_pairs (scales with unique fingerprints, not with
+    # corpus size); the doc table joins by hash on the fingerprint.
+    cross = (
+        fp.alias("da")
+        .join(F.broadcast(fp_pairs), F.col("da.simhash") == F.col("fa"))
+        .join(fp.alias("db"), F.col("fb") == F.col("db.simhash"))
+        .select(
+            F.least("da.doc_id", "db.doc_id").alias("doc_a"),
+            F.greatest("da.doc_id", "db.doc_id").alias("doc_b"),
+            F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    return same.unionByName(cross)
 
 
 @register(
