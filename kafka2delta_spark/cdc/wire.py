@@ -72,3 +72,32 @@ def parse_confluent_envelope(
 def make_confluent_envelope(schema_id: int, payload: bytes) -> bytes:
     """Encode the wire format (test helper — driver-side only)."""
     return b"\x00" + int(schema_id).to_bytes(4, "big") + payload
+
+
+def register_sql_functions(spark) -> None:
+    """Make the envelope parsers SQL-callable under the reference's names.
+
+    The reference registers its Python UDFs for SQL use as
+    ``get_schema_version`` (schema id) and ``get_confluent_avro_schema``
+    (payload slice) — ref stream/test/stream_test.py:129-131. Here they are
+    SQL scalar functions (``CREATE FUNCTION ... RETURN <expr>``), so SQL
+    callers get the same whole-stage-codegen'd expressions as the Column
+    API — no Python worker round-trip, unlike ``spark.udf.register`` of a
+    row-at-a-time UDF.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION get_schema_version(x BINARY)
+        RETURNS INT
+        RETURN CASE WHEN x IS NULL THEN CAST(NULL AS INT)
+                    ELSE CAST(CONV(HEX(SUBSTRING(x, 2, 4)), 16, 10) AS INT) END
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION get_confluent_avro_schema(x BINARY)
+        RETURNS BINARY
+        RETURN CASE WHEN x IS NULL OR LENGTH(x) <= 5 THEN CAST('' AS BINARY)
+                    ELSE SUBSTRING(x, 6, 2147483647) END
+        """
+    )

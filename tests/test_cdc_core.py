@@ -93,6 +93,24 @@ def test_schema_id_big_endian(spark):
     assert row["sid"] == 0x01020304
 
 
+def test_sql_registered_parse_functions(spark):
+    """Envelope parsers callable from SQL under the reference's names
+    (ref stream/test/stream_test.py:129-131)."""
+    from kafka2delta_spark.cdc.wire import register_sql_functions
+
+    register_sql_functions(spark)
+    env = b"\x00" + (4242).to_bytes(4, "big") + b"payload"
+    spark.createDataFrame(
+        [(env,), (None,)], "value binary"
+    ).createOrReplaceTempView("wire_rows")
+    rows = spark.sql(
+        "SELECT get_schema_version(value) AS sid, "
+        "get_confluent_avro_schema(value) AS p FROM wire_rows"
+    ).collect()
+    got = {(r["sid"], bytes(r["p"]) if r["p"] is not None else None) for r in rows}
+    assert got == {(4242, b"payload"), (None, b"")}
+
+
 # -- avro codec ------------------------------------------------------------
 
 
