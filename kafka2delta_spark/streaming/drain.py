@@ -38,9 +38,18 @@ def _checkpoint_dir(name: str) -> str:
     return d
 
 
-def drain_to_memory(df: DataFrame, mode: str) -> str:
+def drain_to_memory(
+    df: DataFrame, mode: str, shuffle_partitions: str | None = None
+) -> str:
     """Run a streaming DataFrame to a memory sink until the source is
     exhausted; return the sink table name.
+
+    ``shuffle_partitions`` overrides the drain-wide default (4): stateful
+    Python operators (``applyInPandasWithState``) want MORE partitions than
+    pure-JVM streaming aggs — their per-batch cost is Python worker
+    round-trips, which parallelize per partition, not checkpoint I/O, which
+    multiplies per partition (measured on q57: 4 parts 7.5 s → 16 parts
+    5.2 s at sf0.1, while q53-q56 are fastest at 4).
 
     NOT reentrant: it temporarily mutates the session-global
     ``spark.sql.shuffle.partitions`` and restores it on exit, so two
@@ -49,7 +58,9 @@ def drain_to_memory(df: DataFrame, mode: str) -> str:
     spark = df.sparkSession
     name = f"strm_{uuid.uuid4().hex[:8]}"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", DRAIN_SHUFFLE_PARTITIONS)
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", shuffle_partitions or DRAIN_SHUFFLE_PARTITIONS
+    )
     try:
         q = (
             df.writeStream.outputMode(mode)
