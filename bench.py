@@ -1,17 +1,23 @@
 #!/usr/bin/env python
 """Benchmark the headline queries.
 
-Runs each headline query at ``$SPARK_GRAFT_SF_DIR`` (default
+Runs every registered query at ``$SPARK_GRAFT_SF_DIR`` (default
 /root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
 line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
-"sf": ...}. Each query is fully materialized via a count-ish action
-(``df.write.format("noop")`` — executes the whole plan, no driver collect).
+"sf": ...}. Each query is fully materialized via ``df.write.format("noop")``
+— executes the whole plan, no driver collect.
+
+Noise control: every query runs ``$SPARK_GRAFT_BENCH_RUNS`` times (default
+3); "queries" reports the per-query MEDIAN and "spread" the [min, max], so
+a single GC pause or cold checkpoint can't fake a regression (round-2
+lesson: n≤2 made ±25% swings unfalsifiable).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -35,6 +41,7 @@ HEADLINE = [
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     load_all_querysets()
     spark = build_session("bench")
     names = [n for n in HEADLINE if n in QUERIES]
@@ -47,13 +54,21 @@ def main() -> None:
     ).save()
 
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        t0 = time.time()
+        runs: list[float] = []
         try:
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.time() - t0, 3)
+            for _ in range(n_runs):
+                t0 = time.time()
+                QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                runs.append(time.time() - t0)
+            timings[name] = round(statistics.median(runs), 3)
+            spread[name] = [round(min(runs), 3), round(max(runs), 3)]
         except Exception as exc:  # noqa: BLE001
             timings[name] = -1.0
+            spread[name] = []
             print(f"bench error {name}: {exc}", file=sys.stderr)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
@@ -64,6 +79,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "runs_per_query": n_runs,
+        "spread": spread,
     }
     line = json.dumps(payload)
     # stdout may get truncated/interleaved by the harness capturing it —
