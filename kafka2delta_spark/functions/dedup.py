@@ -554,3 +554,59 @@ def q89_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_a", "vec_b")
         .agg(F.round(F.min("cosine"), 4).alias("cosine"))
     )
+
+
+# Boilerplate detection: fixed-width token chunks shared across documents.
+# The sub-document analogue of exact dedup — real pipelines strip repeated
+# headers/footers/navigation at paragraph granularity; this corpus has no
+# paragraph delimiters, so the unit is a non-overlapping 8-token chunk.
+BOILER_CHUNK = 8
+BOILER_MIN_DOCS = 3
+
+
+@register(
+    "q67_boilerplate_chunks",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        FROM documents),
+    chunks AS (
+        SELECT doc_id,
+               unnest([md5(array_to_string(
+                           toks[(i-1)*{BOILER_CHUNK}+1 : i*{BOILER_CHUNK}], ' '))
+                       for i in range(1, len(toks)//{BOILER_CHUNK} + 1)])
+                   AS chunk_hash
+        FROM t)
+    SELECT chunk_hash, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM chunks
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}
+    """,
+)
+def q67_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunks of {BOILER_CHUNK} tokens appearing verbatim in ≥
+    {BOILER_MIN_DOCS} distinct documents — boilerplate candidates a
+    pipeline would strip before training.
+
+    Plan: per-doc chunking is a native ``transform`` over chunk indices
+    (``slice`` + ``array_join`` — no outer-array ``element_at`` indexing,
+    the interpreted-lambda trap), then explode → md5 → one hash-agg on the
+    16-byte chunk hash. Embarrassingly parallel; distinct-doc counting is
+    a partial-aggregated count_distinct on a key that CANNOT be skewed
+    past corpus size — and at 100 TB the output (shared chunks) is tiny
+    relative to input, so nothing downstream blows up."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), r"\s+")
+    idx = F.sequence(F.lit(1), F.floor(F.size(toks) / BOILER_CHUNK).cast("int"))
+    chunks = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.array_join(F.slice(toks, (i - 1) * BOILER_CHUNK + 1, BOILER_CHUNK), " ")
+        ),
+    )
+    return (
+        docs.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        .groupBy("chunk_hash")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )

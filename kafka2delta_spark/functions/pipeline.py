@@ -199,6 +199,63 @@ def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q66_domain_mixture",
+    oracle=r"""
+    WITH s AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(regexp_split_to_array(text, '\s+'))) AS BIGINT)
+                   AS src_tokens
+        FROM documents GROUP BY source),
+    tot AS (SELECT SUM(src_tokens) AS t, SUM(sqrt(src_tokens)) AS st,
+                   MIN(src_tokens) AS mn
+            FROM s)
+    SELECT source, n_docs, src_tokens,
+           ROUND(src_tokens * 1.0 / t, 6)        AS natural_share,
+           ROUND(sqrt(src_tokens) / st, 6)       AS target_share,
+           ROUND(sqrt(mn * 1.0 / src_tokens), 6) AS sample_rate,
+           CAST(FLOOR(src_tokens * sqrt(mn * 1.0 / src_tokens)) AS BIGINT)
+               AS sampled_tokens
+    FROM s CROSS JOIN tot
+    """,
+)
+def q66_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based domain mixture reweighting (τ = 2, i.e. √-scaling
+    — the standard multilingual/domain rebalancing): target share of domain
+    i ∝ √tokens_i, flattening the natural distribution without letting any
+    domain dominate. The per-domain downsampling rate that realizes the
+    target WITHOUT upsampling is rate_i = √(min_tokens / tokens_i)
+    (derived: rate ∝ target/natural ∝ 1/√tokens, normalized so the
+    smallest domain keeps rate 1.0).
+
+    Scale: one hash-agg over the corpus (source cardinality is tiny) + a
+    broadcast of the 1-row totals — the corpus is scanned once and never
+    shuffled beyond the per-source partial agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.size(F.split("text", r"\s+")).cast("long").alias("n_toks")
+    )
+    s = toks.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_toks").alias("src_tokens")
+    )
+    tot = s.agg(
+        F.sum("src_tokens").alias("t"),
+        F.sum(F.sqrt("src_tokens")).alias("st"),
+        F.min("src_tokens").alias("mn"),
+    )
+    rate = F.sqrt(F.col("mn") / F.col("src_tokens"))
+    return s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        F.round(F.col("src_tokens") / F.col("t"), 6).alias("natural_share"),
+        F.round(F.sqrt("src_tokens") / F.col("st"), 6).alias("target_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(F.col("src_tokens") * rate).cast("long").alias("sampled_tokens"),
+    )
+
+
+@register(
     "q84_benchmark_contamination",
     oracle=rf"""
     WITH t AS (

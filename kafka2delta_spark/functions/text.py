@@ -203,3 +203,51 @@ def q83_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("fingerprint").alias("min_fp"),
         )
     )
+
+
+@register(
+    "q68_intra_doc_repetition",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+        FROM documents),
+    sh AS (
+        SELECT doc_id, lang,
+               len(toks) - 2 AS total,
+               len(list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])) AS uniq
+        FROM t WHERE len(toks) >= 3)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT)                      AS n_docs,
+           ROUND(AVG(1.0 - uniq * 1.0 / total), 4)       AS avg_repetition,
+           ROUND(MAX(1.0 - uniq * 1.0 / total), 4)       AS max_repetition,
+           CAST(SUM(CASE WHEN 1.0 - uniq * 1.0 / total > 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT)   AS n_repetitive
+    FROM sh GROUP BY lang
+    """,
+)
+def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (the Gopher-style duplicate-n-gram
+    quality rule): fraction of a doc's 3-gram shingles that are repeats,
+    ``1 - distinct/total``; docs above 5% flagged repetitive. Per-language
+    aggregate for threshold tuning.
+
+    Plan: per-row shingle arithmetic (``shingles_col`` — slice+array_join,
+    no outer-array indexing) + one hash-agg on lang. No joins, no windows;
+    per-row cost is linear in doc length — embarrassingly parallel."""
+    from kafka2delta_spark.functions.dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
+    per_doc = docs.select(
+        "lang",
+        (F.size(toks) - 2).alias("total"),
+        F.size(shingles_col(toks, 3)).alias("uniq"),
+    ).filter(F.size(toks) >= 3)
+    rep = F.lit(1.0) - F.col("uniq") / F.col("total")
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg(rep), 4).alias("avg_repetition"),
+        F.round(F.max(rep), 4).alias("max_repetition"),
+        F.sum(F.when(rep > 0.05, 1).otherwise(0)).alias("n_repetitive"),
+    )
