@@ -21,6 +21,9 @@ SUBSET = [
     "q17_small_quantity_revenue", # correlated subquery (decorrelated)
     "q22_grouping_sets",          # grouping sets
     "q31_topk_orders_per_priority",  # ranking window
+    "q33_customer_percentiles",   # two-pass global rank (empty partitions at
+                                  # sf0.001: 150 rows over 8+ range buckets)
+    "q64_sequence_packing",       # two-level cumsum, same edge
     "q45_map_functions",          # map HOFs
     "q50_tumbling_hourly_counts", # event-time window (batch form)
     "q60_asof_last_view_before_purchase",  # as-of join
