@@ -22,10 +22,13 @@ cluster you'd use Delta/Iceberg.
 
 from __future__ import annotations
 
+import functools
+import operator
 import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka2delta_spark.config import TableConfig
@@ -136,6 +139,95 @@ class ParquetStateStore:
         self._register()
         for old in self.history()[: -self.retain_versions]:
             shutil.rmtree(self._dir(old), ignore_errors=True)
+
+    def merge(
+        self,
+        changes_df: DataFrame,
+        key_cols: list[str],
+        lsn_col: str,
+        deleted_col: str,
+    ) -> bool:
+        """Partition-selective merge: rewrite ONLY the hive partitions the
+        change set touches; unchanged partitions are hardlinked into the new
+        version dir (per-file ``os.link`` — zero copy, and snapshot
+        retention still works because deleting an old version dir only
+        drops its links).
+
+        This is the parquet-store analogue of Delta MERGE's file pruning:
+        per-micro-batch cost tracks touched partitions, not total state.
+        Correctness relies on the same caveat the reference documents for
+        putting partition columns in its MERGE ON clause: partition values
+        must be derived from immutable columns, so a key's rows can only
+        ever live in one partition.
+
+        Returns False (caller must use the full read-merge-overwrite path)
+        when a selective merge isn't possible: unpartitioned store, change
+        set missing partition columns or carrying NULL partition values, or
+        a schema change vs the current snapshot.
+        """
+        from kafka2delta_spark.cdc.merge import merge_cdc_batch
+
+        cur = self._version()
+        if (
+            not self.partition_cols
+            or cur is None
+            or any(c not in changes_df.columns for c in self.partition_cols)
+        ):
+            return False
+        state = self.read()
+        if set(state.columns) != {
+            c for c in changes_df.columns if c != deleted_col
+        }:
+            return False  # schema evolution → full rewrite path
+        # touched partition values: metadata-sized collect (same class as
+        # topic/schema-pair discovery in the streaming layer)
+        parts = changes_df.select(*self.partition_cols).distinct().collect()
+        if any(r[c] is None for r in parts for c in self.partition_cols):
+            return False
+        touched = functools.reduce(
+            operator.or_,
+            [
+                functools.reduce(
+                    operator.and_,
+                    [F.col(c) == F.lit(r[c]) for c in self.partition_cols],
+                )
+                for r in parts
+            ],
+        )
+        # partition-pruned read of only the touched slice of current state
+        merged = merge_cdc_batch(
+            state.filter(touched), changes_df, key_cols, lsn_col, deleted_col
+        )
+        v = cur + 1
+        dst = self._dir(v)
+        writer = merged.write.mode("overwrite").partitionBy(*self.partition_cols)
+        writer.parquet(dst)
+        # hardlink every UNtouched leaf partition dir from the previous
+        # version (touched-but-now-empty partitions must NOT be linked —
+        # their rows were deleted)
+        touched_rel = {
+            "/".join(f"{c}={r[c]}" for c in self.partition_cols) for r in parts
+        }
+        src = self._dir(cur)
+        for root, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root, src)
+            if rel == "." or not files:
+                continue
+            if not all("=" in seg for seg in rel.split(os.sep)):
+                continue  # not a partition leaf (writer metadata dirs)
+            if rel.replace(os.sep, "/") in touched_rel:
+                continue
+            out_dir = os.path.join(dst, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            for f in files:
+                link_path = os.path.join(out_dir, f)
+                if not os.path.exists(link_path):
+                    os.link(os.path.join(root, f), link_path)
+        self._set_version(v)
+        self._register()
+        for old in self.history()[: -self.retain_versions]:
+            shutil.rmtree(self._dir(old), ignore_errors=True)
+        return True
 
     def optimize(
         self, target_files: int = 1, cluster_by: list[str] | None = None

@@ -121,13 +121,21 @@ def process_topic_slice(
             # In-place file-level MERGE (the reference's sink semantics,
             # ref stream/stream.py:114-148): only files holding matched keys
             # rewrite; schema evolution via Delta autoMerge. This is the
-            # scale path — the parquet branch below rewrites the whole
-            # snapshot per commit.
+            # scale path — the parquet paths below rewrite at partition or
+            # snapshot granularity.
             target_schema = T.StructType(
                 [f for f in latest.schema.fields if f.name != deleted_col]
             )
             store.create_if_not_exists(target_schema)
             store.merge(latest, pk_cols)
+            continue
+
+        # Parquet fallback, partition-selective first: rewrite only the
+        # hive partitions the batch touches, hardlink the rest (the
+        # parquet analogue of Delta's file pruning). Returns False —
+        # full read-merge-overwrite below — on schema evolution, missing/
+        # NULL partition values, or an unpartitioned store.
+        if store.merge(latest, pk_cols, lsn_col, deleted_col):
             continue
 
         state = store.read()

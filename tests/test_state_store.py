@@ -123,3 +123,75 @@ def test_optimize_cluster_by_gives_disjoint_file_ranges(spark, store):
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev < lo_next  # no overlap -> min/max skipping works
     assert _rows(store.read()) == _rows(df)
+
+
+# -- partition-selective merge ---------------------------------------------
+
+
+SCHEMA = "id long, v string, lsn long, year int"
+CHANGE_SCHEMA = "id long, v string, lsn long, year int, __deleted string"
+
+
+@pytest.fixture()
+def pstore(spark, tmp_path):
+    s = ParquetStateStore(spark, str(tmp_path / "ptbl"), partition_cols=["year"])
+    s.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10, 2023), (2, "b", 10, 2023), (3, "c", 10, 2024)], SCHEMA
+        )
+    )
+    return s
+
+
+def _leaf_inodes(store, version, part):
+    d = os.path.join(store._dir(version), part)
+    return {f: os.stat(os.path.join(d, f)).st_ino for f in os.listdir(d)
+            if f.endswith(".parquet")}
+
+
+def test_selective_merge_rewrites_only_touched_partition(spark, pstore):
+    changes = spark.createDataFrame(
+        [(3, "c2", 20, 2024, "false"), (4, "d", 20, 2024, "false")], CHANGE_SCHEMA
+    )
+    assert pstore.merge(changes, ["id"], "lsn", "__deleted") is True
+    assert _rows(pstore.read().select("id", "v")) == [
+        (1, "a"), (2, "b"), (3, "c2"), (4, "d")
+    ]
+    # untouched partition's files are hardlinks of the previous version's
+    v1, v2 = pstore.history()
+    assert set(_leaf_inodes(pstore, v2, "year=2023").values()) == set(
+        _leaf_inodes(pstore, v1, "year=2023").values()
+    )
+    # touched partition was rewritten (fresh inodes)
+    assert not set(_leaf_inodes(pstore, v2, "year=2024").values()) & set(
+        _leaf_inodes(pstore, v1, "year=2024").values()
+    )
+    # time travel still sees the old snapshot
+    assert _rows(pstore.read(version=v1).select("id", "v")) == [
+        (1, "a"), (2, "b"), (3, "c")
+    ]
+
+
+def test_selective_merge_deleting_whole_partition(spark, pstore):
+    changes = spark.createDataFrame([(3, "c", 20, 2024, "true")], CHANGE_SCHEMA)
+    assert pstore.merge(changes, ["id"], "lsn", "__deleted") is True
+    assert _rows(pstore.read().select("id")) == [(1,), (2,)]
+    # the emptied partition must not resurrect via hardlinking
+    assert not os.path.isdir(
+        os.path.join(pstore._dir(pstore.history()[-1]), "year=2024")
+    )
+
+
+def test_selective_merge_falls_back_on_schema_change(spark, pstore):
+    changes = spark.createDataFrame(
+        [(5, "e", 20, 2023, "+49", "false")],
+        "id long, v string, lsn long, year int, phone string, __deleted string",
+    )
+    assert pstore.merge(changes, ["id"], "lsn", "__deleted") is False
+
+
+def test_selective_merge_falls_back_on_null_partition_value(spark, pstore):
+    changes = spark.createDataFrame(
+        [(5, "e", 20, None, "false")], CHANGE_SCHEMA
+    )
+    assert pstore.merge(changes, ["id"], "lsn", "__deleted") is False
