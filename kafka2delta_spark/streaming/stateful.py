@@ -153,7 +153,11 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
         & (F.col("click_ts") <= F.col("purchase_ts")),
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    name = drain_to_memory(joined, "append")
+    # Opposite tuning to q57: the stream-stream join is pure JVM, and each
+    # partition carries FOUR state stores (left/right × key/keyWithIndex)
+    # paying checkpoint I/O per batch — fewer partitions win. Measured
+    # sf0.1 medians: 2→3.36 s, 4→3.71 s, 8→4.5 s, 16→9.0 s.
+    name = drain_to_memory(joined, "append", shuffle_partitions="2")
     return spark.table(name)
 
 
