@@ -23,6 +23,7 @@ cluster you'd use Delta/Iceberg.
 from __future__ import annotations
 
 import functools
+import json
 import operator
 import os
 import shutil
@@ -101,6 +102,14 @@ class ParquetStateStore:
     def exists(self) -> bool:
         return self._version() is not None
 
+    def _write_schema(self, v: int, df: DataFrame) -> None:
+        """Persist the snapshot schema beside the data (Delta keeps it in
+        the transaction log). Lets ``read`` skip footer inference — and
+        makes a legitimately EMPTY snapshot (every row deleted) readable,
+        which schema inference on a fileless directory is not."""
+        with open(os.path.join(self._dir(v), "_SCHEMA.json"), "w") as fh:
+            fh.write(df.schema.json())
+
     def read(self, version: int | None = None) -> DataFrame | None:
         """Read the current snapshot, or a retained historical one
         (``version=``, Delta's ``versionAsOf`` time travel)."""
@@ -113,6 +122,11 @@ class ParquetStateStore:
                 f"version {v} not available (current {cur}, "
                 f"retained {self.history()})"
             )
+        schema_file = os.path.join(self._dir(v), "_SCHEMA.json")
+        if os.path.exists(schema_file):
+            with open(schema_file) as fh:
+                schema = T.StructType.fromJson(json.loads(fh.read()))
+            return self.spark.read.schema(schema).parquet(self._dir(v))
         return self.spark.read.parquet(self._dir(v))
 
     def history(self) -> list[int]:
@@ -135,6 +149,7 @@ class ParquetStateStore:
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self._dir(v))
+        self._write_schema(v, df)
         self._set_version(v)
         self._register()
         for old in self.history()[: -self.retain_versions]:
@@ -223,6 +238,7 @@ class ParquetStateStore:
                 link_path = os.path.join(out_dir, f)
                 if not os.path.exists(link_path):
                     os.link(os.path.join(root, f), link_path)
+        self._write_schema(v, merged)
         self._set_version(v)
         self._register()
         for old in self.history()[: -self.retain_versions]:

@@ -127,3 +127,61 @@ def test_out_of_order_batch_cannot_regress(spark, stale_lsn):
     state = _spark_apply(spark, None, fresh)
     after = _spark_apply(spark, state, stale)
     assert _collect(after) == [(1, "new", 10)]
+
+
+# -- partition-selective merge equivalence ---------------------------------
+
+PART_SCHEMA = (
+    "pk long, val string, __log_sequence_number long, year int, __deleted string"
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(KEYS), st.sampled_from([2023, 2024]), st.booleans()
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_selective_merge_equals_full_merge(spark, tmp_path_factory, ops):
+    """ParquetStateStore.merge (partition-selective, hardlinked untouched
+    partitions) must produce exactly the state of the full
+    read-merge-overwrite path, for any batch split across partitions.
+    Keys are pinned to one partition each (pk→year is a function), the same
+    immutability caveat the reference documents for its MERGE ON clause."""
+    from kafka2delta_spark.state.store import ParquetStateStore
+
+    # make the partition a function of the key (pk odd→2023, even→2024) so
+    # the partition-immutability precondition holds
+    rows = [
+        (pk, f"v{i + 1}", i + 1, 2023 if pk % 2 else 2024, "true" if d else "false")
+        for i, (pk, _, d) in enumerate(ops)
+    ]
+    base = [(1, "b", 0, 2023, "false"), (2, "b", 0, 2024, "false")]
+
+    d = tmp_path_factory.mktemp("selmerge")
+    sel = ParquetStateStore(spark, str(d / "sel"), partition_cols=["year"])
+    full = ParquetStateStore(spark, str(d / "full"), partition_cols=["year"])
+    for s in (sel, full):
+        s.overwrite(
+            spark.createDataFrame(base, PART_SCHEMA).drop("__deleted")
+        )
+    batch = latest_per_key(
+        spark.createDataFrame(rows, PART_SCHEMA), ["pk"], "__log_sequence_number"
+    )
+    assert sel.merge(batch, ["pk"], "__log_sequence_number", "__deleted") is True
+    full.overwrite(
+        merge_cdc_batch(
+            full.read(), batch, ["pk"], "__log_sequence_number", "__deleted"
+        )
+    )
+    got = sorted(tuple(r) for r in sel.read().collect())
+    want = sorted(tuple(r) for r in full.read().collect())
+    assert got == want
