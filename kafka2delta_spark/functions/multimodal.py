@@ -144,3 +144,66 @@ def q96_multimodal_metadata_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length(payload)).cast("bigint").alias("total_bytes"),
         F.max(F.length(payload)).cast("bigint").alias("max_bytes"),
     )
+
+
+# Frame sampling: FPS/duration are metadata; choosing WHICH frames to
+# decode is pure arithmetic and belongs JVM-side — only (payload, offsets)
+# ever reach the Arrow-batched decoder (sample_video_frames, stubbed here).
+FRAME_FPS = 24
+FRAME_SAMPLES = 4  # uniform samples per video
+
+
+@register(
+    "q97_video_frame_sampling",
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id,
+               octet_length(text::BLOB) % 300 + 5 AS duration_s
+        FROM documents),
+    frames AS (
+        SELECT doc_id, duration_s,
+               duration_s * {FRAME_FPS} AS total_frames,
+               unnest(range(0, {FRAME_SAMPLES})) AS frame_slot
+        FROM meta)
+    SELECT doc_id,
+           CAST(frame_slot AS INT)                                  AS frame_slot,
+           CAST(FLOOR(frame_slot * total_frames / {FRAME_SAMPLES}) AS BIGINT)
+                                                                    AS frame_idx,
+           ROUND(FLOOR(frame_slot * total_frames / {FRAME_SAMPLES})
+                 * 1.0 / {FRAME_FPS}, 4)                            AS frame_time_s
+    FROM frames
+    """,
+)
+def q97_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform video frame-sample planning from metadata only.
+
+    Synthetic video metadata (duration derived deterministically from the
+    payload length, {FRAME_FPS} fps) → {FRAME_SAMPLES} uniformly-spaced
+    frame indices per video, computed with native ``sequence``/``explode``
+    expressions. At 100 TB this is the decisive layout: frame selection
+    reads ONLY metadata columns (parquet column pruning keeps the binary
+    payload un-fetched), and the decode stage then receives (payload,
+    frame_idx list) per video through the same Arrow-batched ``mapInPandas``
+    contract as ``extract_media_features`` — ``sample_video_frames`` is the
+    env-gated real decoder."""
+    docs = load_table(spark, sf_dir, "documents")
+    duration = (F.length(F.encode(F.col("text"), "UTF-8")) % 300 + 5).alias(
+        "duration_s"
+    )
+    meta = docs.select("doc_id", duration).withColumn(
+        "total_frames", F.col("duration_s") * FRAME_FPS
+    )
+    exploded = meta.select(
+        "doc_id",
+        "total_frames",
+        F.explode(F.sequence(F.lit(0), F.lit(FRAME_SAMPLES - 1))).alias("frame_slot"),
+    )
+    frame_idx = F.floor(
+        F.col("frame_slot") * F.col("total_frames") / FRAME_SAMPLES
+    ).cast("bigint")
+    return exploded.select(
+        "doc_id",
+        F.col("frame_slot").cast("int").alias("frame_slot"),
+        frame_idx.alias("frame_idx"),
+        F.round(frame_idx / FRAME_FPS, 4).alias("frame_time_s"),
+    )

@@ -232,18 +232,23 @@ def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``1 - distinct/total``; docs above 5% flagged repetitive. Per-language
     aggregate for threshold tuning.
 
-    Plan: per-row shingle arithmetic (``shingles_col`` — slice+array_join,
-    no outer-array indexing) + one hash-agg on lang. No joins, no windows;
-    per-row cost is linear in doc length — embarrassingly parallel."""
-    from kafka2delta_spark.functions.dedup import shingles_col
+    Plan: distinct-shingle counts come from ``shingle_rows`` (posexplode +
+    window ``lead`` — whole-stage codegen, measured 3× faster than the
+    interpreted array-HOF form at bench scale), totals are pure per-row
+    arithmetic; one doc_id equi-join + one hash-agg on lang."""
+    from kafka2delta_spark.functions.dedup import shingle_rows
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
-    per_doc = docs.select(
-        "lang",
-        (F.size(toks) - 2).alias("total"),
-        F.size(shingles_col(toks, 3)).alias("uniq"),
+    totals = docs.select(
+        "doc_id", "lang", (F.size(toks) - 2).alias("total")
     ).filter(F.size(toks) >= 3)
+    uniq = (
+        shingle_rows(spark, sf_dir, 3)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("uniq"))
+    )
+    per_doc = totals.join(uniq, "doc_id")
     rep = F.lit(1.0) - F.col("uniq") / F.col("total")
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
