@@ -395,9 +395,9 @@ def q87b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return same.unionByName(cross)
 
 
-@register(
-    "q88_jaccard_similar_pairs",
-    oracle=f"""
+# q88's full oracle, shared: q98 re-derives its edge set from this exact
+# statement so both engines cluster the identical similarity graph.
+_JACCARD_PAIRS_SQL = f"""
     WITH t AS (
         SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
         FROM documents),
@@ -419,8 +419,10 @@ def q87b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sa ON sa.doc_id = doc_a
     JOIN sizes sb ON sb.doc_id = doc_b
     WHERE n_common * 1.0 / (sa.sz + sb.sz - n_common) >= 0.12
-    """,
-)
+    """
+
+
+@register("q88_jaccard_similar_pairs", oracle=_JACCARD_PAIRS_SQL)
 def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram (trigram-shingle) Jaccard similarity for pairs sharing
     ≥1 shingle. Candidates come from one shuffle on the shingle hash →
@@ -458,6 +460,105 @@ def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(sb), "doc_b")
         .filter(jac >= 0.12)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# Near-dup clustering: connected components over the verified Jaccard
+# similarity graph (q88's edges), then one canonical doc per cluster — the
+# step an actual dedup pipeline runs AFTER pair generation, since "keep one
+# of each pair" is wrong when A~B and B~C but A!~C (the whole chain is one
+# duplicate group). Label propagation converges in O(diameter) rounds;
+# near-dup components are dense, so diameter is small. 20 is a safety cap,
+# not an accuracy knob — convergence is detected exactly.
+CC_MAX_ITERS = 20
+
+
+def connected_components(
+    nodes: DataFrame, edges: DataFrame, max_iters: int = CC_MAX_ITERS
+) -> DataFrame:
+    """(node, label) with label = min node id of each component.
+
+    ``nodes``: one column ``node``; ``edges``: columns ``doc_a``/``doc_b``
+    (undirected, any orientation). Iterative min-label propagation; each
+    round = join + hash-agg + one metadata-sized convergence sum. Labels
+    only decrease, so an unchanged decimal checksum is an exact fixpoint
+    proof. ``localCheckpoint`` truncates lineage per round."""
+    und = edges.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
+        eager=True
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        nbr = und.join(labels, F.col("src") == F.col("node")).select(
+            F.col("dst").alias("node"), F.col("label")
+        )
+        labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels
+
+
+@register(
+    "q98_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL}) jp),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS root FROM documents
+        UNION
+        SELECT u.b AS node, r.root FROM reach r JOIN und u ON u.a = r.node),
+    cl AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT node AS doc_id, cluster_id,
+           CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+           (node = cluster_id) AS is_canonical
+    FROM cl
+    """,
+)
+def q98_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: connected components of the q88 Jaccard
+    graph via iterative min-label propagation, cluster id = min doc_id in
+    the component, every doc assigned (singletons are their own cluster),
+    ``is_canonical`` marks the one doc per cluster a pipeline keeps.
+
+    Plan: the edge list is materialized ONCE (``localCheckpoint`` — it is
+    tiny relative to the corpus: near-dup pairs, not documents), then each
+    round is one equi-join (labels ⋈ out-edges) + one hash-agg (min label
+    per node) + one metadata-sized sum for convergence. Labels only ever
+    decrease, so an unchanged checksum (decimal sum of labels — overflow-
+    safe at any doc count) proves the exact fixpoint; the oracle's
+    recursive CTE computes the same components declaratively.
+    ``localCheckpoint`` per round truncates lineage so the plan does not
+    grow with iterations. At 100 TB: rounds = component diameter (small
+    for near-dup graphs); for adversarial long-chain graphs switch to
+    alternating large-star/small-star (log-round contraction) — same
+    join+agg primitives, different edge rewrite."""
+    edges = (
+        q88_jaccard_similar_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    labels = connected_components(nodes, edges)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return labels.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        "cluster_size",
+        (F.col("node") == F.col("label")).alias("is_canonical"),
     )
 
 

@@ -410,3 +410,97 @@ def q93_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rk")
     )
+
+
+# Scalar quantization: the storage path a 100 TB embedding corpus actually
+# ships — float32 -> uint8 cuts the vector store 4x before ANN indexing.
+# Per-dimension affine bins; reconstruction at bin midpoints.
+QUANT_BINS = 256
+
+
+@register(
+    "q99_embedding_quantization",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
+          FROM e, generate_series(1, {DIM}) t(i)),
+    stats AS (SELECT dim, MIN(x) AS dmin, MAX(x) AS dmax
+              FROM x GROUP BY dim),
+    q AS (SELECT x.dim, x.x, s.dmin, s.dmax,
+                 CAST(LEAST({QUANT_BINS - 1}, FLOOR(
+                     ((x.x - s.dmin) / (s.dmax - s.dmin)) * {QUANT_BINS}.0
+                 )) AS INT) AS bin
+          FROM x JOIN stats s ON s.dim = x.dim),
+    err AS (SELECT dim, dmin, dmax,
+                   CAST(FLOOR(ABS(x - (dmin + (CAST(bin AS DOUBLE) + 0.5)
+                            * ((dmax - dmin) / {QUANT_BINS}.0))) * 1e12)
+                        AS DECIMAL(38,0)) AS e12
+            FROM q)
+    SELECT dim, dmin, dmax,
+           CAST(SUM(e12) AS DOUBLE) / COUNT(*) AS mean_abs_err_e12
+    FROM err GROUP BY dim, dmin, dmax
+    """,
+)
+def q99_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension uint8 scalar quantization of the embedding corpus and
+    its reconstruction error — (dim, dmin, dmax, mean_abs_err).
+
+    Two passes, both map-side-combinable: (1) posexplode to (dim, x) rows
+    and hash-agg per-dim min/max — 64 groups, so partial aggregation
+    collapses each task's output to 64 rows before the shuffle; (2)
+    broadcast the 64-row stats back, bin each value (floor-binning — no
+    round(): half-even vs half-up tie handling differs across engines),
+    and hash-agg the per-dim error. Per-row doubles are bit-identical on
+    both engines (identical op order baked into both plans); the error SUM
+    crosses rows, so it must not accumulate in floating point (order-
+    dependent) NOR round through a DECIMAL cast (the engines' half-way
+    handling differs once real precision is discarded — measured: last-2-ulp
+    mismatches). Instead each row's error is floored to exact fixed-point
+    picounits (``floor(e * 1e12)`` of a bit-identical double is a
+    bit-identical integer) and summed as DECIMAL(38,0) — exact and
+    order-free at any scale; ``mean_abs_err_e12`` is that mean in 1e-12
+    units.
+
+    At 100 TB nothing here is driver-bound: stats are a 64-row broadcast
+    and the corpus streams through one projection per pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", F.posexplode(_vec()).alias("dim", "x")
+    )
+    stats = x.groupBy("dim").agg(
+        F.min("x").alias("dmin"), F.max("x").alias("dmax")
+    )
+    binned = x.join(F.broadcast(stats), "dim").select(
+        "dim",
+        "x",
+        "dmin",
+        "dmax",
+        F.least(
+            F.lit(QUANT_BINS - 1),
+            F.floor(
+                ((F.col("x") - F.col("dmin")) / (F.col("dmax") - F.col("dmin")))
+                * F.lit(float(QUANT_BINS))
+            ),
+        )
+        .cast("int")
+        .alias("bin"),
+    )
+    err = F.abs(
+        F.col("x")
+        - (
+            F.col("dmin")
+            + (F.col("bin").cast("double") + F.lit(0.5))
+            * ((F.col("dmax") - F.col("dmin")) / F.lit(float(QUANT_BINS)))
+        )
+    )
+    e12 = F.floor(err * F.lit(1e12)).cast("decimal(38,0)")
+    return (
+        binned.select("dim", "dmin", "dmax", e12.alias("e12"))
+        .groupBy("dim", "dmin", "dmax")
+        .agg(
+            (F.sum("e12").cast("double") / F.count(F.lit(1))).alias(
+                "mean_abs_err_e12"
+            )
+        )
+        .select("dim", "dmin", "dmax", "mean_abs_err_e12")
+    )

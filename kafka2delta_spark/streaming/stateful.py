@@ -161,6 +161,60 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table(name)
 
 
+@register(
+    "q58_stream_stream_left_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def q58_stream_stream_left_outer_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TRUE stream-stream LEFT OUTER interval join — the state-eviction
+    path q56's inner join never exercises: an unmatched purchase emits its
+    null-padded row only once the global watermark proves no future click
+    can match (purchase_ts + 1 h < watermark), i.e. on state eviction, not
+    eagerly. The far-future sentinel flows through BOTH side filters so
+    both per-side watermarks (global watermark = their min) advance past
+    every real purchase and flush the final unmatched rows; sentinel rows
+    are dropped from the result afterwards. Same bounded-state posture as
+    q56: eviction is what MAKES the outer rows emit, so state is bounded
+    by construction."""
+    ev = _open_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type").isin("click", "sentinel"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "leftOuter",
+    ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
+    name = drain_to_memory(joined, "append", shuffle_partitions="2")
+    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+
+
 _SESSION_OUT = StructType(
     [
         StructField("user_id", LongType()),
