@@ -47,8 +47,10 @@ def decode_image(payload: bytes) -> "object":
 
 
 def decode_audio(payload: bytes) -> "object":
-    """Real audio decode — requires an audio library. STUB."""
-    raise NotImplementedError("audio decoding requires soundfile/ffmpeg (not installed)")
+    """COMPRESSED audio decode (mp3/flac/ogg) — requires a codec library.
+    STUB. Raw PCM needs no codec: see ``pcm_window_energy`` below, which
+    is the real, tested decode path."""
+    raise NotImplementedError("compressed-audio decoding requires soundfile/ffmpeg (not installed)")
 
 
 def sample_video_frames(payload: bytes, every_n: int = 30) -> "list":
@@ -207,3 +209,114 @@ def q97_video_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         frame_idx.alias("frame_idx"),
         F.round(frame_idx / FRAME_FPS, 4).alias("frame_time_s"),
     )
+
+
+# Audio: raw PCM16 is a real decode target that needs NO codec library —
+# it is what every audio decoder outputs — so unlike image/video the audio
+# path here is genuinely end-to-end: bytes -> int16 samples -> windowed
+# energy (the VAD / silence-detection front-end of a speech-data pipeline).
+PCM_WINDOW = 64  # samples per analysis window
+_PCM_REPEATS = 32  # payload = unhex(md5(text) * 32) = 512 bytes = 256 samples
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("window_id", T.IntegerType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("sum_sq", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+    ]
+)
+
+
+def pcm_window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """(doc_id, payload) Arrow batches -> per-window PCM16 energy rows.
+
+    Real decode: payload bytes are little-endian signed 16-bit samples
+    (numpy ``frombuffer`` — zero-copy). Energy accumulates in int64 —
+    EXACT, so engine-portable by construction; rms is derived per-row from
+    those exact ints (sqrt(sum_sq/W) of identical ints is bit-identical
+    everywhere). Trailing samples short of a full window are dropped."""
+    import numpy as np
+
+    for pdf in batches:
+        ids, wids, peaks, sumsqs = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
+            nw = len(s) // PCM_WINDOW
+            if nw == 0:
+                continue
+            w = s[: nw * PCM_WINDOW].reshape(nw, PCM_WINDOW)
+            ids.extend([doc_id] * nw)
+            wids.extend(range(nw))
+            peaks.extend(np.abs(w).max(axis=1).tolist())
+            sumsqs.extend((w * w).sum(axis=1).tolist())
+        sum_sq = pd.Series(sumsqs, dtype="int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "window_id": pd.Series(wids, dtype="int32"),
+                "peak": pd.Series(peaks, dtype="int32"),
+                "sum_sq": sum_sq,
+                "rms": (sum_sq / float(PCM_WINDOW)) ** 0.5,
+            }
+        )
+
+
+_HEXVAL = "(strpos('0123456789abcdef', substring(h, {c}, 1)) - 1)"
+_N_BYTES = _PCM_REPEATS * 16
+_N_SAMPLES = _N_BYTES // 2
+
+
+@register(
+    "q95b_audio_pcm_windows",
+    oracle=f"""
+    WITH hx AS (
+        SELECT doc_id, repeat(md5(text), {_PCM_REPEATS}) AS h FROM documents),
+    by AS (
+        SELECT doc_id,
+               [{_HEXVAL.format(c='2*j-1')} * 16 + {_HEXVAL.format(c='2*j')}
+                for j in range(1, {_N_BYTES + 1})] AS bs
+        FROM hx),
+    smp AS (
+        SELECT doc_id,
+               [bs[2*i-1] + 256*bs[2*i]
+                - CASE WHEN bs[2*i] >= 128 THEN 65536 ELSE 0 END
+                for i in range(1, {_N_SAMPLES + 1})] AS s
+        FROM by),
+    win AS (
+        SELECT doc_id, unnest(range(0, {_N_SAMPLES // PCM_WINDOW})) AS window_id, s
+        FROM smp)
+    SELECT doc_id,
+           CAST(window_id AS INT) AS window_id,
+           CAST(list_max([abs(x) for x in
+                s[{PCM_WINDOW}*window_id+1 : {PCM_WINDOW}*(window_id+1)]]) AS INT)
+               AS peak,
+           CAST(list_sum([x*x for x in
+                s[{PCM_WINDOW}*window_id+1 : {PCM_WINDOW}*(window_id+1)]]) AS BIGINT)
+               AS sum_sq,
+           sqrt(CAST(list_sum([x*x for x in
+                s[{PCM_WINDOW}*window_id+1 : {PCM_WINDOW}*(window_id+1)]]) AS BIGINT)
+                / {float(PCM_WINDOW)}) AS rms
+    FROM win
+    """,
+)
+def q95b_audio_pcm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed PCM16 energy over a synthetic audio column — the one
+    multimodal decode that is fully real in this environment (raw PCM is
+    post-codec audio; no external library involved).
+
+    Payload synthesis: ``unhex(repeat(md5(text), {_PCM_REPEATS}))`` — hex
+    bytes cover the full 0-255 range, so negative samples (high byte ≥
+    0x80) genuinely exercise the sign path, unlike ASCII text bytes.
+    Decode + windowing run in the same Arrow-batched ``mapInPandas``
+    contract as the other media extractors; the oracle re-derives the
+    identical int16 samples from the hex string. All cross-sample math is
+    int64 (exact); rms is per-row sqrt of exact ints — no float
+    accumulation anywhere, so no engine-divergence risk at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_payload = docs.select(
+        "doc_id",
+        F.unhex(F.repeat(F.md5(F.col("text")), _PCM_REPEATS)).alias("payload"),
+    )
+    return with_payload.mapInPandas(pcm_window_energy, schema=AUDIO_SCHEMA)
