@@ -482,12 +482,21 @@ def connected_components(
     (undirected, any orientation). Iterative min-label propagation; each
     round = join + hash-agg + one metadata-sized convergence sum. Labels
     only decrease, so an unchanged decimal checksum is an exact fixpoint
-    proof. ``localCheckpoint`` truncates lineage per round."""
+    proof. ``localCheckpoint`` truncates lineage per round.
+
+    The loop runs over EDGE-TOUCHED nodes only: a node with no edges can
+    never change label, and in a near-dup graph the touched set is a small
+    fraction of the corpus — so at 100 TB the per-round shuffles are sized
+    by the duplicate graph, not the dataset, and the full node set joins
+    back exactly once at the end (left join, label defaulting to self)."""
     und = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    labels = nodes.select("node", F.col("node").alias("label")).localCheckpoint(
-        eager=True
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
     )
     prev_sum = None
     for _ in range(max_iters):
@@ -506,7 +515,9 @@ def connected_components(
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return labels
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
 
 
 @register(
