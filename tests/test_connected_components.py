@@ -49,3 +49,41 @@ def test_long_chain_needs_multiple_rounds(spark):
     n = 10
     labels = _cc(spark, range(n), [(i, i + 1) for i in range(n - 1)])
     assert set(labels.values()) == {0}
+
+
+# Property: on random graphs the distributed propagation must agree with a
+# trivial driver-side union-find oracle.
+from hypothesis import given, settings, strategies as st
+
+
+def _union_find(n_nodes, pairs):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min node id per component
+    return {x: min(y for y in range(n_nodes) if find(y) == find(x)) for x in range(n_nodes)}
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    n=st.integers(min_value=2, max_value=24),
+    data=st.data(),
+)
+def test_matches_union_find_on_random_graphs(spark, n, data):
+    edge = st.tuples(
+        st.integers(min_value=0, max_value=n - 1),
+        st.integers(min_value=0, max_value=n - 1),
+    )
+    pairs = data.draw(st.lists(edge, max_size=30))
+    pairs = [(a, b) for a, b in pairs if a != b]
+    got = _cc(spark, range(n), pairs)
+    assert got == _union_find(n, pairs)
