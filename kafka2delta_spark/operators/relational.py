@@ -334,6 +334,40 @@ def q22_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# lateral join
+# ---------------------------------------------------------------------------
+@register(
+    "q24_lateral_topn_per_nation",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer
+             WHERE c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    """,
+)
+def q24_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT — the SQL
+    form of per-group top-k (top-2 customers by balance per nation).
+    Catalyst decorrelates it into the same ranked-window shape as q31's
+    DataFrame version, so there is no per-nation re-execution: one shuffle
+    on the correlation key, no matter how many outer rows. Deterministic
+    tie-break on (c_acctbal DESC, c_name) keeps both engines' LIMIT
+    identical."""
+    for t in ("nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM v_nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM v_customer
+                 WHERE c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
 # set operations
 # ---------------------------------------------------------------------------
 @register(

@@ -16,8 +16,13 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-ONLY = set(sys.argv[2:])
+_args = sys.argv[1:]
+JSON_OUT = None
+if _args and _args[0] == "--json":
+    JSON_OUT = _args[1]
+    _args = _args[2:]
+SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+ONLY = set(_args[1:])
 
 
 def normalize(df, cols):
@@ -59,6 +64,16 @@ def main() -> int:
         )
 
     n_pass = n_fail = n_rows_only = 0
+    results: dict[str, dict] = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None, sec=None):
+        results[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err, "sec": sec,
+        }
+
     for name, fn in sorted(QUERIES.items()):
         if ONLY and name not in ONLY:
             continue
@@ -67,26 +82,34 @@ def main() -> int:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
+            record(name, err=f"spark error: {exc}"[:200])
             n_fail += 1
             continue
-        took = time.time() - t0
+        took = round(time.time() - t0, 2)
         if name not in ORACLES:
             print(f"rows  {name}: {len(sdf)} rows ({took:.1f}s) [no oracle]")
+            record(name, spark_rows=len(sdf), err="no_oracle", sec=took)
             n_rows_only += 1
             continue
         try:
             odf = con.execute(ORACLES[name]).fetchdf()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {exc}")
+            record(name, spark_rows=len(sdf), err=f"oracle error: {exc}"[:200], sec=took)
             n_fail += 1
             continue
         s_cols, o_cols = sorted(sdf.columns), sorted(odf.columns)
         if s_cols != o_cols:
             print(f"FAIL  {name}: schema mismatch spark={s_cols} oracle={o_cols}")
+            record(name, schema_match=False, spark_rows=len(sdf),
+                   oracle_rows=len(odf), err="schema mismatch", sec=took)
             n_fail += 1
             continue
         if len(sdf) != len(odf):
             print(f"FAIL  {name}: rowcount spark={len(sdf)} oracle={len(odf)}")
+            record(name, rows_match=False, schema_match=True,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err="rowcount mismatch", sec=took)
             n_fail += 1
             continue
         s_vals, o_vals = normalize(sdf, s_cols), normalize(odf, s_cols)
@@ -95,12 +118,23 @@ def main() -> int:
                 (a, b) for a, b in zip(s_vals, o_vals) if a != b
             ][:3]
             print(f"FAIL  {name}: value mismatch; first diffs: {diffs}")
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(sdf), oracle_rows=len(odf),
+                   err="value mismatch", sec=took)
             n_fail += 1
             continue
         print(f"PASS  {name}: {len(sdf)} rows ({took:.1f}s)")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(sdf), oracle_rows=len(odf), sec=took)
         n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if JSON_OUT:
+        import json
+
+        with open(JSON_OUT, "w") as fh:
+            json.dump({"sf_dir": SF_DIR, "results": results}, fh, indent=1)
+        print(f"wrote {JSON_OUT}")
     return 1 if n_fail else 0
 
 
