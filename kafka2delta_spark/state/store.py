@@ -34,6 +34,23 @@ from pyspark.sql import types as T
 
 from kafka2delta_spark.config import TableConfig
 
+#: characters the hive-style partition writer percent-escapes in directory
+#: names (plus control chars). Values containing any of these — or booleans,
+#: which Python stringifies as ``True`` where the writer emits ``true`` —
+#: would make our computed ``<col>=<value>`` leaf name diverge from the
+#: on-disk name, so the selective merge refuses them (full-rewrite fallback)
+#: rather than risk double-counting a touched partition as untouched.
+_HIVE_UNSAFE_CHARS = set(' "#%\'*/:=?\\{}[]^\x7f')
+
+
+def _hive_dir_safe(value) -> bool:
+    if isinstance(value, bool):
+        return False
+    s = str(value)
+    return s != "" and all(
+        ch not in _HIVE_UNSAFE_CHARS and ord(ch) >= 32 for ch in s
+    )
+
 
 class ParquetStateStore:
     """Versioned parquet state for one table.
@@ -177,8 +194,10 @@ class ParquetStateStore:
 
         Returns False (caller must use the full read-merge-overwrite path)
         when a selective merge isn't possible: unpartitioned store, change
-        set missing partition columns or carrying NULL partition values, or
-        a schema change vs the current snapshot.
+        set missing partition columns or carrying NULL / non-hive-encodable
+        partition values (see :func:`_hive_dir_safe`), or a schema change vs
+        the current snapshot. An empty change set returns True without
+        committing a version (no-op).
         """
         from kafka2delta_spark.cdc.merge import merge_cdc_batch
 
@@ -197,7 +216,13 @@ class ParquetStateStore:
         # touched partition values: metadata-sized collect (same class as
         # topic/schema-pair discovery in the streaming layer)
         parts = changes_df.select(*self.partition_cols).distinct().collect()
-        if any(r[c] is None for r in parts for c in self.partition_cols):
+        if not parts:
+            return True  # empty change set: the merge is a no-op
+        if any(
+            r[c] is None or not _hive_dir_safe(r[c])
+            for r in parts
+            for c in self.partition_cols
+        ):
             return False
         touched = functools.reduce(
             operator.or_,

@@ -195,3 +195,34 @@ def test_selective_merge_falls_back_on_null_partition_value(spark, pstore):
         [(5, "e", 20, None, "false")], CHANGE_SCHEMA
     )
     assert pstore.merge(changes, ["id"], "lsn", "__deleted") is False
+
+
+def test_selective_merge_empty_changes_is_noop(spark, pstore):
+    before = pstore.history()[-1]
+    changes = spark.createDataFrame([], CHANGE_SCHEMA)
+    assert pstore.merge(changes, ["id"], "lsn", "__deleted") is True
+    assert pstore.history()[-1] == before  # no new version committed
+    assert _rows(pstore.read().select("id", "v")) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_selective_merge_falls_back_on_hive_unsafe_partition_value(
+    spark, tmp_path
+):
+    # boolean partition values: Python str() gives "True" but the hive
+    # writer emits "true" — the computed leaf name would miss the on-disk
+    # dir and hardlink a touched partition (row duplication). Must fall
+    # back to the full-rewrite path instead.
+    schema = "id long, v string, lsn long, flag boolean"
+    s = ParquetStateStore(spark, str(tmp_path / "btbl"), partition_cols=["flag"])
+    s.overwrite(spark.createDataFrame([(1, "a", 10, True)], schema))
+    changes = spark.createDataFrame(
+        [(1, "a2", 20, True, "false")], schema + ", __deleted string"
+    )
+    assert s.merge(changes, ["id"], "lsn", "__deleted") is False
+    # string values containing hive-escaped characters likewise
+    s2 = ParquetStateStore(spark, str(tmp_path / "stbl"), partition_cols=["v"])
+    s2.overwrite(spark.createDataFrame([(1, "a:b", 10, True)], schema))
+    ch2 = spark.createDataFrame(
+        [(1, "a:b", 20, True, "false")], schema + ", __deleted string"
+    )
+    assert s2.merge(ch2, ["id"], "lsn", "__deleted") is False
