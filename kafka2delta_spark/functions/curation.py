@@ -1,0 +1,223 @@
+"""Corpus-curation operators: PII redaction, composite quality filtering,
+and derived source blocklists.
+
+The C4/Gopher-style cleaning steps every large-scale training-data pipeline
+runs between raw crawl and tokenizer. All native-expression pipelines (regex
++ arithmetic in whole-stage codegen, zero Python UDFs); each has a DuckDB
+oracle implementing the identical arithmetic so the rule logic itself is
+cross-checked, not just the plumbing.
+
+Scale: q73/q74 are embarrassingly parallel (per-row regex + one hash-agg).
+q77 is a two-phase shape — tiny derived aggregate (one row per source)
+broadcast back as an anti-join — so the corpus scans twice but never
+shuffles full-width.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.functions.text import STOPWORDS, TOKEN_SPLIT_RE
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+# RE2-safe (DuckDB) and java.util.regex-safe (Spark) — no lookaround, no
+# backreferences, so the same pattern text behaves identically on both.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def redact_pii(col: F.Column) -> F.Column:
+    """Replace emails then phone numbers with typed placeholder tokens.
+    Order matters and is fixed: the email pattern can contain digit runs,
+    so it is consumed first."""
+    out = F.regexp_replace(col, EMAIL_RE, "[EMAIL]")
+    return F.regexp_replace(out, PHONE_RE, "[PHONE]")
+
+
+# The synthetic documents table contains no PII, so q73 plants a
+# deterministic email + phone per doc (pure doc_id arithmetic, identical on
+# both engines) and then redacts them — the redaction regexes, counting, and
+# aggregation are the operator under test; `redact_pii` itself is the
+# reusable piece for real data.
+_AUG_SQL = (
+    "text || ' Contact u' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "call 555-' || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-' "
+    "|| lpad(CAST(doc_id * 13 % 10000 AS VARCHAR), 4, '0') || '.'"
+)
+
+
+def _augmented_spark() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or call 555-"),
+        F.lpad((F.col("doc_id") * 7 % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") * 13 % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+
+
+@register(
+    "q73_pii_redaction",
+    oracle=rf"""
+    WITH aug AS (
+        SELECT doc_id, source, {_AUG_SQL} AS t FROM documents),
+    red AS (
+        SELECT source,
+               len(regexp_extract_all(t, '{EMAIL_RE}'))   AS n_emails,
+               len(regexp_extract_all(t, '{PHONE_RE}'))   AS n_phones,
+               LENGTH(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                                     '{PHONE_RE}', '[PHONE]', 'g')) AS red_len
+        FROM aug)
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT)      AS n_docs,
+           CAST(SUM(n_emails) AS BIGINT) AS n_emails,
+           CAST(SUM(n_phones) AS BIGINT) AS n_phones,
+           CAST(SUM(red_len) AS BIGINT)  AS redacted_chars
+    FROM red GROUP BY source
+    """,
+)
+def q73_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: find-and-replace emails and phone numbers with typed
+    placeholders, counting hits per source. Regex patterns restricted to
+    the RE2 ∩ java.util.regex common subset so both engines agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select("doc_id", "source", _augmented_spark().alias("t"))
+    red = aug.select(
+        "source",
+        F.size(F.regexp_extract_all("t", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("t", F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.length(redact_pii(F.col("t"))).alias("red_len"),
+    )
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").cast("bigint").alias("n_emails"),
+        F.sum("n_phones").cast("bigint").alias("n_phones"),
+        F.sum("red_len").cast("bigint").alias("redacted_chars"),
+    )
+
+
+# Composite quality rules (C4/Gopher shape). Thresholds chosen to split the
+# synthetic corpus, not to be linguistically meaningful.
+MIN_TOKENS, MAX_TOKENS = 20, 10_000
+MIN_CPT, MAX_CPT = 3.0, 10.0
+MIN_STOPWORD_RATIO = 0.05
+MAX_PUNCT_RATIO = 0.1
+
+_STOP_IN = ",".join(repr(s) for s in STOPWORDS)
+
+
+@register(
+    "q74_quality_filter",
+    oracle=rf"""
+    WITH t AS (
+        SELECT lang, LENGTH(text) AS n_chars,
+               regexp_split_to_array(text, '\s+') AS toks,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS n_punct
+        FROM documents),
+    r AS (
+        SELECT lang,
+               len(toks) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}     AS ok_len,
+               n_chars * 1.0 / len(toks) BETWEEN {MIN_CPT} AND {MAX_CPT}
+                                                                   AS ok_cpt,
+               len(list_filter(toks, x -> x IN ({_STOP_IN}))) * 1.0 / len(toks)
+                   >= {MIN_STOPWORD_RATIO}                         AS ok_stop,
+               n_punct * 1.0 / n_chars <= {MAX_PUNCT_RATIO}        AS ok_punct
+        FROM t)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN ok_len AND ok_cpt AND ok_stop AND ok_punct
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(SUM(CASE WHEN NOT ok_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_len,
+           CAST(SUM(CASE WHEN NOT ok_cpt THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_cpt,
+           CAST(SUM(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_stop,
+           CAST(SUM(CASE WHEN NOT ok_punct THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fail_punct
+    FROM r GROUP BY lang
+    """,
+)
+def q74_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document-quality filter: token-count bounds, chars-per-
+    token bounds, minimum stopword ratio, maximum punctuation ratio — the
+    keep decision is the conjunction, with per-rule failure counts for
+    threshold tuning. Ratio boundaries are exact-integer divisions, so the
+    comparisons are bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), TOKEN_SPLIT_RE)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    r = docs.select(
+        "lang",
+        n_tokens.between(MIN_TOKENS, MAX_TOKENS).alias("ok_len"),
+        (n_chars * 1.0 / n_tokens).between(MIN_CPT, MAX_CPT).alias("ok_cpt"),
+        (n_stop * 1.0 / n_tokens >= MIN_STOPWORD_RATIO).alias("ok_stop"),
+        (n_punct * 1.0 / n_chars <= MAX_PUNCT_RATIO).alias("ok_punct"),
+    )
+    keep = F.col("ok_len") & F.col("ok_cpt") & F.col("ok_stop") & F.col("ok_punct")
+
+    def fails(c: str) -> F.Column:
+        return F.sum(F.when(~F.col(c), 1).otherwise(0)).cast("bigint")
+
+    return r.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(keep, 1).otherwise(0)).cast("bigint").alias("n_keep"),
+        fails("ok_len").alias("n_fail_len"),
+        fails("ok_cpt").alias("n_fail_cpt"),
+        fails("ok_stop").alias("n_fail_stop"),
+        fails("ok_punct").alias("n_fail_punct"),
+    )
+
+
+@register(
+    "q77_low_content_source_filter",
+    oracle="""
+    WITH per_source AS (
+        SELECT source, AVG(n_chars) AS avg_chars
+        FROM documents GROUP BY source),
+    blocked AS (
+        SELECT source FROM per_source
+        WHERE avg_chars < (SELECT AVG(n_chars) FROM documents))
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+           CAST(SUM(d.n_chars) AS BIGINT)           AS total_chars
+    FROM documents d
+    WHERE d.source NOT IN (SELECT source FROM blocked)
+    GROUP BY d.lang
+    """,
+)
+def q77_low_content_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived source blocklist: drop every source whose mean document
+    length is below the corpus mean, keep the rest.
+
+    Two-phase scale shape: the per-source aggregate is one row per source
+    (tiny), the corpus mean is a single-row aggregate broadcast onto it,
+    and the blocklist re-joins the corpus as a **broadcast anti-join** — so
+    the full-width document rows never shuffle. ``n_chars`` is integral, so
+    both means are exact-integer-sum divisions and the below-mean boundary
+    is bit-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.avg("n_chars").alias("avg_chars"))
+    corpus_mean = docs.agg(F.avg("n_chars").alias("corpus_mean"))
+    blocked = (
+        per_source.join(F.broadcast(corpus_mean))
+        .filter(F.col("avg_chars") < F.col("corpus_mean"))
+        .select("source")
+    )
+    kept = docs.join(F.broadcast(blocked), "source", "left_anti")
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )

@@ -158,3 +158,114 @@ def q46_sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rev_rank <= 3
         """
     )
+
+
+# -- Bloom-filter semi-join reduction ---------------------------------------
+#
+# Spark itself injects bloom runtime filters under AQE
+# (spark.sql.optimizer.runtime.bloomFilter.enabled), but only for shuffle
+# joins it can see through; q69 demonstrates the explicit form for when the
+# build side is a computed key set. Parameters sized so the false-positive
+# rate stays < 1% at the build cardinality (m/n ≈ 21 bits/key, k = 3).
+BLOOM_BITS = 1 << 16
+BLOOM_HASHES = 3
+_WORD = 64
+
+
+def _bloom_positions(key: F.Column) -> list[F.Column]:
+    """k bit positions for a key — pmod (never abs: abs(LONG_MIN)
+    overflows) of independently-seeded xxhash64."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(BLOOM_BITS))
+        for i in range(BLOOM_HASHES)
+    ]
+
+
+def bloom_bitmap(keys: DataFrame, key_col: str) -> DataFrame:
+    """Aggregate a key column into a single-row ``map<long, long>`` bloom
+    bitmap (word index → 64-bit word). Distributed build: explode bit
+    positions, two-level ``bit_or`` hash-agg (map-side partials), one
+    metadata-sized row out — the same shape Spark's own
+    InjectRuntimeFilter produces driver-side."""
+    pos = keys.select(
+        F.explode(F.array(*_bloom_positions(F.col(key_col)))).alias("pos")
+    )
+    words = pos.select(
+        F.shiftright(F.col("pos"), 6).alias("word"),
+        F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (F.col("pos") % _WORD).cast("int")
+        ).alias("mask"),
+    )
+    return (
+        words.groupBy("word")
+        .agg(F.bit_or("mask").alias("mask"))
+        .agg(
+            F.map_from_arrays(
+                F.collect_list("word"), F.collect_list("mask")
+            ).alias("bloom")
+        )
+    )
+
+
+def bloom_might_contain(key: F.Column, bloom_col: str = "bloom") -> F.Column:
+    """Membership test against :func:`bloom_bitmap`'s map column: every one
+    of the k bits must be set. Pure codegen expressions (element_at +
+    bitwiseAND) — no UDF, no driver round-trip."""
+    cond = F.lit(True)
+    for p in _bloom_positions(key):
+        mask = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (p % _WORD).cast("int")
+        )
+        word = F.coalesce(
+            F.element_at(F.col(bloom_col), F.shiftright(p, 6)), F.lit(0).cast("long")
+        )
+        cond = cond & (word.bitwiseAND(mask) == mask)
+    return cond
+
+
+@register(
+    "q69_bloom_semi_join",
+    oracle="""
+    SELECT l.l_returnflag,
+           CAST(COUNT(*) AS BIGINT)                          AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                                                             AS urgent_revenue
+    FROM lineitem l
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY l.l_returnflag
+    """,
+)
+def q69_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered semi-join: revenue of lineitems on urgent orders.
+
+    Scale pattern: before shuffling the (huge) probe side into the exact
+    semi-join, drop rows that cannot match using a broadcast bloom bitmap
+    built from the key set. The filter runs map-side, before any exchange,
+    so at 100 TB the shuffle carries only ~|matches| + FPR·|probe| rows
+    instead of the whole fact table. False positives are removed by the exact semi-join
+    that follows, so the result is identical to the plain semi-join — which
+    is exactly what the oracle computes (EXISTS). The bloom hash function
+    therefore needs no cross-engine parity.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey"
+    )
+    bitmap = bloom_bitmap(urgent, "o_orderkey")
+    prefiltered = (
+        lineitem.join(F.broadcast(bitmap))
+        .filter(bloom_might_contain(F.col("l_orderkey")))
+        .drop("bloom")
+    )
+    exact = prefiltered.join(
+        urgent, prefiltered["l_orderkey"] == urgent["o_orderkey"], "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
+        ).alias("urgent_revenue"),
+    )

@@ -33,6 +33,8 @@ SUBSET = [
     "q86_minhash_lsh_pairs",      # MinHash LSH
     "q90_cosine_topk_bruteforce", # similarity
     "q93_ann_ivf_topk",           # IVF ANN
+    "q69_bloom_semi_join",        # bloom-prefiltered semi join
+    "q74_quality_filter",         # composite curation rules
 ]
 
 TABLES = [
