@@ -501,3 +501,47 @@ def q44_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.size(F.filter(toks, lambda t: F.length(t) > 5)).alias("n_long"),
     )
+
+
+@register(
+    "q29_trailing_hour_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT)  AS n_1h,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+                                            AS v1000_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q29_trailing_hour_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame: per user, count and sum of events in
+    the trailing hour (inclusive), evaluated at every event.
+
+    Spark's RANGE frames need a numeric ORDER BY, so the timestamp is
+    truncated to epoch seconds on both engines (identical floor for
+    positive epochs); ties within one second share a frame, which RANGE
+    semantics make order-insensitive. The summed measure is exact
+    fixed-point (floor(value*1000) as BIGINT) — float-summation order
+    inside a frame differs across engines, integer sums do not.
+
+    Scale: partitioned by user_id, so WindowExec parallelism is the user
+    cardinality; a bounded trailing frame keeps per-row cost O(frame), and
+    the single sort-shuffle on (user_id, ts) is the whole data movement."""
+    events = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(sec)
+        .rangeBetween(-3600, W.currentRow)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .over(w)
+        .cast("bigint")
+        .alias("v1000_1h"),
+    )

@@ -604,3 +604,81 @@ def q23_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# -- Q21 shape: waiting suppliers (double-correlated EXISTS/NOT EXISTS) -----
+
+
+@register(
+    "q28_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+)
+def q28_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the *sole* late shipper on a
+    finalized multi-supplier order (late = shipped >60 days after the order
+    date; the dataset has no commit/receipt dates).
+
+    Decorrelated Spark-first plan instead of the literal double
+    subquery: per-order supplier counts (one hash-agg over lineitem) and
+    per-order *late*-supplier counts (hash-agg over the late slice) replace
+    the EXISTS / NOT EXISTS pair —
+
+      * EXISTS another supplier       ⟺  n_supp  >= 2
+      * NOT EXISTS other late one    ⟺  n_late_supp == 1 (l1 itself is late)
+
+    Both aggregates shuffle on o_orderkey, the same key as the main join,
+    so AQE coalesces them into one exchange reuse; no per-row correlated
+    probes. The final supplier join broadcasts (suppliers are tiny vs
+    lineitem). Deterministic LIMIT: (numwait DESC, s_name) is a total
+    order because s_name is the grouping key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supplier = load_table(spark, sf_dir, "supplier")
+
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F").select(
+                "o_orderkey", "o_orderdate"
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    n_supp = li.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp")
+    )
+    n_late = late.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_late_supp")
+    )
+    sole_late = (
+        late.join(n_supp, "l_orderkey")
+        .join(n_late, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    return (
+        sole_late.join(
+            F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
