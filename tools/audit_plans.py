@@ -22,6 +22,10 @@ Known-justified flags (not bugs):
     side is 25 rows, the sort is free.
   * q70 full-width-scan:events — latest-state-per-key intentionally
     returns the entire row (CDC semantics), so every column is live.
+  * q28 smj-over-dim:supplier — heuristic misfire: the SMJ is the
+    fact-fact join late⋈n_supp on l_orderkey (both derived from
+    lineitem); the supplier scan the regex window catches belongs to a
+    BroadcastHashJoin two nodes up. Verified by reading the plan.
 """
 
 from __future__ import annotations
