@@ -341,7 +341,11 @@ def q87b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     rather than capping buckets — a cap would break the exactness
     guarantee; the doc-expansion joins are output-bound, and the output is
     genuinely quadratic only where the corpus genuinely is."""
-    fp = simhash_fingerprints(spark, sf_dir)
+    # fp feeds five subtrees (uniq, both sides of the hd-0 self-join, both
+    # doc expansions); checkpoint the ~1-row-per-doc (doc_id, simhash)
+    # result once instead of re-running the tokenize→explode→md5→hash-agg
+    # corpus scan per subtree (the q98 shared-edge-list pattern).
+    fp = simhash_fingerprints(spark, sf_dir).localCheckpoint(eager=True)
     uniq = fp.select("simhash").distinct()
     stack_args = ", ".join(
         f"{b}, cast(shiftright(simhash, {b * SIMHASH_BAND_BITS}) & "
@@ -469,7 +473,8 @@ def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of each pair" is wrong when A~B and B~C but A!~C (the whole chain is one
 # duplicate group). Label propagation converges in O(diameter) rounds;
 # near-dup components are dense, so diameter is small. 20 is a safety cap,
-# not an accuracy knob — convergence is detected exactly.
+# not an accuracy knob — convergence is detected exactly, and hitting the
+# cap without a fixpoint raises instead of returning split components.
 CC_MAX_ITERS = 20
 
 
@@ -499,6 +504,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = None
+    converged = False
     for _ in range(max_iters):
         nbr = und.join(labels, F.col("src") == F.col("node")).select(
             F.col("dst").alias("node"), F.col("label")
@@ -513,8 +519,19 @@ def connected_components(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Returning silently would split long chain components into
+        # multiple cluster_ids (and keep multiple "canonical" docs from one
+        # duplicate group) with nothing signalling it. Min-label
+        # propagation needs O(component diameter) rounds, so a hit cap
+        # means the graph has a chain longer than max_iters.
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint in {max_iters} "
+            "rounds (component diameter exceeds the cap); raise max_iters"
+        )
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", "node").alias("label")
     )
@@ -709,7 +726,13 @@ def q67_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative to input, so nothing downstream blows up."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), r"\s+")
-    idx = F.sequence(F.lit(1), F.floor(F.size(toks) / BOILER_CHUNK).cast("int"))
+    n_chunks = F.floor(F.size(toks) / BOILER_CHUNK).cast("int")
+    # sequence(1, 0) yields a DESCENDING [1, 0] (Spark defaults step to -1
+    # when start > stop), which would emit two bogus chunks for a
+    # sub-{BOILER_CHUNK}-token doc; guard with an explicit empty array.
+    idx = F.when(n_chunks >= 1, F.sequence(F.lit(1), n_chunks)).otherwise(
+        F.array().cast("array<int>")
+    )
     chunks = F.transform(
         idx,
         lambda i: F.md5(

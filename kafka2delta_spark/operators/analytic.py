@@ -511,7 +511,7 @@ def q44_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT)
                                             AS v1000_1h
     FROM events
-    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(epoch(ts) AS BIGINT)
+    WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -520,8 +520,13 @@ def q29_trailing_hour_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     the trailing hour (inclusive), evaluated at every event.
 
     Spark's RANGE frames need a numeric ORDER BY, so the timestamp is
-    truncated to epoch seconds on both engines (identical floor for
-    positive epochs); ties within one second share a frame, which RANGE
+    truncated to epoch seconds on both engines. Truncation must be
+    explicit in the oracle too: DuckDB's CAST(epoch(ts) AS BIGINT)
+    *rounds* fractional seconds while Spark's cast("long") *floors*, and
+    the two conventions produce different frames for sub-second
+    timestamps (observed: 2 divergent rows at sf0.1) — hence
+    FLOOR(epoch(ts)) on the DuckDB side.
+    Ties within one second share a frame, which RANGE
     semantics make order-insensitive. The summed measure is exact
     fixed-point (floor(value*1000) as BIGINT) — float-summation order
     inside a frame differs across engines, integer sums do not.

@@ -44,7 +44,20 @@ _HIVE_UNSAFE_CHARS = set(' "#%\'*/:=?\\{}[]^\x7f')
 
 
 def _hive_dir_safe(value) -> bool:
+    """True only when Python ``str(value)`` is byte-identical to the leaf
+    directory name Spark would write for this partition value. That limits
+    the selective-merge fast path to str / int / date partition columns:
+    floats use Java's ``Double.toString`` ("1.0E7" where Python says
+    "10000000.0"), so a float partition would make the hardlink loop treat
+    a touched partition as untouched and keep both stale and merged files.
+    """
+    import datetime as _dt
+
     if isinstance(value, bool):
+        return False
+    if not isinstance(value, (str, int)) and not (
+        isinstance(value, _dt.date) and not isinstance(value, _dt.datetime)
+    ):
         return False
     s = str(value)
     return s != "" and all(

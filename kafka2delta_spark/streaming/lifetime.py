@@ -85,8 +85,11 @@ def make_lifetime_processor():
                     tcounts[t] = tcounts.get(t, 0) + int(c)
             if n == 0:
                 return iter([])
+            # mx is already epoch-MILLIseconds (pandas datetime64[ns]
+            # .astype(int64) → ns, // 1e6 → ms); event-time timers compare
+            # against the watermark in ms, so no further scaling.
             prev = self.agg.get() if self.agg.exists() else (0, 0, 0)
-            new = (prev[0] + n, prev[1] + v, max(prev[2], mx * 1000))
+            new = (prev[0] + n, prev[1] + v, max(prev[2], mx))
             self.agg.update(new)
             for t, c in tcounts.items():
                 old = (

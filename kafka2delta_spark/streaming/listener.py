@@ -43,6 +43,12 @@ class StreamProgressListener(StreamingQueryListener):
         self._active: set[str] = set()
         self._errors: dict[str, str] = {}
         self._terminated: dict[str, bool] = {}
+        # Generation barrier: mark() snapshots which errors/terminations
+        # already existed, so a waiter reused after an old query failed
+        # reacts only to NEW events (stale entries stay readable via
+        # .error / progress_summary, but no longer fail-fast a fresh wait).
+        self._err_seen: frozenset[str] = frozenset()
+        self._term_seen: frozenset[str] = frozenset()
 
     # -- aggregate views (back-compat with the flag-pair API) --------------
     @property
@@ -89,9 +95,15 @@ class StreamProgressListener(StreamingQueryListener):
 
     # -- waiter API --------------------------------------------------------
     def mark(self) -> None:
-        """Start counting rows for the next ``wait_for_rows`` barrier."""
+        """Start counting rows for the next ``wait_for_rows`` barrier and
+        open a new generation: errors/terminations recorded before this
+        call no longer fail-fast subsequent waits."""
         with self._cond:
             self.marker_rows = 0
+            self._err_seen = frozenset(self._errors)
+            self._term_seen = frozenset(
+                q for q, t in self._terminated.items() if t
+            )
 
     def wait_for_rows(self, expected: int, timeout: float = 120.0) -> bool:
         """Block until ``expected`` input rows have been processed since the
@@ -99,10 +111,16 @@ class StreamProgressListener(StreamingQueryListener):
         deadline = time.monotonic() + timeout
         with self._cond:
             while self.marker_rows < expected:
-                # Fail fast on any recorded error; on clean termination only
-                # once NO tracked query is still active (an unrelated query
-                # finishing must not abort a waiter on a live one).
-                if self._errors or (any(self._terminated.values()) and not self._active):
+                # Fail fast on any error NEW since mark(); on clean
+                # termination only once NO tracked query is still active
+                # (an unrelated query finishing must not abort a waiter on
+                # a live one) and that termination is likewise new.
+                new_err = any(q not in self._err_seen for q in self._errors)
+                new_term = any(
+                    t and q not in self._term_seen
+                    for q, t in self._terminated.items()
+                )
+                if new_err or (new_term and not self._active):
                     return False
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
@@ -115,7 +133,10 @@ class StreamProgressListener(StreamingQueryListener):
         finishes). Returns False on timeout; check ``error`` for failures."""
         deadline = time.monotonic() + timeout
         with self._cond:
-            while not any(self._terminated.values()):
+            while not any(
+                t and q not in self._term_seen
+                for q, t in self._terminated.items()
+            ):
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     return False

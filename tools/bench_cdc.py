@@ -163,6 +163,11 @@ def main() -> None:
         ckpt,
         reg,
         source_df=source,
+        # pin the backend: the final state is read below with a raw
+        # ParquetStateStore, which would miscount (stale MERGE files, no
+        # _delta_log awareness) if 'auto' picked DeltaStateStore on a
+        # machine where delta-spark imports
+        store_backend="parquet",
     )
     q.processAllAvailable()
     q.stop()
