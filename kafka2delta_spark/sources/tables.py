@@ -26,15 +26,30 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    # events.ts is TIMESTAMP(NANOS) in the parquet footer; with
-    # spark.sql.legacy.parquet.nanosAsLong it arrives as long nanos —
-    # convert to a micros timestamp (floor division, matching how
-    # micro-resolution engines truncate nanos).
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        from pyspark.sql import functions as F
+    if name == "events":
+        df = normalize_event_ts(df)
+    return df
 
+
+def normalize_event_ts(df: DataFrame) -> DataFrame:
+    """Normalize ``events.ts`` to a session-timezone TIMESTAMP.
+
+    The column is TIMESTAMP(NANOS) in the parquet footer, which Spark
+    surfaces differently by version: with
+    ``spark.sql.legacy.parquet.nanosAsLong`` (<= 4.0) it arrives as long
+    nanos; Spark 4.1+ reads it natively as TIMESTAMP_NTZ (micros, nanos
+    truncated). Event-time streaming (watermarks) and ``unix_micros``
+    require plain TIMESTAMP, so both shapes converge here. The session
+    timezone is pinned to UTC, so the NTZ->TZ cast is value-preserving.
+    """
+    from pyspark.sql import functions as F
+
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":
         # integer division — nanos exceed double's 53-bit exact range
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif dt == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

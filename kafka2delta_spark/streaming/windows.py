@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.sources.tables import load_table, normalize_event_ts
 from kafka2delta_spark.streaming.drain import drain_to_memory
 
 
@@ -125,9 +125,7 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         _STREAM_DIRS[sf_dir] = d
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     stream = spark.readStream.schema(batch.schema).parquet(_STREAM_DIRS[sf_dir])
-    if dict(stream.dtypes).get("ts") == "bigint":
-        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return normalize_event_ts(stream)
 
 
 @register(
