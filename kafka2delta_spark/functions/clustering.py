@@ -1,0 +1,162 @@
+"""Distributed k-means (Lloyd's algorithm) over the embeddings table.
+
+The IVF index (similarity.py q93) documents its label-mean centroids as a
+k-means stand-in; this module supplies the real thing as a first-class
+operator: K centroids refined with N_ITERS Lloyd iterations, expressed as
+the canonical distributed shape —
+
+  * the corpus NEVER shuffles: each iteration is one scan with the K
+    centroids broadcast (assignment = argmin over a broadcast cross join);
+  * the only aggregation is the centroid update: posexplode to
+    (cluster, dim, value) and hash-aggregate K*DIM cells — partial
+    (map-side) aggregation makes the shuffle K*DIM rows per task, metadata
+    -sized regardless of corpus size;
+  * iterations are unrolled in ONE lazy plan (no driver-side collect of
+    assignments; only the K centroid rows ever reach the driver, and only
+    if an eager checkpoint is requested).
+
+Determinism (the oracle gate hashes values): float arithmetic order is
+engine-dependent, so all geometry runs in fixed-point — coordinates scaled
+by 1e6 and floored to BIGINT. Squared L2 distances over 64 dims stay under
+2^53, so BOTH engines compute them exactly; the centroid update
+floor(sum/count) is exact integer arithmetic. Seeds are fixed vec_ids —
+k-means++ at scale would be a weighted sample per round, but seeding is
+orthogonal to the iteration shape being exhibited here.
+
+DuckDB oracle: the identical algorithm in long form (dimension-unnested),
+2 iterations unrolled as CTEs. Ties in argmin break to the smallest
+cluster id on both engines (explicit ORDER BY dist, cid).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+K_SEEDS = [0, 17, 34, 51]  # fixed seed vec_ids (K = 4)
+N_ITERS = 2
+SCALE = 1_000_000  # fixed-point: floor(x * 1e6) per coordinate
+
+
+def _fixed_vec(col: str = "embedding"):
+    return F.transform(
+        F.col(col), lambda x: F.floor(x.cast("double") * SCALE).cast("bigint")
+    )
+
+
+def _sq_dist(a, b):
+    """Exact squared L2 distance between two BIGINT fixed-point vectors.
+    Per-dim squares <= (2e7)^2 = 4e14; summed over 64 dims < 2^55 — fits
+    BIGINT (and the per-element products fit exactly)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+
+
+def _assign(vectors: DataFrame, centroids: DataFrame) -> DataFrame:
+    """One Lloyd assignment pass: argmin centroid per vector. The corpus
+    side streams; the K centroid rows are broadcast. Ties -> smallest cid."""
+    scored = vectors.crossJoin(F.broadcast(centroids)).withColumn(
+        "__dist", _sq_dist(F.col("vi"), F.col("c"))
+    )
+    w = W.partitionBy("vec_id").orderBy("__dist", "cid")
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select("vec_id", "vi", "cid", "__dist")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """Centroid update: per-(cluster, dim) integer mean, floored. Long-form
+    hash agg (K*DIM cells) re-assembled into an array ordered by dim."""
+    long_form = assigned.select(
+        "cid", F.posexplode("vi").alias("d", "x")
+    )
+    cells = long_form.groupBy("cid", "d").agg(
+        F.floor(F.sum("x") / F.count("*")).cast("bigint").alias("cx")
+    )
+    return (
+        cells.groupBy("cid")
+        .agg(F.sort_array(F.collect_list(F.struct("d", "cx"))).alias("pairs"))
+        .select(
+            "cid",
+            F.transform(F.col("pairs"), lambda p: p["cx"]).alias("c"),
+        )
+    )
+
+
+def _oracle() -> str:
+    seeds = ", ".join(str(s) for s in K_SEEDS)
+    return f"""
+    WITH vl AS (
+        -- promote REAL -> DOUBLE before scaling (matches Spark's
+        -- cast("double"); scaling the raw float4 rounds differently)
+        SELECT vec_id, t.i - 1 AS d,
+               CAST(floor((embedding::DOUBLE[])[t.i] * {SCALE}) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) AS t(i)
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, d, x AS cx FROM vl WHERE vec_id IN ({seeds})
+    ),
+    s1 AS (
+        SELECT vl.vec_id, c0.cid,
+               SUM((vl.x - c0.cx) * (vl.x - c0.cx)) AS dist
+        FROM vl JOIN c0 USING (d)
+        GROUP BY vl.vec_id, c0.cid
+    ),
+    a1 AS (
+        SELECT vec_id, cid FROM s1
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1
+    ),
+    c1 AS (
+        SELECT a1.cid, vl.d,
+               CAST(FLOOR(SUM(vl.x) / COUNT(*)) AS BIGINT) AS cx
+        FROM a1 JOIN vl USING (vec_id)
+        GROUP BY a1.cid, vl.d
+    ),
+    s2 AS (
+        SELECT vl.vec_id, c1.cid,
+               SUM((vl.x - c1.cx) * (vl.x - c1.cx)) AS dist
+        FROM vl JOIN c1 USING (d)
+        GROUP BY vl.vec_id, c1.cid
+    ),
+    a2 AS (
+        SELECT vec_id, cid, dist FROM s2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1
+    )
+    SELECT vec_id, CAST(cid AS BIGINT) AS cluster,
+           CAST(dist AS BIGINT) AS sq_dist
+    FROM a2
+    """
+
+
+@register("q76_kmeans_lloyd", oracle=_oracle())
+def q76_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means: {K_SEEDS}-seeded, N_ITERS Lloyd iterations, fixed-point
+    geometry. Returns every vector's final cluster and exact squared
+    distance. Plan shape per iteration: broadcast-cross-join assignment
+    (corpus never shuffles) + K*DIM-cell centroid hash-agg."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _fixed_vec().alias("vi")
+    )
+    centroids = emb.filter(F.col("vec_id").isin(K_SEEDS)).select(
+        F.col("vec_id").alias("cid"), F.col("vi").alias("c")
+    )
+    assigned = _assign(emb, centroids)
+    for _ in range(N_ITERS - 1):
+        centroids = _update(assigned)
+        assigned = _assign(emb, centroids)
+    return assigned.select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster"),
+        F.col("__dist").alias("sq_dist"),
+    )

@@ -333,3 +333,116 @@ def q94_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("a_nid") / similarity.TOP_K, 4).alias("recall"),
         )
     )
+
+
+# q75: global row index / shard export. Width-based doc_id buckets are the
+# deterministic stand-in for repartitionByRange (whose partition boundaries
+# are sampled, so partition ids are not stable across runs — fine for q33's
+# rank arithmetic, wrong for an index that must be reproducible bit-for-bit
+# across backfills).
+INDEX_BUCKET_WIDTH = 64
+N_SHARDS = 8
+
+
+@register(
+    "q75_global_row_index",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx,
+           CAST((ROW_NUMBER() OVER (ORDER BY doc_id) - 1) % {N_SHARDS} AS BIGINT)
+               AS shard_id
+    FROM documents
+    """,
+)
+def q75_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global row index + training-shard assignment WITHOUT a
+    global window.
+
+    The training-export step needs every document numbered 0..N-1 in a
+    stable global order (here: doc_id) and dealt round-robin into shards.
+    ``ROW_NUMBER() OVER (ORDER BY doc_id)`` is the one-task WindowExec trap
+    (same failure q33 fixes); the scale shape is two-pass:
+
+      1. bucket = doc_id div W — deterministic, order-preserving, no
+         sampling. Per-bucket ``row_number`` is a partitioned (parallel)
+         window.
+      2. per-bucket counts (metadata-sized) -> prefix offsets via a
+         broadcast triangular join -> global_idx = offset + local rn - 1.
+
+    Unlike ``zipWithIndex`` (RDD, two jobs, partition-order-dependent) the
+    result is a pure function of the data. Round-robin sharding
+    (idx % {N_SHARDS}) balances shard sizes to within one row; in
+    production the writer would ``partitionBy(shard_id)``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    bucket = (F.col("doc_id") / INDEX_BUCKET_WIDTH).cast("bigint")
+    wb = W.partitionBy("__b").orderBy("doc_id")
+    local = docs.withColumn("__b", bucket).withColumn(
+        "__rn", F.row_number().over(wb)
+    )
+    counts = local.groupBy("__b").agg(F.count("*").alias("__cnt"))
+    prior = counts.select(
+        F.col("__b").alias("__b2"), F.col("__cnt").alias("__cnt2")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("__b2") < F.col("__b"), "left")
+        .groupBy("__b")
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"))
+    )
+    idx = (F.col("__off") + F.col("__rn") - 1).cast("bigint")
+    return local.join(F.broadcast(offsets), "__b").select(
+        "doc_id",
+        idx.alias("global_idx"),
+        (idx % N_SHARDS).alias("shard_id"),
+    )
+
+
+# q78: fixed-size overlapping character chunks — the doc -> training-sample
+# split. chunk_size/stride in characters (both engines' substr is
+# character-based, so unicode-safe).
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150
+
+
+@register(
+    "q78_doc_chunking",
+    oracle=f"""
+    SELECT g.doc_id,
+           CAST(g.s / {CHUNK_STRIDE} AS BIGINT)              AS chunk_idx,
+           CAST(g.s AS BIGINT)                               AS chunk_start,
+           CAST(length(substr(g.text, g.s + 1, {CHUNK_SIZE})) AS BIGINT)
+                                                             AS chunk_len,
+           md5(substr(g.text, g.s + 1, {CHUNK_SIZE}))        AS chunk_md5
+    FROM (
+        SELECT doc_id, text,
+               unnest(range(0, CAST(length(text) AS BIGINT),
+                            {CHUNK_STRIDE})) AS s
+        FROM documents
+        WHERE length(text) > 0
+    ) g(doc_id, text, s)
+    """,
+)
+def q78_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size chunking (size {CHUNK_SIZE}, stride
+    {CHUNK_STRIDE}): every document becomes ceil(len/stride) training
+    samples with {CHUNK_SIZE - CHUNK_STRIDE}-char overlap. Pure per-row
+    ``sequence`` + ``explode`` — no shuffle, embarrassingly parallel, and
+    the explode factor (~len/stride) is bounded per row, so task memory is
+    flat at any corpus size. Chunk text is emitted as md5 (the artifact
+    stays index-sized; the writer variant would keep the text column)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    starts = F.sequence(
+        F.lit(0).cast("bigint"),
+        (F.length("text") - 1).cast("bigint"),
+        F.lit(CHUNK_STRIDE).cast("bigint"),
+    )
+    chunk = F.substring(F.col("text"), F.col("s").cast("int") + 1, CHUNK_SIZE)
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("s").alias("chunk_start"),
+            F.length(chunk).cast("bigint").alias("chunk_len"),
+            F.md5(chunk).alias("chunk_md5"),
+        )
+    )

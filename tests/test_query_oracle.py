@@ -35,6 +35,9 @@ SUBSET = [
     "q93_ann_ivf_topk",           # IVF ANN
     "q69_bloom_semi_join",        # bloom-prefiltered semi join
     "q74_quality_filter",         # composite curation rules
+    "q75_global_row_index",       # two-pass global index, no global window
+    "q76_kmeans_lloyd",           # iterative Lloyd, fixed-point geometry
+    "q78_doc_chunking",           # per-row explode chunking
 ]
 
 TABLES = [
