@@ -221,3 +221,83 @@ def q77_low_content_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count_distinct("source").alias("n_sources"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+# q79: model-based quality scoring — the fasttext/logreg-classifier stage,
+# expressed as a fixed-weight linear model over native-expression features.
+# All arithmetic is fixed-point BIGINT (ratios scaled by 1e6 and floored),
+# so the score is bit-identical across engines and the keep boundary is
+# exact — no transcendental sigmoid in the hot path (monotone in the
+# logit, so thresholding the logit IS thresholding the probability).
+#
+# Weights are micro-scaled integers (weight * 1e6); plausible hand-set
+# values standing in for a trained model's coefficients — the operator
+# exhibits the inference shape (per-row score, no shuffle), not the fit.
+QW_BIAS = -2_000_000  # -2.0
+QW_AVG_TOK_LEN = 400_000  # +0.4 per char of mean token length
+QW_STOP_RATIO = 3_000_000  # +3.0 * stopword ratio
+QW_PUNCT_RATIO = -8_000_000  # -8.0 * punctuation ratio
+QW_LONG_DOC = 500_000  # +0.5 if len >= 500 chars
+
+
+@register(
+    "q79_quality_model_score",
+    oracle=rf"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_split_to_array(text, '\s+')) AS n_toks,
+               len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                               t -> list_contains(
+                                   ['the','a','and','of','to','in'], t)))
+                   AS n_stop,
+               length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+                   AS n_punct
+        FROM documents),
+    scored AS (
+        SELECT doc_id,
+               CAST({QW_BIAS}
+                    + {QW_AVG_TOK_LEN} * (n_chars // n_toks)
+                    + CAST(FLOOR({QW_STOP_RATIO} * n_stop / n_toks) AS BIGINT)
+                    + CAST(FLOOR({QW_PUNCT_RATIO} * n_punct / n_chars) AS BIGINT)
+                    + CASE WHEN n_chars >= 500 THEN {QW_LONG_DOC} ELSE 0 END
+                 AS BIGINT) AS logit_micro
+        FROM feats WHERE n_toks > 0 AND n_chars > 0)
+    SELECT doc_id, logit_micro, logit_micro > 0 AS keep
+    FROM scored
+    """,
+)
+def q79_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight linear quality model: per-document logit from token
+    statistics, keep = logit > 0. Pure per-row native expressions (regex +
+    integer arithmetic, whole-stage codegen) — the classifier-inference
+    shape at 100 TB is a mapper, and this is that mapper with the model
+    baked in as literals. A learned model swaps the weight constants (or a
+    broadcast weights table for wide feature sets)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), r"\s+")
+    lower_toks = F.split(F.lower(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_chars = F.length("text").cast("bigint")
+    n_toks = F.size(toks).cast("bigint")
+    n_stop = F.size(
+        F.filter(lower_toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    ).cast("bigint")
+    logit = (
+        F.lit(QW_BIAS).cast("bigint")
+        + F.lit(QW_AVG_TOK_LEN) * F.floor(n_chars / n_toks).cast("bigint")
+        + F.floor(F.lit(QW_STOP_RATIO) * n_stop / n_toks).cast("bigint")
+        + F.floor(F.lit(QW_PUNCT_RATIO) * n_punct / n_chars).cast("bigint")
+        + F.when(n_chars >= 500, F.lit(QW_LONG_DOC)).otherwise(0)
+    )
+    return (
+        docs.filter((F.size(toks) > 0) & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            logit.cast("bigint").alias("logit_micro"),
+            (logit > 0).alias("keep"),
+        )
+    )

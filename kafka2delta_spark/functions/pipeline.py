@@ -123,44 +123,67 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The cumsum is two-level so parallelism is NOT bounded by the number of
     languages (a ``W.partitionBy("lang")`` window makes a monolingual 100 TB
-    corpus ONE task): range-partition on (lang, doc_id) → local cumsum per
-    (partition, lang) slice; per-slice totals (metadata-sized) → per-lang
-    prefix offsets, broadcast back. cumsum = offset + local cumsum, exactly
-    the single-window value (same oracle)."""
+    corpus ONE task): see :func:`two_level_cumsum`."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tokens")
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parted = toks.repartitionByRange(n_parts, "lang", "doc_id").withColumn(
-        "__pid", F.spark_partition_id()
-    )
-    wl = (
-        W.partitionBy("__pid", "lang")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    local = parted.withColumn("__local_sum", F.sum("n_tokens").over(wl))
-    sums = parted.groupBy("__pid", "lang").agg(F.sum("n_tokens").alias("__slice_sum"))
-    # per-lang prefix offsets over ≤ n_parts × |langs| rows — metadata-sized
-    woff = W.partitionBy("lang").orderBy("__pid").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    offsets = sums.select(
-        "__pid",
-        "lang",
-        F.coalesce(F.sum("__slice_sum").over(woff), F.lit(0)).alias("__off"),
-    )
-    packed = local.join(F.broadcast(offsets), ["__pid", "lang"]).select(
+    cum = two_level_cumsum(spark, toks, ["lang"], [F.col("doc_id")], "n_tokens")
+    packed = cum.select(
         "lang",
         "n_tokens",
-        F.floor((F.col("__local_sum") + F.col("__off") - 1) / PACK_TOKENS).alias(
-            "bin_id"
-        ),
+        F.floor((F.col("__cum") - 1) / PACK_TOKENS).alias("bin_id"),
     )
     return packed.groupBy("lang", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
+    )
+
+
+def two_level_cumsum(
+    spark: SparkSession,
+    df: DataFrame,
+    group_cols: list[str],
+    order_exprs: list,
+    value_col: str,
+) -> DataFrame:
+    """Grouped running sum whose parallelism is NOT bounded by the group
+    count (shared by q64 packing and q59 budget selection).
+
+    A plain ``W.partitionBy(*group_cols)`` window serializes each group
+    into one task — a monolingual 100 TB corpus becomes ONE task. Instead:
+    range-partition on (group, order) → local cumsum per (partition, group)
+    slice (parallel); per-slice totals (metadata-sized, ≤ n_parts × groups
+    rows) → per-group prefix offsets via a tiny window, broadcast back.
+    ``__cum`` = offset + local cumsum — exactly the single-window value.
+    """
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parted = df.repartitionByRange(n_parts, *group_cols, *order_exprs).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wl = (
+        W.partitionBy("__pid", *group_cols)
+        .orderBy(*order_exprs)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = parted.withColumn("__local_sum", F.sum(value_col).over(wl))
+    sums = parted.groupBy("__pid", *group_cols).agg(
+        F.sum(value_col).alias("__slice_sum")
+    )
+    woff = (
+        W.partitionBy(*group_cols)
+        .orderBy("__pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sums.select(
+        "__pid",
+        *group_cols,
+        F.coalesce(F.sum("__slice_sum").over(woff), F.lit(0)).alias("__off"),
+    )
+    return (
+        local.join(F.broadcast(offsets), ["__pid", *group_cols])
+        .withColumn("__cum", F.col("__local_sum") + F.col("__off"))
+        .drop("__pid", "__local_sum", "__off")
     )
 
 
@@ -445,4 +468,58 @@ def q78_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).cast("bigint").alias("chunk_len"),
             F.md5(chunk).alias("chunk_md5"),
         )
+    )
+
+
+# q59: per-language token-budget selection — "take the best documents until
+# the budget is spent", the curriculum/budgeting step between scoring and
+# packing. Order = quality proxy (longer docs first; doc_id tiebreak keeps
+# it total and deterministic).
+BUDGET_TOKENS = 5_000
+
+
+@register(
+    "q59_token_budget_selection",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT doc_id, lang, length(text) AS n_chars,
+               len(regexp_split_to_array(text, '\s+')) AS n_tokens
+        FROM documents),
+    cum AS (
+        SELECT doc_id, lang, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY lang
+                                   ORDER BY n_chars DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS cum_tokens
+        FROM toks)
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum WHERE cum_tokens <= {BUDGET_TOKENS}
+    """,
+)
+def q59_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Select documents per language, best-first, until a
+    {BUDGET_TOKENS}-token budget is filled (docs straddling the boundary
+    are dropped — conservative). The running total reuses
+    :func:`two_level_cumsum`, so a single dominant language does not
+    serialize the scan; the budget filter is a pure per-row predicate on
+    the cumsum."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(F.split("text", r"\s+")).alias("n_tokens"),
+    )
+    cum = two_level_cumsum(
+        spark,
+        toks,
+        ["lang"],
+        [F.col("n_chars").desc(), F.col("doc_id")],
+        "n_tokens",
+    )
+    return cum.filter(F.col("__cum") <= BUDGET_TOKENS).select(
+        "doc_id",
+        "lang",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("__cum").cast("bigint").alias("cum_tokens"),
     )

@@ -269,3 +269,82 @@ def q69_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
         ).alias("urgent_revenue"),
     )
+
+
+# q48: Z-order (Morton) layout keys — the data-layout op behind
+# OPTIMIZE ... ZORDER BY: interleave the bits of two scan dimensions so
+# files written in z-value order have tight min-max ranges on BOTH
+# columns, letting the reader's zone-map pruning skip files for either
+# predicate. Pure per-row bit arithmetic (whole-stage codegen); the write
+# path would repartitionByRange(z) before writing.
+Z_BITS = 12  # per-dimension bits; 24-bit z-values
+
+
+def _z_interleave(x, y):
+    """Morton-interleave two Z_BITS-wide non-negative ints: bit b of x
+    lands at position 2b, bit b of y at 2b+1."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("bigint")
+    for b in range(Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+            + F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def _z_sql(xcol: str, ycol: str) -> str:
+    terms = []
+    for b in range(Z_BITS):
+        terms.append(f"((({xcol} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ycol} >> {b}) & 1) << {2 * b + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "q48_zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+        SELECT event_id,
+               CAST(user_id % 4096 AS BIGINT) AS zx,
+               CAST(abs(CAST(floor(value * 100) AS BIGINT)) % 4096 AS BIGINT)
+                   AS zy
+        FROM events),
+    z AS (SELECT event_id, zx, zy,
+                 CAST({_z_sql("zx", "zy")} AS BIGINT) AS zval
+          FROM dims)
+    SELECT CAST(zval >> 18 AS BIGINT) AS zfile,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(zx) AS BIGINT) AS min_x, CAST(MAX(zx) AS BIGINT) AS max_x,
+           CAST(MIN(zy) AS BIGINT) AS min_y, CAST(MAX(zy) AS BIGINT) AS max_y
+    FROM z GROUP BY zfile
+    """,
+)
+def q48_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout preview: bucket events by the top 6 bits of the
+    24-bit Morton key over (user_id, value) and report each bucket's
+    min/max on both dimensions — exactly the zone-map stats a reader would
+    prune on. The narrow per-file ranges on BOTH columns (vs a linear sort,
+    which is tight on one and full-range on the other) are the point of
+    the encoding. At 100 TB this is the shuffle key for the layout
+    rewrite: ``repartitionByRange("zval")`` + write."""
+    ev = load_table(spark, sf_dir, "events")
+    zx = (F.col("user_id") % 4096).cast("bigint")
+    zy = (F.abs(F.floor(F.col("value") * 100).cast("bigint")) % 4096).cast(
+        "bigint"
+    )
+    dims = ev.select(
+        "event_id", zx.alias("zx"), zy.alias("zy")
+    ).withColumn("zval", _z_interleave(F.col("zx"), F.col("zy")))
+    return (
+        dims.groupBy(F.shiftright("zval", 18).cast("bigint").alias("zfile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zx").cast("bigint").alias("min_x"),
+            F.max("zx").cast("bigint").alias("max_x"),
+            F.min("zy").cast("bigint").alias("min_y"),
+            F.max("zy").cast("bigint").alias("max_y"),
+        )
+    )

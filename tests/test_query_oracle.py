@@ -38,6 +38,9 @@ SUBSET = [
     "q75_global_row_index",       # two-pass global index, no global window
     "q76_kmeans_lloyd",           # iterative Lloyd, fixed-point geometry
     "q78_doc_chunking",           # per-row explode chunking
+    "q79_quality_model_score",    # fixed-point linear quality model
+    "q59_token_budget_selection", # budget cumsum (shares two_level_cumsum)
+    "q48_zorder_layout",          # Morton interleave + zone-map stats
 ]
 
 TABLES = [
