@@ -55,6 +55,7 @@ _EXTRA_ALIASES = {
     "q28_waiting_suppliers",
     "q29_trailing_hour_frame",
     "q48_zorder_layout",
+    "q49_incremental_user_rollup",
 }
 
 

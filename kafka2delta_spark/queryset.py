@@ -50,3 +50,4 @@ def load_all_querysets() -> None:
     from kafka2delta_spark.operators import cdc_queries  # noqa: F401
     from kafka2delta_spark.streaming import windows  # noqa: F401
     from kafka2delta_spark.streaming import stateful  # noqa: F401
+    from kafka2delta_spark.streaming import incremental  # noqa: F401

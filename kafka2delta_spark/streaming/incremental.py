@@ -1,0 +1,118 @@
+"""Incremental view maintenance: additive aggregates via foreachBatch merge.
+
+The third leg of the stateful-streaming surface, next to q57's
+``applyInPandasWithState`` and lifetime.py's env-gated
+``transformWithStateInPandas``: maintain a per-key aggregate TABLE (not
+in-memory operator state) by folding each micro-batch's partial aggregate
+into the state store — the ``foreachBatch`` + MERGE pattern every
+Delta-based pipeline uses for continuously-maintained rollups, and the
+same shape as the reference's CDC merge loop (ref stream/stream.py:114-148)
+with additive semantics instead of latest-LSN-wins.
+
+Why this scales where complete-mode output (q54) does not: complete mode
+re-emits the ENTIRE result every trigger, so sink I/O is O(total keys) per
+batch. Here each trigger aggregates only the batch (map-side partial
+shuffle of batch-keys rows), and the store merge touches only rows for
+keys present in the batch — with ``DeltaStateStore`` that is a file-pruned
+MERGE; with the parquet store it is union + re-aggregate (associative, so
+the result is order-independent). State lives in the table itself:
+executor memory holds nothing between triggers.
+
+Exactly-once: foreachBatch is at-least-once on retry; production pins
+idempotency by recording the last applied batch_id in the same transaction
+(Delta txn appId/version). The parquet store's versioned commit gives the
+same ledger (version N == batches 0..N applied); a replayed batch would
+re-commit the same content.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.state.store import ParquetStateStore
+
+
+def _partial(batch_df: DataFrame) -> DataFrame:
+    return batch_df.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        .cast("bigint")
+        .alias("v1000"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
+    )
+
+
+def _combine(prior: DataFrame, partial: DataFrame) -> DataFrame:
+    """Additive fold — associative/commutative, so any batch order yields
+    the same table (what makes the view maintainable incrementally)."""
+    return (
+        prior.unionByName(partial)
+        .groupBy("user_id")
+        .agg(
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.sum("v1000").cast("bigint").alias("v1000"),
+            F.max("last_seen_us").cast("bigint").alias("last_seen_us"),
+        )
+    )
+
+
+def maintain_user_rollup(
+    spark: SparkSession, source_df: DataFrame, store: ParquetStateStore
+):
+    """Start the maintenance query: each micro-batch folds its partial
+    aggregate into ``store``. Returns the StreamingQuery (caller awaits)."""
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        partial = _partial(batch_df)
+        prior = store.read() if store.exists() else None
+        store.overwrite(partial if prior is None else _combine(prior, partial))
+
+    checkpoint = tempfile.mkdtemp(prefix="rollup_ckpt_")
+    return (
+        source_df.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+@register(
+    "q49_incremental_user_rollup",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
+           CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained per-user rollup, driven over a TRUE
+    multi-micro-batch stream (the q56/q57 file split: 2 time-ordered files
+    + sentinel, one batch each) and read back from the state store — the
+    final table equals the batch aggregate over all events, which is the
+    invariant incremental maintenance must hold."""
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="rollup_state_") + "/state"
+    )
+    q = maintain_user_rollup(spark, stream, store)
+    q.awaitTermination()
+    return store.read()

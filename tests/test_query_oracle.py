@@ -41,6 +41,7 @@ SUBSET = [
     "q79_quality_model_score",    # fixed-point linear quality model
     "q59_token_budget_selection", # budget cumsum (shares two_level_cumsum)
     "q48_zorder_layout",          # Morton interleave + zone-map stats
+    "q49_incremental_user_rollup",  # foreachBatch additive view maintenance
 ]
 
 TABLES = [
