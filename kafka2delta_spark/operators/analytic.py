@@ -550,3 +550,157 @@ def q29_trailing_hour_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("v1000_1h"),
     )
+
+
+# q39: mergeable histogram quantiles — the scale path q36's docstring
+# points at. Exact percentile (q36) needs the full value multiset per
+# group; a fixed-width histogram needs only per-bin counts, which merge
+# associatively (map-side partial agg shuffles at most |bins| rows per
+# task, regardless of row count) — the same contract sketches like
+# t-digest/KLL satisfy, here with deterministic integer arithmetic so the
+# oracle hashes exactly. Resolution = BIN_WIDTH on the value axis.
+BIN_WIDTH = 100  # l_extendedprice units per bin
+
+
+@register(
+    "q39_histogram_quantiles",
+    oracle=f"""
+    WITH hist AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice / {BIN_WIDTH}) AS BIGINT) AS bin,
+               COUNT(*) AS cnt
+        FROM lineitem GROUP BY 1, 2),
+    cum AS (
+        SELECT flag, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY flag ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY flag) AS n
+        FROM hist)
+    SELECT flag AS l_returnflag,
+           CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST(MIN(CASE WHEN cum >= (n * 50 + 99) // 100 THEN bin END)
+                * {BIN_WIDTH} AS BIGINT) AS p50_edge,
+           CAST(MIN(CASE WHEN cum >= (n * 90 + 99) // 100 THEN bin END)
+                * {BIN_WIDTH} AS BIGINT) AS p90_edge,
+           CAST(MIN(CASE WHEN cum >= (n * 99 + 99) // 100 THEN bin END)
+                * {BIN_WIDTH} AS BIGINT) AS p99_edge
+    FROM cum GROUP BY flag
+    """,
+)
+def q39_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of l_extendedprice per return flag from a mergeable
+    fixed-width histogram: one hash-agg reduces the fact table to
+    (flag, bin) counts; everything after runs on the histogram (≤ ~1k bins
+    per flag — metadata-sized, so its windows are trivially cheap). The
+    quantile is the lower edge of the first bin whose cumulative count
+    reaches ceil(q·n) — pure integer arithmetic on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    hist = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / BIN_WIDTH).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wc = (
+        W.partitionBy("flag")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(wc)).withColumn(
+        "n", F.sum("cnt").over(W.partitionBy("flag"))
+    )
+
+    def edge(q: int):
+        thr = F.floor((F.col("n") * q + 99) / 100)
+        return (
+            F.min(F.when(F.col("cum") >= thr, F.col("bin"))) * BIN_WIDTH
+        ).cast("bigint")
+
+    return cum.groupBy(F.col("flag").alias("l_returnflag")).agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        edge(50).alias("p50_edge"),
+        edge(90).alias("p90_edge"),
+        edge(99).alias("p99_edge"),
+    )
+
+
+# q47: time-series regularization — hourly resample + forward fill, the
+# feature-engineering step between an event stream and a fixed-step model
+# input. Grid density is bounded by the time span, not the event count.
+RESAMPLE_USER_MOD = 50  # exhibit subset: user_id % 50 == 0
+
+
+@register(
+    "q47_resample_ffill",
+    oracle=f"""
+    WITH ev AS (
+        SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000, event_type,
+               ts, event_id
+        FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0),
+    hourly AS (
+        SELECT user_id, hr, v1000, event_type FROM ev
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, hr
+                                   ORDER BY ts DESC, event_id DESC) = 1),
+    grid AS (
+        SELECT user_id, unnest(range(min_hr, max_hr + 1)) AS hr
+        FROM (SELECT user_id, MIN(hr) AS min_hr, MAX(hr) AS max_hr
+              FROM ev GROUP BY user_id)),
+    joined AS (
+        SELECT g.user_id, g.hr, h.v1000, h.event_type
+        FROM grid g LEFT JOIN hourly h
+          ON h.user_id = g.user_id AND h.hr = g.hr)
+    SELECT user_id, hr,
+           LAST_VALUE(v1000 IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY hr
+                     ROWS UNBOUNDED PRECEDING) AS v1000_ff,
+           LAST_VALUE(event_type IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY hr
+                     ROWS UNBOUNDED PRECEDING) AS type_ff,
+           v1000 IS NOT NULL AS observed
+    FROM joined
+    """,
+)
+def q47_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly grid per user (span-bounded ``sequence`` + explode) left-
+    joined with the last observation per hour (``max_by`` hash-agg, no
+    window over raw events), then forward-filled with
+    ``last(ignorenulls)`` per user. The first grid hour is an observed
+    hour by construction, so the fill is total. Partitioned by user —
+    embarrassingly parallel; fixed-point values keep the fill
+    engine-exact."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % RESAMPLE_USER_MOD == 0)
+        .select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+            "event_type",
+            "ts",
+            "event_id",
+        )
+    )
+    hourly = ev.groupBy("user_id", "hr").agg(
+        F.max_by(
+            F.struct("v1000", "event_type"), F.struct("ts", "event_id")
+        ).alias("__last")
+    ).select("user_id", "hr", "__last.v1000", "__last.event_type")
+    bounds = ev.groupBy("user_id").agg(
+        F.min("hr").alias("min_hr"), F.max("hr").alias("max_hr")
+    )
+    grid = bounds.select(
+        "user_id",
+        F.explode(F.sequence("min_hr", "max_hr")).alias("hr"),
+    )
+    joined = grid.join(hourly, ["user_id", "hr"], "left")
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hr",
+        F.last("v1000", ignorenulls=True).over(wf).alias("v1000_ff"),
+        F.last("event_type", ignorenulls=True).over(wf).alias("type_ff"),
+        F.col("v1000").isNotNull().alias("observed"),
+    )

@@ -42,6 +42,8 @@ SUBSET = [
     "q59_token_budget_selection", # budget cumsum (shares two_level_cumsum)
     "q48_zorder_layout",          # Morton interleave + zone-map stats
     "q49_incremental_user_rollup",  # foreachBatch additive view maintenance
+    "q39_histogram_quantiles",    # mergeable fixed-width histogram quantiles
+    "q47_resample_ffill",         # hourly grid + forward fill
 ]
 
 TABLES = [
