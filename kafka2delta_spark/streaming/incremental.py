@@ -113,6 +113,17 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="rollup_state_") + "/state"
     )
-    q = maintain_user_rollup(spark, stream, store)
-    q.awaitTermination()
+    # same knob as drain_to_memory: every micro-batch re-plans its
+    # aggregation with the session's shuffle partitions and pays fixed
+    # cost per partition, so drop to the drain default for the run
+    # (sequential-registry caveat as in drain.py)
+    from kafka2delta_spark.streaming.drain import DRAIN_SHUFFLE_PARTITIONS
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", DRAIN_SHUFFLE_PARTITIONS)
+    try:
+        q = maintain_user_rollup(spark, stream, store)
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store.read()
