@@ -171,19 +171,44 @@ class ParquetStateStore:
                 out.append(int(name[1:]))
         return out
 
-    def overwrite(self, df: DataFrame) -> None:
+    def overwrite(self, df: DataFrame, metadata: dict | None = None) -> None:
         """Commit a new snapshot: write next version dir, flip the pointer
-        atomically, then age out snapshots beyond the retention window."""
+        atomically, then age out snapshots beyond the retention window.
+
+        ``metadata`` rides in the SAME commit as the data (``_META.json``
+        beside ``_SCHEMA.json``, visible only once the version pointer
+        flips) — the parquet-store analogue of Delta's transactional writer
+        metadata (``txnAppId``/``txnVersion``). foreachBatch sinks use it
+        as an idempotency ledger: record the batch id with the snapshot,
+        and a replayed batch (foreachBatch is at-least-once) is detected
+        and skipped instead of double-applied."""
         v = (self._version() or 0) + 1
         writer = df.write.mode("overwrite")
         if self.partition_cols:
             writer = writer.partitionBy(*self.partition_cols)
         writer.parquet(self._dir(v))
         self._write_schema(v, df)
+        if metadata is not None:
+            with open(os.path.join(self._dir(v), "_META.json"), "w") as fh:
+                json.dump(metadata, fh)
         self._set_version(v)
         self._register()
         for old in self.history()[: -self.retain_versions]:
             shutil.rmtree(self._dir(old), ignore_errors=True)
+
+    def metadata(self, version: int | None = None) -> dict:
+        """Commit metadata of the current (or a retained) snapshot; ``{}``
+        when the version committed none. Atomic with the data: written
+        before the pointer flip, so a reader never sees metadata for a
+        half-written snapshot."""
+        cur = self._version()
+        if cur is None:
+            return {}
+        mf = os.path.join(self._dir(cur if version is None else version), "_META.json")
+        if not os.path.exists(mf):
+            return {}
+        with open(mf) as fh:
+            return json.load(fh)
 
     def merge(
         self,

@@ -19,15 +19,54 @@ this helper centralizes the three cost levers:
 
 from __future__ import annotations
 
+import contextlib
 import os
 import tempfile
+import threading
 import uuid
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 
 _CKPT_ROOT: list[str] = []
 
 DRAIN_SHUFFLE_PARTITIONS = "4"
+
+# Guards the session-global ``spark.sql.shuffle.partitions`` mutation:
+# streaming state-store partition count is pinned at query start from that
+# conf (AQE is off for stateful streams), so every drain must set it — but
+# two concurrent/nested drains on one session would restore a stale value.
+# Non-blocking acquire + raise (instead of waiting) because a second drain
+# STARTING while one runs means the caller is violating the sequential
+# contract — waiting would just serialize a bug silently.
+_DRAIN_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def drain_shuffle_partitions(spark: SparkSession, n: str | None = None):
+    """Scoped override of ``spark.sql.shuffle.partitions`` for a streaming
+    drain (default :data:`DRAIN_SHUFFLE_PARTITIONS`). The single shared
+    entry point for the mutation — ``drain_to_memory`` and the foreachBatch
+    maintenance queries (incremental.py) both go through here, so the
+    save/restore logic and the concurrency guard exist exactly once.
+
+    Raises ``RuntimeError`` when a drain is already active on this process:
+    the restore of a nested/concurrent drain would clobber the outer one's
+    saved value."""
+    if not _DRAIN_LOCK.acquire(blocking=False):
+        raise RuntimeError(
+            "concurrent drain: spark.sql.shuffle.partitions is already "
+            "overridden by an active drain; registry streaming queries "
+            "must run sequentially"
+        )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", n or DRAIN_SHUFFLE_PARTITIONS
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        _DRAIN_LOCK.release()
 
 
 def _checkpoint_dir(name: str) -> str:
@@ -49,19 +88,10 @@ def drain_to_memory(
     pure-JVM streaming aggs — their per-batch cost is Python worker
     round-trips, which parallelize per partition, not checkpoint I/O, which
     multiplies per partition (measured on q57: 4 parts 7.5 s → 16 parts
-    5.2 s at sf0.1, while q53-q56 are fastest at 4).
-
-    NOT reentrant: it temporarily mutates the session-global
-    ``spark.sql.shuffle.partitions`` and restores it on exit, so two
-    concurrent (or nested) drains on the same session can restore a stale
-    value. Registry queries run sequentially, which is the supported use."""
+    5.2 s at sf0.1, while q53-q56 are fastest at 4)."""
     spark = df.sparkSession
     name = f"strm_{uuid.uuid4().hex[:8]}"
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", shuffle_partitions or DRAIN_SHUFFLE_PARTITIONS
-    )
-    try:
+    with drain_shuffle_partitions(spark, shuffle_partitions):
         q = (
             df.writeStream.outputMode(mode)
             .format("memory")
@@ -74,6 +104,4 @@ def drain_to_memory(
             q.awaitTermination()
         finally:
             q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return name

@@ -18,11 +18,16 @@ MERGE; with the parquet store it is union + re-aggregate (associative, so
 the result is order-independent). State lives in the table itself:
 executor memory holds nothing between triggers.
 
-Exactly-once: foreachBatch is at-least-once on retry; production pins
-idempotency by recording the last applied batch_id in the same transaction
-(Delta txn appId/version). The parquet store's versioned commit gives the
-same ledger (version N == batches 0..N applied); a replayed batch would
-re-commit the same content.
+Exactly-once: foreachBatch is at-least-once on retry, and additive
+aggregates — unlike the CDC path, whose LSN guard makes replay a no-op —
+have no natural guard: re-folding a replayed batch double-counts it. So
+``merge_batch`` records the applied ``batch_id`` in the SAME commit as the
+snapshot (``ParquetStateStore.overwrite(metadata=...)`` — the ledger flips
+atomically with the version pointer) and skips any batch with
+``batch_id <= last_applied_batch_id``. On Delta the identical pattern is
+the writer's ``txnAppId``/``txnVersion`` options (or reading
+``DeltaTable.history`` for the last txn version): ledger and data in one
+transaction, replay detected by version comparison.
 """
 
 from __future__ import annotations
@@ -60,16 +65,37 @@ def _combine(prior: DataFrame, partial: DataFrame) -> DataFrame:
     )
 
 
+def apply_rollup_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch's partial aggregate into ``store``;
+    replay-idempotent. Returns False (no-op) when ``batch_id`` was already
+    applied — foreachBatch is at-least-once, so a retry after the commit
+    landed, or a restart replaying the last batch not yet recorded in the
+    checkpoint, delivers the same batch again. The ledger
+    (``last_applied_batch_id``) commits atomically with the snapshot, so
+    the check and the data can't diverge."""
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False  # replayed batch: already folded into the snapshot
+    partial = _partial(batch_df)
+    prior = store.read() if store.exists() else None
+    store.overwrite(
+        partial if prior is None else _combine(prior, partial),
+        metadata={"last_applied_batch_id": batch_id},
+    )
+    return True
+
+
 def maintain_user_rollup(
     spark: SparkSession, source_df: DataFrame, store: ParquetStateStore
 ):
     """Start the maintenance query: each micro-batch folds its partial
-    aggregate into ``store``. Returns the StreamingQuery (caller awaits)."""
+    aggregate into ``store`` via :func:`apply_rollup_batch`. Returns the
+    StreamingQuery (caller awaits)."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
-        partial = _partial(batch_df)
-        prior = store.read() if store.exists() else None
-        store.overwrite(partial if prior is None else _combine(prior, partial))
+        apply_rollup_batch(store, batch_df, batch_id)
 
     checkpoint = tempfile.mkdtemp(prefix="rollup_ckpt_")
     return (
@@ -115,15 +141,11 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # same knob as drain_to_memory: every micro-batch re-plans its
     # aggregation with the session's shuffle partitions and pays fixed
-    # cost per partition, so drop to the drain default for the run
-    # (sequential-registry caveat as in drain.py)
-    from kafka2delta_spark.streaming.drain import DRAIN_SHUFFLE_PARTITIONS
+    # cost per partition, so drop to the drain default for the run —
+    # through the one shared (guarded) context manager in drain.py
+    from kafka2delta_spark.streaming.drain import drain_shuffle_partitions
 
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", DRAIN_SHUFFLE_PARTITIONS)
-    try:
+    with drain_shuffle_partitions(spark):
         q = maintain_user_rollup(spark, stream, store)
         q.awaitTermination()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return store.read()
