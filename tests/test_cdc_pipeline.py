@@ -186,6 +186,77 @@ def test_mixed_schema_versions_one_batch(spark, rig):
     assert rows[0]["phone_number"] == "+9"  # newer schema version won by LSN
 
 
+def test_restart_recovery_from_checkpoint(spark, rig, tmp_path):
+    """Exactly-once across restart: run stream_to_delta over a file source
+    (Kafka stand-in), stop the query after batch 1 committed, restart from
+    the SAME checkpoint, feed batch 2, and assert final state equals the
+    batch oracle — the reference's whole delivery story is checkpoint
+    resume + idempotent merge, and this exercises the actual resume path,
+    not just merge idempotency.
+
+    The no-new-input restart also asserts state is unchanged: the resumed
+    query must not re-apply batch 1 (its offsets are committed in the
+    checkpoint; the LSN guard would also mask a replay, so the version
+    count check below pins that no merge even ran)."""
+    from kafka2delta_spark.state.store import ParquetStateStore
+    from kafka2delta_spark.streaming.stream import stream_to_delta
+
+    registry, key_sid, v1, v2, config, store = rig
+    if not isinstance(store, ParquetStateStore):
+        pytest.skip("restart version-count probe is parquet-store-specific")
+    src = str(tmp_path / "source")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows):
+        spark.createDataFrame(rows, KAFKA_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def start():
+        source = spark.readStream.schema(KAFKA_SCHEMA).parquet(src)
+        return stream_to_delta(
+            spark, "restart_test", "none:9092", [TOPIC], {TOPIC: config},
+            ckpt, registry, source_df=source, store_backend="parquet",
+        )
+
+    feed(
+        [
+            mk_record(USERS_V1, key_sid, v1, 1, 10, name="alice"),
+            mk_record(USERS_V1, key_sid, v1, 2, 15, name="bob"),
+        ]
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()  # "kill" after batch 1 committed
+    assert {r["id"]: r["name"] for r in store.read().collect()} == {
+        1: "alice",
+        2: "bob",
+    }
+    v_after_b1 = store._version()
+
+    # restart with no new input: offsets are committed, nothing replays
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert store._version() == v_after_b1  # no merge ran at all
+
+    # restart + batch 2 (update, stale LSN, delete): only the delta applies
+    feed(
+        [
+            mk_record(USERS_V1, key_sid, v1, 2, 30, name="bob_v2"),
+            mk_record(USERS_V1, key_sid, v1, 1, 5, name="stale"),
+            mk_record(USERS_V1, key_sid, v1, 3, 40, deleted="true"),
+        ]
+    )
+    q = start()
+    q.processAllAvailable()
+    q.stop()
+    assert {r["id"]: r["name"] for r in store.read().collect()} == {
+        1: "alice",
+        2: "bob_v2",
+    }
+
+
 def test_partition_pruning_layout(spark, rig):
     """State store is hive-partitioned → scans with partition predicates
     prune files (the reference's year/month layout intent)."""
