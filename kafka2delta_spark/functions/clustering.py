@@ -92,10 +92,27 @@ def _update(assigned: DataFrame) -> DataFrame:
     )
 
 
-def _oracle() -> str:
+def lloyd_centroids(vectors: DataFrame, n_iters: int = N_ITERS) -> DataFrame:
+    """Final centroids ``(cid, c)`` after ``n_iters`` Lloyd iterations from
+    the :data:`K_SEEDS` start over ``(vec_id, vi)`` fixed-point vectors.
+    This is the centroid set the IVF index (similarity.py q93) broadcasts —
+    the corpus never shuffles across the whole refinement."""
+    centroids = vectors.filter(F.col("vec_id").isin(K_SEEDS)).select(
+        F.col("vec_id").alias("cid"), F.col("vi").alias("c")
+    )
+    for _ in range(n_iters - 1):
+        centroids = _update(_assign(vectors, centroids))
+    return centroids
+
+
+def lloyd_oracle_ctes() -> str:
+    """DuckDB CTE prefix shared by q76's oracle and q93's IVF oracle:
+    fixed-point long-form vectors (``vl``), seed centroids (``c0``), one
+    assign+update round (``s1``/``a1``/``c1``) and the final
+    per-(vector, centroid) exact squared distances (``s2``) — i.e. Lloyd
+    with N_ITERS=2 unrolled, identical geometry to the Spark plan."""
     seeds = ", ".join(str(s) for s in K_SEEDS)
-    return f"""
-    WITH vl AS (
+    return f"""vl AS (
         -- promote REAL -> DOUBLE before scaling (matches Spark's
         -- cast("double"); scaling the raw float4 rounds differently)
         SELECT vec_id, t.i - 1 AS d,
@@ -127,7 +144,12 @@ def _oracle() -> str:
                SUM((vl.x - c1.cx) * (vl.x - c1.cx)) AS dist
         FROM vl JOIN c1 USING (d)
         GROUP BY vl.vec_id, c1.cid
-    ),
+    )"""
+
+
+def _oracle() -> str:
+    return f"""
+    WITH {lloyd_oracle_ctes()},
     a2 AS (
         SELECT vec_id, cid, dist FROM s2
         QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
@@ -148,13 +170,7 @@ def q76_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _fixed_vec().alias("vi")
     )
-    centroids = emb.filter(F.col("vec_id").isin(K_SEEDS)).select(
-        F.col("vec_id").alias("cid"), F.col("vi").alias("c")
-    )
-    assigned = _assign(emb, centroids)
-    for _ in range(N_ITERS - 1):
-        centroids = _update(assigned)
-        assigned = _assign(emb, centroids)
+    assigned = _assign(emb, lloyd_centroids(emb))
     return assigned.select(
         "vec_id",
         F.col("cid").cast("bigint").alias("cluster"),

@@ -310,75 +310,79 @@ def q92_label_similarity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_PROBE = 2  # IVF cells probed per query
 
 
-@register(
-    "q93_ann_ivf_topk",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-    cent AS (
-        SELECT label, i, ROUND(AVG(v[i]), 6) AS m
-        FROM e, generate_series(1, {DIM}) t(i)
-        GROUP BY label, i),
-    cvec AS (SELECT label, list(m ORDER BY i) AS cv FROM cent GROUP BY label),
-    cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cnrm FROM cvec),
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    ac AS (
-        SELECT n.vec_id, n.v, n.nrm, c.label,
-               list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS ccos
-        FROM n CROSS JOIN cn c),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-                                     ORDER BY ccos DESC, label) AS crk
-        FROM ac),
-    assign AS (SELECT vec_id, v, nrm, label AS cell FROM ranked WHERE crk = 1),
+def _ivf_oracle() -> str:
+    from kafka2delta_spark.functions.clustering import lloyd_oracle_ctes
+
+    return f"""
+    WITH {lloyd_oracle_ctes()},
+    r2 AS (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS crk
+        FROM s2),
+    assign AS (SELECT vec_id, cid AS cell FROM r2 WHERE crk = 1),
     probes AS (
-        SELECT vec_id AS qid, v AS qv, nrm AS qn, label AS cell
-        FROM ranked WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),
+        SELECT vec_id AS qid, cid AS cell
+        FROM r2 WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     cand AS (
-        SELECT DISTINCT p.qid, p.qv, p.qn, a.vec_id AS nid, a.v, a.nrm
+        SELECT p.qid, a.vec_id AS nid
         FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid),
     scored AS (
-        SELECT qid, nid, list_dot_product(qv, v) / (qn * nrm) AS cosine FROM cand)
+        SELECT c.qid, c.nid,
+               list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cosine
+        FROM cand c
+        JOIN n q ON q.vec_id = c.qid
+        JOIN n t ON t.vec_id = c.nid)
     SELECT qid, nid, ROUND(cosine, 4) AS cosine, rk FROM (
         SELECT qid, nid, cosine,
                ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rk
         FROM scored)
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@register("q93_ann_ivf_topk", oracle=_ivf_oracle())
 def q93_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF (inverted-file) ANN: partition the corpus into cells around
-    centroids, assign each vector to its nearest cell, and search only the
-    query's ``N_PROBE`` nearest cells. Centroid construction here uses the
-    per-label mean (deterministic stand-in for k-means — same centroid
-    count, same search structure); the IVF mechanics — cell assignment,
-    multi-probe, in-cell exact scoring — are the real scale path: the
-    corpus shuffles once on cell id, queries broadcast, and per-query work
-    is |corpus|/|cells| x n_probe instead of |corpus|. Centroid components
-    round to 6dp on both engines so mean-accumulation order can't flip a
-    cell assignment."""
+    """IVF (inverted-file) ANN: partition the corpus into cells around the
+    REAL k-means centroids (clustering.py's Lloyd iteration — seeded,
+    fixed-point, oracle-replayable), assign each vector to its nearest
+    cell, and search only the query's ``N_PROBE`` nearest cells. The IVF
+    mechanics are the scale path: centroid refinement never shuffles the
+    corpus (broadcast assignment + K*DIM-cell hash-agg per iteration),
+    cell assignment is one more broadcast pass, probes broadcast against
+    the cell-partitioned corpus, and per-query work is
+    |corpus|/|cells| x n_probe instead of |corpus|. Cell ranking runs in
+    exact fixed-point squared L2 (bit-equal on both engines), so a
+    borderline cell boundary can't flip between Spark and the oracle;
+    in-cell scoring is exact double cosine as in q90."""
+    from kafka2delta_spark.functions.clustering import (
+        _fixed_vec,
+        _sq_dist,
+        lloyd_centroids,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    # centroids: element-wise label means via posexplode -> (label, pos) agg
-    ex = emb.select("label", F.posexplode(_vec()).alias("pos", "x"))
-    cm = ex.groupBy("label", "pos").agg(F.round(F.avg("x"), 6).alias("m"))
-    cvec = cm.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-        ).alias("cv")
+    base = emb.select(
+        "vec_id", _fixed_vec().alias("vi"), _vec().alias("v")
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    cent = lloyd_centroids(base.select("vec_id", "vi"))
+    ranked = (
+        base.crossJoin(F.broadcast(cent))
+        .withColumn("dist", _sq_dist(F.col("vi"), F.col("c")))
+        .select(
+            "vec_id",
+            "v",
+            "nrm",
+            "cid",
+            F.row_number()
+            .over(W.partitionBy("vec_id").orderBy("dist", "cid"))
+            .alias("crk"),
+        )
     )
-    cn = cvec.select(
-        "label", "cv", F.sqrt(dot(F.col("cv"), F.col("cv"))).alias("cnrm")
-    )
-    n = emb.select("vec_id", _vec().alias("v")).select(
-        "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
-    )
-    ccos = (dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("ccos")
-    ac = n.crossJoin(F.broadcast(cn)).select("vec_id", "v", "nrm", "label", ccos)
-    crk = F.row_number().over(
-        W.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("label"))
-    )
-    ranked = ac.select("vec_id", "v", "nrm", "label", F.col("ccos"), crk.alias("crk"))
     assign = ranked.filter(F.col("crk") == 1).select(
-        "vec_id", "v", "nrm", F.col("label").alias("cell")
+        "vec_id", "v", "nrm", F.col("cid").alias("cell")
     )
     probes = ranked.filter(
         (F.col("vec_id") < N_QUERIES) & (F.col("crk") <= N_PROBE)
@@ -386,18 +390,20 @@ def q93_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-        F.col("label").alias("cell"),
+        F.col("cid").alias("cell"),
     )
+    # (qid, nid) is already unique — each vector lives in exactly one cell
+    # and a query's probe cells are distinct — so no dedup shuffle needed
     cand = (
         assign.alias("a")
         .join(
             F.broadcast(probes.alias("p")),
-            (F.col("a.cell") == F.col("p.cell")) & (F.col("a.vec_id") != F.col("p.qid")),
+            (F.col("a.cell") == F.col("p.cell"))
+            & (F.col("a.vec_id") != F.col("p.qid")),
         )
         .select(
             "p.qid", "p.qv", "p.qn", F.col("a.vec_id").alias("nid"), "a.v", "a.nrm"
         )
-        .distinct()
     )
     scored = cand.select(
         "qid",
