@@ -397,7 +397,9 @@ def q75_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     (idx % {N_SHARDS}) balances shard sizes to within one row; in
     production the writer would ``partitionBy(shard_id)``."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    bucket = (F.col("doc_id") / INDEX_BUCKET_WIDTH).cast("bigint")
+    # true integer division: double-divide-then-cast is inexact past 2^53
+    # and truncates toward zero (non-order-preserving for negative ids)
+    bucket = F.expr(f"doc_id div {INDEX_BUCKET_WIDTH}")
     wb = W.partitionBy("__b").orderBy("doc_id")
     local = docs.withColumn("__b", bucket).withColumn(
         "__rn", F.row_number().over(wb)

@@ -45,7 +45,12 @@ def write_training_shards(
     sharded = df.withColumn("shard", assign_shard(F.col(key_col), n_shards))
     (
         sharded.repartition(n_shards, "shard")
-        .sortWithinPartitions(*(sort_cols or [key_col]))
+        # shard leads the sort: two shard values can hash-collide into one
+        # task, and the dynamic-partition writer's own partition-column
+        # sort is not stability-guaranteed under spill — sorting
+        # (shard, key...) satisfies the writer's required ordering
+        # directly, so within-file order stays deterministic either way
+        .sortWithinPartitions("shard", *(sort_cols or [key_col]))
         .write.mode("overwrite")
         .partitionBy("shard")
         .parquet(path)
