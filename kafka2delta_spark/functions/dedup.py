@@ -37,6 +37,39 @@ BAND_SIZE = 2  # → 4 bands of 2 signatures each
 # exact on the reduced space). Pair output is bounded by n_buckets * C(cap,2).
 SHINGLE_DF_CAP = 64  # q88: max docs sharing a shingle
 BAND_BUCKET_CAP = 64  # q86: max docs colliding in one band
+# Adaptive-cap knob: fraction of the bucket-width distribution kept.
+CAP_QUANTILE = 0.99
+
+
+def adaptive_candidate_cap(
+    bucket_sizes: DataFrame,
+    size_col: str,
+    quantile: float = CAP_QUANTILE,
+    floor: int = BAND_BUCKET_CAP,
+) -> int:
+    """Candidate-explosion cap derived from the observed bucket-width
+    distribution instead of a constant.
+
+    Why a constant cap doesn't survive scale-up: at 100x the corpus the
+    same shingle/band keys collect ~100x the documents, so a fixed cap of
+    64 silently drops a much larger FRACTION of the shingle/band space —
+    recall degrades with growth while the pair bound stays flat. Capping
+    at a quantile of the width distribution keeps the dropped fraction
+    constant (1 - quantile) at any scale: for Zipf-shaped document
+    frequencies the P99 width grows ~logarithmically with corpus size, so
+    the pair bound n_buckets * C(cap, 2) grows polylog — bounded — while
+    recall characteristics are preserved.
+
+    One extra hash-agg job over the (already aggregated, bucket-count-
+    sized) width distribution via distributed t-digest
+    (``approx_percentile``, accuracy 10000 → error < 0.01%); the driver
+    receives one scalar. ``floor`` keeps tiny corpora at the constant cap
+    so small-scale results (and the fixed-cap oracles) are unchanged.
+    """
+    q = bucket_sizes.select(
+        F.expr(f"approx_percentile({size_col}, {quantile}, 10000)").alias("q")
+    ).collect()[0]["q"]
+    return max(floor, int(q or 0))
 
 
 def pairs_within_groups(
@@ -212,7 +245,18 @@ def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Signatures are md5 hex strings so the oracle computes bit-identical
     values. Minhashes are computed in exploded (doc_id, shingle) space —
     8 codegen'd md5 projections + one hash-agg of mins — not inside an
-    interpreted array-lambda."""
+    interpreted array-lambda. Registered with the constant cap (the
+    oracle's literal); production scale-up passes cap="adaptive" — see
+    minhash_lsh_pairs / adaptive_candidate_cap."""
+    return minhash_lsh_pairs(spark, sf_dir, cap=BAND_BUCKET_CAP)
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | str = BAND_BUCKET_CAP
+) -> DataFrame:
+    """q86's core with the candidate-explosion cap as a knob: an int, or
+    ``"adaptive"`` to derive it from the P99 of the band-bucket width
+    distribution (constant dropped fraction at any corpus size)."""
     sh = shingle_rows(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -234,11 +278,18 @@ def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ", ".join(f"{b}, band{b}" for b, _ in _BANDS)
         + ") AS (band_id, band_key)",
     )
-    buckets = (
-        bands.groupBy("band_id", "band_key")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids").between(2, BAND_BUCKET_CAP))
+    widths = bands.groupBy("band_id", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
+    if cap == "adaptive":
+        # the quantile is an extra eager job over the bucket widths, so
+        # persist them — the pair-expansion scan below reuses the
+        # materialized buckets instead of re-running the minhash pipeline
+        widths = widths.persist()
+        cap = adaptive_candidate_cap(
+            widths.select(F.size("ids").alias("w")), "w"
+        )
+    buckets = widths.filter(F.size("ids").between(2, cap))
     return (
         pairs_within_groups(buckets)
         .groupBy("doc_a", "doc_b")
@@ -438,13 +489,31 @@ def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     are dropped from the shingle space before candidates AND set sizes, so
     Jaccard stays exact on the reduced space while pair output is bounded
     by n_shingles * C(cap, 2); both derive from one groupBy(shingle) whose
-    exchange the plan reuses (ReusedExchange)."""
+    exchange the plan reuses (ReusedExchange). Registered with the
+    constant cap (the oracle's literal); production scale-up passes
+    cap="adaptive" — see jaccard_similar_pairs / adaptive_candidate_cap."""
+    return jaccard_similar_pairs(spark, sf_dir, cap=SHINGLE_DF_CAP)
+
+
+def jaccard_similar_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | str = SHINGLE_DF_CAP
+) -> DataFrame:
+    """q88's core with the shingle document-frequency cap as a knob: an
+    int, or ``"adaptive"`` to derive it from the P99 of the docs-per-
+    shingle distribution (constant dropped fraction at any corpus size)."""
     ex = shingle_rows(spark, sf_dir, k=3)
-    grouped = (
-        ex.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") <= SHINGLE_DF_CAP)
+    by_shingle = ex.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
+    if cap == "adaptive":
+        # extra eager quantile job → persist so sizes/buckets below reuse
+        # the materialized shingle groups instead of re-shingling
+        by_shingle = by_shingle.persist()
+        cap = adaptive_candidate_cap(
+            by_shingle.select(F.size("ids").alias("w")), "w",
+            floor=SHINGLE_DF_CAP,
+        )
+    grouped = by_shingle.filter(F.size("ids") <= cap)
     sizes = (
         grouped.select(F.explode("ids").alias("doc_id"))
         .groupBy("doc_id")

@@ -63,6 +63,82 @@ def test_minhash_band_cap_bounds_pairs(spark, stop_phrase_dir):
     assert len(genuine) > 0
 
 
+def _stop_phrase_corpus(spark, root, n_docs):
+    """Corpus of n_docs where EVERY doc shares a 3-token stop phrase (so
+    the stop shingle's df == corpus size) and only (2i, 2i+1) pairs share
+    their FULLY pair-specific tail — the stop shingle is then a true
+    outlier (<1% of the distinct-shingle space), which is the regime the
+    quantile cap is built for."""
+    rows = []
+    for i in range(n_docs):
+        j = i // 2
+        tail = " ".join(f"p{j}t{t}" for t in range(14))
+        rows.append((i, f"the quick brown {tail}"))
+    d = f"{root}/sf_{n_docs}"
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_adaptive_cap_tracks_distribution_quantile(spark):
+    """The knob itself: cap = max(floor, P99 of the width distribution).
+    A heavy tail moves the cap with the distribution; a light tail keeps
+    the floor (so small corpora — and the fixed-cap oracles — see the
+    constant)."""
+    from kafka2delta_spark.functions.dedup import adaptive_candidate_cap
+
+    light = spark.createDataFrame([(w,) for w in [1] * 990 + [3] * 10], "w int")
+    assert adaptive_candidate_cap(light, "w") == 64  # floor wins
+    heavy = spark.createDataFrame(
+        [(w,) for w in [2] * 980 + [200] * 20], "w int"
+    )
+    cap = adaptive_candidate_cap(heavy, "w")
+    assert cap == 200  # P99 reaches into the heavy tail
+
+
+def test_adaptive_cap_pair_output_linear_in_corpus(spark, tmp_path_factory):
+    """Double the corpus (so the stop-phrase df doubles too): with the
+    adaptive cap the dropped fraction stays constant — the stop bucket is
+    dropped at every scale and pair output tracks GENUINE pairs (linear),
+    never C(n, 2). A fixed cap passes this too at these sizes; the
+    adaptive form is what keeps the property when df quantiles drift at
+    100x (test pins the mechanism: cap stays at the floor while df==n
+    blows through it)."""
+    from kafka2delta_spark.functions.dedup import jaccard_similar_pairs
+
+    root = str(tmp_path_factory.mktemp("growth"))
+    counts = {}
+    for n in (N_DOCS, 2 * N_DOCS):
+        d = _stop_phrase_corpus(spark, root, n)
+        out = jaccard_similar_pairs(spark, d, cap="adaptive").collect()
+        # only genuine tail-sharing pairs survive: linear in corpus size
+        assert all(r.doc_b == r.doc_a + 1 and r.doc_a % 2 == 0 for r in out)
+        counts[n] = len(out)
+    assert 0 < counts[N_DOCS] <= N_DOCS // 2
+    # linear growth: doubling docs at most doubles pairs (quadratic growth
+    # through an uncapped stop bucket would be ~4x and orders larger)
+    assert counts[2 * N_DOCS] <= 2 * counts[N_DOCS]
+
+
+def test_adaptive_minhash_matches_fixed_at_small_scale(spark, sf_dir):
+    """On the real test corpus the band-width P99 sits under the floor, so
+    adaptive and fixed caps produce identical candidate sets — the
+    oracle-gated registry entries are unchanged by the knob. (On a
+    heavily skewed corpus the two deliberately diverge: that divergence
+    is the knob doing its job, covered by the linear-growth test above.)"""
+    from kafka2delta_spark.functions.dedup import (
+        minhash_lsh_pairs,
+        q86_minhash_lsh_pairs,
+    )
+
+    fixed = sorted(map(tuple, q86_minhash_lsh_pairs(spark, sf_dir).collect()))
+    adaptive = sorted(
+        map(tuple, minhash_lsh_pairs(spark, sf_dir, cap="adaptive").collect())
+    )
+    assert fixed == adaptive
+
+
 def test_pairs_within_groups_cap_contract(spark):
     """pairs_within_groups itself stays quadratic — callers must cap; the
     registry callers all do (df cap / band cap / LSH bucket width)."""
