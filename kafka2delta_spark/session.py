@@ -58,10 +58,12 @@ def build_session(
     )
     # Streaming state-store backend. Default = HDFS-backed (in-heap); set
     # SPARK_GRAFT_STATE_STORE=rocksdb for the RocksDB provider (OSS Spark
-    # ≥3.2) — equal at bench scale (q57 medians 5.9 s vs 5.7 s at sf0.1),
-    # but the right choice once per-partition state exceeds executor heap:
-    # RocksDB spills to local disk with changelog checkpointing instead of
-    # OOMing. Scale-relevant knob, observable default.
+    # ≥3.2). Measured on the q56+q57+q58 block at sf0.1 (n=3 medians,
+    # tmpfs checkpoints): HDFS 9.8 s vs RocksDB 12.4 s — native DB
+    # open/commit per store instance dominates while state is tiny. The
+    # crossover is when per-partition state approaches executor heap:
+    # RocksDB spills to local disk with changelog checkpointing instead
+    # of OOMing. Scale-relevant knob, observable default.
     if os.environ.get("SPARK_GRAFT_STATE_STORE", "").lower() == "rocksdb":
         builder = builder.config(
             "spark.sql.streaming.stateStore.providerClass",

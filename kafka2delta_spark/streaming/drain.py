@@ -69,16 +69,33 @@ def drain_shuffle_partitions(spark: SparkSession, n: str | None = None):
         _DRAIN_LOCK.release()
 
 
+def _scratch_base() -> str:
+    """Checkpoint scratch base: tmpfs when the host has one. Streaming
+    checkpoints fsync per micro-batch (offset log, commit log, state
+    snapshots); on tmpfs the sync is a memory barrier instead of a disk
+    flush, which is pure win for a drain whose checkpoint is scratch by
+    definition (the memory-sink result is consumed in-process — nothing
+    to recover). Durable pipelines (stream_to_delta) keep caller-provided
+    checkpoint paths on real storage. K2D_CKPT_DIR overrides."""
+    override = os.environ.get("K2D_CKPT_DIR")
+    if override:
+        return override
+    return "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+
+
 def _checkpoint_dir(name: str) -> str:
     if not _CKPT_ROOT:
-        _CKPT_ROOT.append(tempfile.mkdtemp(prefix="k2d_ckpts_"))
+        _CKPT_ROOT.append(tempfile.mkdtemp(prefix="k2d_ckpts_", dir=_scratch_base()))
     d = os.path.join(_CKPT_ROOT[0], name)
     os.makedirs(d, exist_ok=True)
     return d
 
 
 def drain_to_memory(
-    df: DataFrame, mode: str, shuffle_partitions: str | None = None
+    df: DataFrame,
+    mode: str,
+    shuffle_partitions: str | None = None,
+    no_data_batches: bool = True,
 ) -> str:
     """Run a streaming DataFrame to a memory sink until the source is
     exhausted; return the sink table name.
@@ -88,20 +105,48 @@ def drain_to_memory(
     pure-JVM streaming aggs — their per-batch cost is Python worker
     round-trips, which parallelize per partition, not checkpoint I/O, which
     multiplies per partition (measured on q57: 4 parts 7.5 s → 16 parts
-    5.2 s at sf0.1, while q53-q56 are fastest at 4)."""
+    5.2 s at sf0.1, while q53-q56 are fastest at 2-4).
+
+    ``no_data_batches=False`` skips the trailing empty micro-batch Spark
+    runs after the source drains. That batch is REQUIRED wherever results
+    emit on watermark eviction — event-time timeouts (q57), outer-join
+    null rows (q58), append-mode window finalization (q53) — but for
+    eager-emitting queries (stream-stream INNER join: every match is
+    emitted in the batch that finds it) it is one full state-store
+    commit round bought for nothing.
+
+    Measured drain cost anatomy (sf0.1, local[32], warm, n=3 medians):
+    stateless passthrough = 1.0 s — query start/stop + 2 data triggers'
+    planning and offset/commit-log writes; this is the floor any drain
+    pays. Stateful adds per-trigger state-store commit x partitions and
+    (for Python ops) Arrow worker round-trips: q56 inner join 2.5 s,
+    q58 outer 2.5 s, q57 applyInPandasWithState 3.9 s. Checkpoints live
+    on tmpfs (see _scratch_base); the dominant remaining term is
+    per-trigger fixed cost, which scales with trigger count, not data —
+    at real scale the same queries amortize it over GB-sized batches."""
     spark = df.sparkSession
     name = f"strm_{uuid.uuid4().hex[:8]}"
     with drain_shuffle_partitions(spark, shuffle_partitions):
-        q = (
-            df.writeStream.outputMode(mode)
-            .format("memory")
-            .queryName(name)
-            .trigger(availableNow=True)
-            .option("checkpointLocation", _checkpoint_dir(name))
-            .start()
+        prev_ndb = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+        spark.conf.set(
+            "spark.sql.streaming.noDataMicroBatches.enabled",
+            str(no_data_batches).lower(),
         )
         try:
-            q.awaitTermination()
+            q = (
+                df.writeStream.outputMode(mode)
+                .format("memory")
+                .queryName(name)
+                .trigger(availableNow=True)
+                .option("checkpointLocation", _checkpoint_dir(name))
+                .start()
+            )
+            try:
+                q.awaitTermination()
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            spark.conf.set(
+                "spark.sql.streaming.noDataMicroBatches.enabled", prev_ndb
+            )
     return name

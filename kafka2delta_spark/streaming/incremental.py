@@ -88,16 +88,26 @@ def apply_rollup_batch(
 
 
 def maintain_user_rollup(
-    spark: SparkSession, source_df: DataFrame, store: ParquetStateStore
+    spark: SparkSession,
+    source_df: DataFrame,
+    store: ParquetStateStore,
+    checkpoint: str | None = None,
 ):
     """Start the maintenance query: each micro-batch folds its partial
     aggregate into ``store`` via :func:`apply_rollup_batch`. Returns the
-    StreamingQuery (caller awaits)."""
+    StreamingQuery (caller awaits). Without an explicit ``checkpoint``
+    (a durable deployment would pass one on real storage), a scratch dir
+    on the drain's tmpfs root is used."""
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_rollup_batch(store, batch_df, batch_id)
 
-    checkpoint = tempfile.mkdtemp(prefix="rollup_ckpt_")
+    if checkpoint is None:
+        from kafka2delta_spark.streaming.drain import _checkpoint_dir
+
+        checkpoint = tempfile.mkdtemp(
+            prefix="rollup_ckpt_", dir=_checkpoint_dir("rollup")
+        )
     return (
         source_df.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
@@ -118,10 +128,11 @@ def maintain_user_rollup(
 )
 def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Continuously-maintained per-user rollup, driven over a TRUE
-    multi-micro-batch stream (the q56/q57 file split: 2 time-ordered files
-    + sentinel, one batch each) and read back from the state store — the
-    final table equals the batch aggregate over all events, which is the
-    invariant incremental maintenance must hold."""
+    multi-micro-batch stream (the q56/q57 file split: 2 time-ordered
+    files, one batch each, sentinel riding in the second) and read back
+    from the state store — the final table equals the batch aggregate
+    over all events, which is the invariant incremental maintenance must
+    hold."""
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
         _events_multibatch_dir,

@@ -9,9 +9,11 @@ event-time timeouts).
 
 Both run as TRUE multi-micro-batch streaming queries: the events table is
 split into two time-ordered files consumed with ``maxFilesPerTrigger=1``,
-so join state and session state genuinely carry across micro-batches —
-plus a far-future sentinel event whose watermark advance flushes every
-open session through the event-time timeout path.
+so join state and session state genuinely carry across micro-batches. A
+far-future sentinel event rides at the end of the second file; its
+watermark advance (applied at batch end) flushes every open session /
+unmatched outer row through the timeout-eviction path in the trailing
+no-data batch — one fewer data trigger than a separate sentinel file.
 
 Scale posture: stream-stream join state is bounded by the watermark delay
 x event rate per key; session state is one small struct per active key.
@@ -44,19 +46,27 @@ _SPLIT_DIRS: dict[str, str] = {}
 
 
 def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Split the events table into two time-ordered parquet files plus a
-    far-future sentinel event, in a scratch dir. With maxFilesPerTrigger=1
-    the file source turns each file into its own micro-batch, in name
-    order — so state genuinely crosses batch boundaries and the sentinel's
-    watermark advance closes every real session."""
+    """Split the events table into two time-ordered parquet files — the
+    second carrying a far-future sentinel event appended after the real
+    tail — in a scratch dir. With maxFilesPerTrigger=1 the file source
+    turns each file into its own micro-batch, in name order, so state
+    genuinely crosses a batch boundary; the sentinel advances the
+    watermark at the END of b1's batch and the trailing no-data batch
+    (noDataMicroBatches, on by default) runs the timeout/eviction flush.
+    Folding the sentinel into b1 instead of a third file drops one full
+    data micro-batch — per-trigger checkpoint and planning cost is the
+    dominant term of every drain, so each streaming query saves a fixed
+    ~1 trigger. Watermarks only ever update at batch end, so b1's real
+    rows are processed under the post-b0 watermark either way — result
+    sets are unchanged (oracle-verified)."""
     if sf_dir in _SPLIT_DIRS:
         return _SPLIT_DIRS[sf_dir]
     # deterministic scratch path keyed by the source dir -> built once per
     # machine, reused across processes (bench runs pay the split only once)
     key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"events_split_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"events_split2_{key}")
     stream_dir = f"{d}/stream"
-    if os.path.isdir(stream_dir) and len(os.listdir(stream_dir)) == 3:
+    if os.path.isdir(stream_dir) and len(os.listdir(stream_dir)) == 2:
         _SPLIT_DIRS[sf_dir] = stream_dir
         return stream_dir
     ev = load_table(spark, sf_dir, "events")
@@ -69,13 +79,9 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
     ev.filter(F.unix_micros("ts") < mid_us).coalesce(1).write.mode("overwrite").parquet(
         f"{d}/b0"
     )
-    ev.filter(F.unix_micros("ts") >= mid_us).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{d}/b1")
-    # sentinel = one event 10h after the real max ts
+    # sentinel = one event 10h after the real max ts, appended to b1
     sent = (
-        load_table(spark, sf_dir, "events")
-        .orderBy(F.desc("ts"))
+        ev.orderBy(F.desc("ts"))
         .limit(1)
         .select(
             (F.col("event_id") + 10**9).alias("event_id"),
@@ -86,11 +92,14 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
             F.lit("{}").alias("props"),
         )
     )
-    sent.coalesce(1).write.mode("overwrite").parquet(f"{d}/b2")
+    b1 = ev.filter(F.unix_micros("ts") >= mid_us).unionByName(
+        sent.select(*ev.columns)
+    )
+    b1.coalesce(1).write.mode("overwrite").parquet(f"{d}/b1")
     tmp_stream = f"{d}/stream.tmp"
     shutil.rmtree(tmp_stream, ignore_errors=True)
     os.makedirs(tmp_stream)
-    for i, sub in enumerate(["b0", "b1", "b2"]):
+    for i, sub in enumerate(["b0", "b1"]):
         (src,) = [f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")]
         os.symlink(f"{d}/{sub}/{src}", f"{tmp_stream}/part-{i:03d}.parquet")
     shutil.rmtree(stream_dir, ignore_errors=True)
@@ -155,9 +164,13 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
     # Opposite tuning to q57: the stream-stream join is pure JVM, and each
     # partition carries FOUR state stores (left/right × key/keyWithIndex)
-    # paying checkpoint I/O per batch — fewer partitions win. Measured
-    # sf0.1 medians: 2→3.36 s, 4→3.71 s, 8→4.5 s, 16→9.0 s.
-    name = drain_to_memory(joined, "append", shuffle_partitions="2")
+    # paying checkpoint I/O per batch — fewer partitions win (sf0.1
+    # medians post-sentinel-fold: 1→2.8 s, 2→2.47 s, 4→2.47 s). Inner
+    # joins emit matches eagerly, so the trailing no-data flush batch
+    # buys nothing — skip it (one fewer state-commit round).
+    name = drain_to_memory(
+        joined, "append", shuffle_partitions="2", no_data_batches=False
+    )
     return spark.table(name)
 
 
@@ -211,9 +224,10 @@ def q58_stream_stream_left_outer_join(
         & (F.col("click_ts") <= F.col("purchase_ts")),
         "leftOuter",
     ).select("purchase_id", "click_id", "user_id", "purchase_ts", "click_ts")
-    # Outer join pays one extra watermark-flush batch vs q56; measured
-    # sf0.1 warm medians: 1→4.1 s, 2→3.7 s, 4→3.5 s.
-    name = drain_to_memory(joined, "append", shuffle_partitions="4")
+    # Outer join NEEDS the no-data flush batch (unmatched rows emit on
+    # watermark eviction); measured sf0.1 warm medians post-sentinel-fold:
+    # 1→2.68 s, 2→2.47 s, 4→2.51 s.
+    name = drain_to_memory(joined, "append", shuffle_partitions="2")
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
 
 
