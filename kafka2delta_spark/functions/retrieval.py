@@ -1,0 +1,284 @@
+"""Retrieval + selection operators for training-data pipelines.
+
+Three operators a corpus-curation stack runs between dedup and export,
+none present in the reference (its query surface is filter/LIKE/count —
+ref stream/test/stream_test.py:206-209); all follow the repo's
+oracle-portability discipline (md5-derived randomness, fixed-point or
+fixed-order float arithmetic):
+
+  * qx01 — BM25 lexical scoring (Okapi, Lucene's +1-inside-log idf): the
+    standard retrieval baseline used for benchmark-contamination sweeps
+    and quality-targeted subset selection. Scale shape: token explode is
+    filtered to the (tiny, literal) query vocabulary BEFORE any shuffle,
+    per-(doc, term) tf is one hash-agg, df and corpus stats are
+    metadata-sized broadcasts — the corpus never shuffles by itself.
+  * qx02 — deterministic weighted sampling (Efraimidis-Spirakis A-ES):
+    priority u^(1/w) with u drawn from md5(doc_id) — a pure function of
+    the data, reproducible across runs/cluster sizes, unlike
+    ``rand()``-based sampling. Per-group top-k by priority = one
+    partitioned window over k·|groups| rows.
+  * qx03 — semantic dedup (SemDeDup-flavored, Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with the real Lloyd k-means
+    (clustering.py), keep each cluster's medoid, and prune other vectors
+    whose squared distance to the centroid is under a radius — redundant
+    near-center points add least diversity per token. All geometry in
+    exact fixed-point BIGINT, so both engines agree bit-for-bit; cost is
+    linear per cluster (no pairwise work).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+# BM25 parameters (Okapi defaults) and the query vocabulary — literals
+# baked into both engines' plans, like the LSH hyperplanes.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("join", "vector", "stream")
+BM25_TOP_K = 10
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    # Per-term scores pivot into FIXED columns summed in a fixed order:
+    # SQL SUM over a per-doc term group has no ordering guarantee, and
+    # three floats added in different orders can differ in the last ulp —
+    # enough to flip a 4dp round under the hash gate.
+    per_term = " + ".join(
+        f"COALESCE(s_{t}, 0.0)" for t in BM25_TERMS
+    )
+    pivots = ", ".join(
+        f"SUM(CASE WHEN term = '{t}' THEN score END) AS s_{t}"
+        for t in BM25_TERMS
+    )
+    return f"""
+    WITH d AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(lower(text), '\\s+'))::DOUBLE AS dl,
+               regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    stats AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avgdl FROM d),
+    tr AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
+    tf AS (SELECT doc_id, term, dl, COUNT(*)::DOUBLE AS tf
+           FROM tr WHERE term IN ({terms}) GROUP BY doc_id, term, dl),
+    df AS (SELECT term, COUNT(*)::DOUBLE AS df FROM tf GROUP BY term),
+    ts AS (
+        SELECT tf.doc_id, tf.term,
+               ln((s.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * tf.tf * ({BM25_K1} + 1)
+                 / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * tf.dl / s.avgdl))
+                 AS score
+        FROM tf JOIN df USING (term) CROSS JOIN stats s),
+    scored AS (
+        SELECT doc_id, {pivots} FROM ts GROUP BY doc_id),
+    total AS (SELECT doc_id, {per_term} AS score FROM scored)
+    SELECT doc_id, ROUND(score, 4) AS bm25, rk FROM (
+        SELECT doc_id, score,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rk
+        FROM total)
+    WHERE rk <= {BM25_TOP_K}
+    """
+
+
+@register("qx01_bm25_retrieval", oracle=_bm25_oracle())
+def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-{k} documents for a fixed query-term set.
+
+    Plan: one corpus scan computes token arrays + doc lengths; the token
+    explode filters to the literal vocabulary before the (doc, term)
+    hash-agg, so the shuffle carries only query-term hits. df (one row
+    per term) and the (N, avgdl) scalar broadcast back; final scoring is
+    per-row arithmetic plus a top-k over |hit docs| rows. Per-term
+    scores pivot into fixed columns summed in declaration order — float
+    addition is re-ordered freely by SQL engines otherwise, and the
+    oracle gate hashes exact 4dp rounds."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    d = docs.select("doc_id", "toks", F.size("toks").cast("double").alias("dl"))
+    stats = d.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tr = d.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    tf = tr.groupBy("doc_id", "term", "dl").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    ts = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"),
+        )
+    )
+    pivoted = ts.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("score"))).alias(f"s_{t}")
+            for t in BM25_TERMS
+        ]
+    )
+    total = None
+    for t in BM25_TERMS:
+        piece = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        total = piece if total is None else total + piece
+    scored = pivoted.select("doc_id", total.alias("score"))
+    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.select(
+            "doc_id", "score", F.row_number().over(w).alias("rk")
+        )
+        .filter(F.col("rk") <= BM25_TOP_K)
+        .select("doc_id", F.round("score", 4).alias("bm25"), "rk")
+    )
+
+
+# Weighted sampling: k docs per language, weight = n_chars (longer docs
+# carry more training tokens). Priority u^(1/w) (Efraimidis-Spirakis);
+# u comes from the first 8 md5 hex chars of the doc id — identical on
+# both engines, so the "random" sample is a pure function of the data.
+SAMPLE_K = 5
+_U32 = 4294967296.0  # 2^32
+
+
+def _ws_oracle() -> str:
+    return f"""
+    WITH u AS (
+        SELECT lang, doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                    AS BIGINT) / {_U32} AS u
+        FROM documents WHERE n_chars > 0),
+    keyed AS (
+        SELECT lang, doc_id,
+               pow(u, 1.0 / n_chars) AS ky
+        FROM u)
+    SELECT lang, doc_id, rk FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY ky DESC, doc_id) AS rk
+        FROM keyed)
+    WHERE rk <= {SAMPLE_K}
+    """
+
+
+@register("qx02_weighted_sample", oracle=_ws_oracle())
+def qx02_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sample: top-{k} docs per language under
+    Efraimidis-Spirakis priorities u^(1/w), w = n_chars.
+
+    Why not ``rand()``/``sample()``: those depend on partition layout and
+    seeds per task — not reproducible across runs or cluster sizes, which
+    breaks dataset versioning. md5-derived u makes the sample a pure
+    function of the data (same discipline as the shard writer's hash
+    assignment). One partitioned window; at scale this is the standard
+    distributed weighted reservoir — each partition keeps its local top-k
+    and the combine keeps the global top-k per group. Output is integer
+    ranks + ids only, so last-ulp pow() differences can't reach the hash
+    gate (priorities from 32 md5-random bits make near-ties vanishingly
+    rare)."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(_U32)
+    )
+    keyed = docs.select(
+        "lang", "doc_id", F.pow(u, 1.0 / F.col("n_chars")).alias("ky")
+    )
+    w = W.partitionBy("lang").orderBy(F.desc("ky"), F.asc("doc_id"))
+    return (
+        keyed.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= SAMPLE_K)
+    )
+
+
+# Semantic-dedup radius in fixed-point squared-distance units (SCALE=1e6
+# per coordinate, 64 dims): the q76 sq_dist distribution at test scale
+# spans ~7.4e11..1.04e12 with median ~9.7e11; the radius sits just under
+# the median so roughly the nearer half of each cluster is prunable.
+SEMDEDUP_RADIUS = 950_000_000_000
+
+
+def _semdedup_oracle() -> str:
+    from kafka2delta_spark.functions.clustering import lloyd_oracle_ctes
+
+    return f"""
+    WITH {lloyd_oracle_ctes()},
+    a2 AS (
+        SELECT vec_id, cid, dist FROM s2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1
+    ),
+    med AS (
+        SELECT vec_id AS medoid_id, cid FROM a2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY cid
+                                   ORDER BY dist, vec_id) = 1
+    )
+    SELECT a2.vec_id,
+           CAST(a2.cid AS BIGINT) AS cluster,
+           CAST(a2.dist AS BIGINT) AS sq_dist,
+           CAST(CASE WHEN a2.vec_id = med.medoid_id
+                       OR a2.dist > {SEMDEDUP_RADIUS}
+                     THEN 1 ELSE 0 END AS INT) AS keep
+    FROM a2 JOIN med ON med.cid = a2.cid
+    """
+
+
+@register("qx03_semantic_dedup", oracle=_semdedup_oracle())
+def qx03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-flavored semantic pruning (arXiv:2303.09540): cluster the
+    embedding corpus with the real Lloyd k-means, keep each cluster's
+    medoid (closest to centroid, ties to smallest id), and drop other
+    vectors inside the centroid radius — near-center points are the most
+    redundant; far points carry diversity.
+
+    Scale shape: everything reuses the k-means plan (corpus never
+    shuffles during refinement), the final assignment is one broadcast
+    argmin pass, the medoid is a per-cluster window over K groups, and
+    the keep flag is a per-row comparison — linear in the corpus, no
+    pairwise similarity anywhere. Geometry is exact BIGINT fixed-point,
+    so cluster boundaries, medoids, and the radius test are bit-equal
+    across engines."""
+    from kafka2delta_spark.functions.clustering import (
+        _assign,
+        _fixed_vec,
+        lloyd_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _fixed_vec().alias("vi")
+    )
+    assigned = _assign(emb, lloyd_centroids(emb)).select(
+        "vec_id", "cid", F.col("__dist").alias("sq_dist")
+    )
+    mw = W.partitionBy("cid").orderBy("sq_dist", "vec_id")
+    med = (
+        assigned.select(
+            "cid", "vec_id", F.row_number().over(mw).alias("__mrk")
+        )
+        .filter(F.col("__mrk") == 1)
+        .select("cid", F.col("vec_id").alias("medoid_id"))
+    )
+    keep = (
+        (F.col("vec_id") == F.col("medoid_id"))
+        | (F.col("sq_dist") > SEMDEDUP_RADIUS)
+    ).cast("int")
+    return assigned.join(F.broadcast(med), "cid").select(
+        "vec_id",
+        F.col("cid").cast("bigint").alias("cluster"),
+        "sq_dist",
+        keep.alias("keep"),
+    )

@@ -46,6 +46,7 @@ def load_all_querysets() -> None:
     from kafka2delta_spark.functions import pipeline  # noqa: F401
     from kafka2delta_spark.functions import curation  # noqa: F401
     from kafka2delta_spark.functions import clustering  # noqa: F401
+    from kafka2delta_spark.functions import retrieval  # noqa: F401
     from kafka2delta_spark.operators import advanced  # noqa: F401
     from kafka2delta_spark.operators import cdc_queries  # noqa: F401
     from kafka2delta_spark.streaming import windows  # noqa: F401
