@@ -251,12 +251,12 @@ def q86_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(spark, sf_dir, cap=BAND_BUCKET_CAP)
 
 
-def minhash_lsh_pairs(
-    spark: SparkSession, sf_dir: str, cap: int | str = BAND_BUCKET_CAP
-) -> DataFrame:
-    """q86's core with the candidate-explosion cap as a knob: an int, or
-    ``"adaptive"`` to derive it from the P99 of the band-bucket width
-    distribution (constant dropped fraction at any corpus size)."""
+def band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, band_id, band_key) LSH band keys for every document —
+    the shared index both full-corpus pairing (q86) and incremental
+    new-vs-corpus dedup (qx04) bucket on. Minhashes are computed in
+    exploded (doc_id, shingle) space — 8 codegen'd md5 projections + one
+    hash-agg of mins — not inside an interpreted array-lambda."""
     sh = shingle_rows(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -272,12 +272,21 @@ def minhash_lsh_pairs(
         "doc_id",
         *[F.concat(*[F.col(c) for c in cols]).alias(f"band{b}") for b, cols in _BANDS],
     )
-    bands = banded.selectExpr(
+    return banded.selectExpr(
         "doc_id",
         f"stack({len(_BANDS)}, "
         + ", ".join(f"{b}, band{b}" for b, _ in _BANDS)
         + ") AS (band_id, band_key)",
     )
+
+
+def minhash_lsh_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | str = BAND_BUCKET_CAP
+) -> DataFrame:
+    """q86's core with the candidate-explosion cap as a knob: an int, or
+    ``"adaptive"`` to derive it from the P99 of the band-bucket width
+    distribution (constant dropped fraction at any corpus size)."""
+    bands = band_rows(spark, sf_dir)
     widths = bands.groupBy("band_id", "band_key").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
@@ -813,4 +822,117 @@ def q67_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("chunk_hash")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
+    )
+
+
+# Incremental dedup: the shape production pipelines actually run — a NEW
+# ingest batch checked against the already-deduped corpus, never
+# all-pairs over everything. "New" is a deterministic fifth of doc ids
+# (doc_id % 5 == 4) so both engines carve the identical split.
+NEW_MOD = 5
+NEW_REMAINDER = 4
+
+
+def _incdedup_oracle() -> str:
+    return f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh_t AS (
+        SELECT doc_id, {shingles_sql()} AS sh FROM t WHERE len(toks) >= 3),
+    mh AS (
+        SELECT doc_id, {_MINHASH_SQL} FROM sh_t),
+    banded AS (
+        SELECT doc_id, {_BAND_SQL} FROM mh),
+    bands AS ({_BAND_UNNEST_SQL}),
+    widths AS (
+        SELECT band_id, band_key, COUNT(*) AS w
+        FROM bands GROUP BY band_id, band_key),
+    cand AS (
+        SELECT CASE WHEN a.doc_id % {NEW_MOD} = {NEW_REMAINDER}
+                    THEN a.doc_id ELSE b.doc_id END AS new_id,
+               CASE WHEN a.doc_id % {NEW_MOD} = {NEW_REMAINDER}
+                    THEN b.doc_id ELSE a.doc_id END AS old_id
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        JOIN widths w ON w.band_id = a.band_id AND w.band_key = a.band_key
+        WHERE w.w <= {BAND_BUCKET_CAP}
+          AND (a.doc_id % {NEW_MOD} = {NEW_REMAINDER})
+              <> (b.doc_id % {NEW_MOD} = {NEW_REMAINDER})),
+    near AS (SELECT new_id AS doc_id, MIN(old_id) AS near_id
+             FROM cand GROUP BY new_id),
+    h AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
+    oldh AS (SELECT h, MIN(doc_id) AS exact_id FROM h
+             WHERE doc_id % {NEW_MOD} <> {NEW_REMAINDER} GROUP BY h),
+    newd AS (SELECT doc_id, h FROM h
+             WHERE doc_id % {NEW_MOD} = {NEW_REMAINDER})
+    SELECT n.doc_id,
+           CASE WHEN o.exact_id IS NOT NULL THEN 'exact'
+                WHEN nr.near_id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS kind,
+           COALESCE(o.exact_id, nr.near_id) AS match_id
+    FROM newd n
+    LEFT JOIN oldh o USING (h)
+    LEFT JOIN near nr ON nr.doc_id = n.doc_id
+    """
+
+
+@register("qx04_incremental_dedup", oracle=_incdedup_oracle())
+def qx04_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new ingest batch against the deduped corpus
+    — the production shape: at 100 TB nobody re-pairs the whole corpus
+    per ingest; the daily batch is checked against the standing index.
+
+    Each new doc gets a verdict: ``exact`` (normalized-content md5 found
+    in the corpus), ``near`` (shares a minhash LSH band bucket with a
+    corpus doc, same banding as q86), or ``unique`` — plus the smallest
+    matching corpus doc id. Plan: the exact leg is one equi-join on the
+    16-byte hash; the near leg reuses the shared band index
+    (:func:`band_rows`), expands cap-bounded buckets once, and keeps
+    only cross (new x corpus) pairs, so candidate work scales with the
+    BATCH, not the corpus. In production the corpus-side bands/hashes
+    are a precomputed table that only ever gets appended — the per-doc
+    band index IS the dedup index."""
+    is_new = (F.col("doc_id") % NEW_MOD) == NEW_REMAINDER
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("h")
+    )
+    oldh = (
+        docs.filter(~is_new)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("exact_id"))
+    )
+    newd = docs.filter(is_new)
+    bands = band_rows(spark, sf_dir)
+    buckets = (
+        bands.groupBy("band_id", "band_key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids").between(2, BAND_BUCKET_CAP))
+    )
+    pa, pb = F.col("doc_a") % NEW_MOD == NEW_REMAINDER, (
+        F.col("doc_b") % NEW_MOD == NEW_REMAINDER
+    )
+    cross = pairs_within_groups(buckets).filter(pa != pb)
+    near = (
+        cross.select(
+            F.when(pa, F.col("doc_a")).otherwise(F.col("doc_b")).alias("new_id"),
+            F.when(pa, F.col("doc_b")).otherwise(F.col("doc_a")).alias("old_id"),
+        )
+        .groupBy("new_id")
+        .agg(F.min("old_id").alias("near_id"))
+    )
+    kind = (
+        F.when(F.col("exact_id").isNotNull(), F.lit("exact"))
+        .when(F.col("near_id").isNotNull(), F.lit("near"))
+        .otherwise(F.lit("unique"))
+    )
+    return (
+        newd.join(oldh, "h", "left")
+        .join(near, newd["doc_id"] == near["new_id"], "left")
+        .select(
+            "doc_id",
+            kind.alias("kind"),
+            F.coalesce("exact_id", "near_id").alias("match_id"),
+        )
     )

@@ -147,3 +147,30 @@ def test_pairs_within_groups_cap_contract(spark):
     )
     n = pairs_within_groups(grouped).count()
     assert n == 45  # C(10, 2) — documents the quadratic contract
+
+
+def test_incremental_dedup_classifies_injected_dups(spark, tmp_path_factory):
+    """Synthetic corpus where new docs (id % 5 == 4) include: an exact
+    copy of a corpus doc, a near-copy (one token changed), and unique
+    docs — each must get the right verdict and the right match id."""
+    from kafka2delta_spark.functions.dedup import qx04_incremental_dedup
+
+    d = str(tmp_path_factory.mktemp("incdedup"))
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    rows = []
+    # corpus docs: ids 0..3 mod-5 (non-4) — distinct texts
+    for i in (0, 1, 2, 3, 5, 6, 7, 8):
+        rows.append((i, f"{base} corpusdoc{i} kilo lima mike november"))
+    rows.append((4, f"{base} corpusdoc0 kilo lima mike november"))  # exact of 0
+    rows.append((9, f"{base} corpusdoc1 kilo lima mike CHANGED"))  # near of 1
+    rows.append((14, "totally different content with no shared phrasing at all here"))
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(f"{d}/documents.parquet")
+    out = {r["doc_id"]: (r["kind"], r["match_id"]) for r in
+           qx04_incremental_dedup(spark, d).collect()}
+    assert out[4] == ("exact", 0)
+    # near verdict with SOME corpus doc as the match (the min corpus id
+    # that shares a band — all corpus docs share the base phrase)
+    assert out[9][0] == "near" and out[9][1] % 5 != 4
+    assert out[14] == ("unique", None)
