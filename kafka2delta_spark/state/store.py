@@ -334,7 +334,10 @@ class ParquetStateStore:
             )
         else:
             out = cur.coalesce(target_files)
-        self.overwrite(out)
+        # compaction is content-neutral: carry the commit metadata (e.g.
+        # the foreachBatch idempotency ledger) forward, or a replayed
+        # batch after an OPTIMIZE would double-apply
+        self.overwrite(out, metadata=self.metadata() or None)
 
 
 class DeltaStateStore:

@@ -95,6 +95,18 @@ def test_combine_is_associative_fold(spark):
     )
 
 
+def test_optimize_preserves_replay_ledger(spark, store):
+    """Compaction commits a new version; the batch-id ledger must ride
+    along or a post-OPTIMIZE replay double-applies."""
+    b0 = _events(spark, [(1, 1.0), (2, 2.0)])
+    apply_rollup_batch(store, b0, 0)
+    before = _rollup(store)
+    store.optimize(target_files=1)
+    assert store.metadata() == {"last_applied_batch_id": 0}
+    assert apply_rollup_batch(store, b0, 0) is False  # replay still a no-op
+    assert _rollup(store) == before
+
+
 def test_concurrent_drain_raises(spark):
     from kafka2delta_spark.streaming.drain import drain_shuffle_partitions
 
