@@ -1,7 +1,7 @@
 """Retrieval + selection operators for training-data pipelines.
 
-Three operators a corpus-curation stack runs between dedup and export,
-none present in the reference (its query surface is filter/LIKE/count —
+Operators a corpus-curation stack runs between dedup and export, none
+present in the reference (its query surface is filter/LIKE/count —
 ref stream/test/stream_test.py:206-209); all follow the repo's
 oracle-portability discipline (md5-derived randomness, fixed-point or
 fixed-order float arithmetic):
@@ -24,6 +24,9 @@ fixed-order float arithmetic):
     near-center points add least diversity per token. All geometry in
     exact fixed-point BIGINT, so both engines agree bit-for-bit; cost is
     linear per cluster (no pairwise work).
+  * qx05 — per-source KL divergence from the corpus token distribution:
+    the drift telemetry a mixture-reweighting step (pipeline.py q66)
+    consumes. One token explode, hash-aggs all the way down.
 """
 
 from __future__ import annotations
@@ -281,4 +284,61 @@ def qx03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cluster"),
         "sq_dist",
         keep.alias("keep"),
+    )
+
+
+def _kl_oracle() -> str:
+    return r"""
+    WITH tr AS (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        FROM documents),
+    st AS (SELECT source, tok, COUNT(*)::DOUBLE AS c FROM tr GROUP BY source, tok),
+    ns AS (SELECT source, SUM(c) AS n FROM st GROUP BY source),
+    ct AS (SELECT tok, SUM(c) AS ctot FROM st GROUP BY tok),
+    tot AS (SELECT SUM(c) AS ntot FROM st)
+    SELECT st.source, CAST(ns.n AS BIGINT) AS n_tokens,
+           ROUND(SUM((st.c / ns.n) * ln((st.c / ns.n) / (ct.ctot / tot.ntot))), 4)
+               AS kl
+    FROM st
+    JOIN ns USING (source)
+    JOIN ct USING (tok)
+    CROSS JOIN tot
+    GROUP BY st.source, ns.n
+    """
+
+
+@register("qx05_domain_kl_divergence", oracle=_kl_oracle())
+def qx05_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence of each source's token distribution from the whole
+    corpus — the telemetry a mixture-reweighting step (q66) reads: a
+    source whose KL drifts up is diverging from the target distribution.
+    KL(p_s || p_corpus) = sum_t p_s(t) ln(p_s(t)/p(t)); every source term
+    is present in the corpus by construction, so the log is always
+    finite, and KL >= 0 with equality iff the source matches the corpus.
+
+    Plan: one token explode -> (source, tok) hash-agg; per-source and
+    per-token totals re-aggregate from those counts (tiny vs the token
+    stream); the only join is (source, tok) x tok — a hash shuffle on
+    the token key, the same key the counts already grouped on. Final
+    per-source reduction is |sources| rows. Summation over the vocabulary
+    is float — rounded to 4dp like the repo's other statistical sums
+    (q92), orders of magnitude above cross-engine accumulation jitter."""
+    tr = load_table(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    )
+    st = tr.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    ns = st.groupBy("source").agg(F.sum("c").alias("n"))
+    ct = st.groupBy("tok").agg(F.sum("c").alias("ctot"))
+    tot = st.agg(F.sum("c").alias("ntot"))
+    p_s = F.col("c") / F.col("n")
+    p = F.col("ctot") / F.col("ntot")
+    return (
+        st.join(F.broadcast(ns), "source")
+        .join(ct, "tok")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum(p_s * F.log(p_s / p)), 4).alias("kl"))
+        .select("source", F.col("n").cast("bigint").alias("n_tokens"), "kl")
     )
