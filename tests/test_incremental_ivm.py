@@ -133,3 +133,68 @@ def test_drain_guard_released_after_exception(spark):
     with drain_shuffle_partitions(spark, "2"):
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+# -- property: any batch split + any replay pattern == the batch oracle --
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    HAVE_HYPOTHESIS = True
+except ImportError:  # pragma: no cover
+    HAVE_HYPOTHESIS = False
+
+
+if HAVE_HYPOTHESIS:
+    # a run = per-batch event lists (user_id, value) + a replay flag per
+    # batch (replay immediately after commit — the foreachBatch retry)
+    run_strategy = st.lists(
+        st.tuples(
+            st.lists(
+                st.tuples(st.integers(1, 4), st.integers(0, 5)),
+                min_size=1,
+                max_size=4,
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(run=run_strategy)
+    def test_rollup_replay_property(spark, tmp_path_factory, run):
+        """For ANY batch split and ANY immediate-retry pattern, the final
+        rollup equals the one-shot batch aggregate — the invariant that
+        makes the additive view maintainable under at-least-once
+        delivery."""
+        store = ParquetStateStore(
+            spark,
+            str(tmp_path_factory.mktemp("prop_rollup")) + "/state",
+        )
+        all_events = []
+        for batch_id, (events, replay) in enumerate(run):
+            rows = [(u, float(v)) for u, v in events]
+            all_events.extend(rows)
+            b = _events(spark, rows)
+            apply_rollup_batch(store, b, batch_id)
+            if replay:
+                apply_rollup_batch(store, b, batch_id)
+        # timestamps differ per _events call (index-based), so compare the
+        # additive columns only
+        got = sorted(
+            (r["user_id"], r["n_events"], r["v1000"])
+            for r in store.read().collect()
+        )
+        import collections
+
+        model = collections.defaultdict(lambda: [0, 0])
+        for u, v in all_events:
+            model[u][0] += 1
+            model[u][1] += int(v * 1000)
+        expect = sorted((u, n, s) for u, (n, s) in model.items())
+        assert got == expect
