@@ -936,3 +936,77 @@ def qx04_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("exact_id", "near_id").alias("match_id"),
         )
     )
+
+
+# Leakage-safe splitting: train/val/test fractions over CLUSTERS, not
+# docs. Splitting by doc hash (pipeline.py q63) leaks near-duplicates
+# across splits — a test doc's twin in train inflates eval. Hashing the
+# cluster id sends every near-dup component to one split atomically.
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # remainder = test
+_SPLIT_U32 = 4294967296.0
+
+
+def _leakage_split_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL}) jp),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS root FROM documents
+        UNION
+        SELECT u.b AS node, r.root FROM reach r JOIN und u ON u.a = r.node),
+    cl AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    hashed AS (
+        SELECT node AS doc_id, cluster_id,
+               100.0 * CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) / {_SPLIT_U32} AS pct
+        FROM cl)
+    SELECT doc_id, cluster_id,
+           CASE WHEN pct < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN pct < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split
+    FROM hashed
+    """
+
+
+@register("qx06_leakage_safe_split", oracle=_leakage_split_oracle())
+def qx06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    splits: the unit of assignment is the q98 connected component, hashed
+    once per CLUSTER — every doc in a near-dup group lands in the same
+    split by construction. Per-doc hash splitting (q63) does not have
+    this property: a test doc whose twin sits in train silently inflates
+    eval numbers, the classic contamination bug.
+
+    Plan: reuses the checkpointed Jaccard edge list + min-label
+    propagation (component count of rounds, joins sized by the duplicate
+    graph); the split itself is one md5 projection on the cluster id —
+    deterministic, layout-independent, stable across backfills as long
+    as cluster membership is stable."""
+    edges = (
+        q88_jaccard_similar_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    nodes = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node")
+    )
+    labels = connected_components(nodes, edges)
+    pct = (
+        F.lit(100.0)
+        * F.conv(
+            F.substring(F.md5(F.col("label").cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        / F.lit(_SPLIT_U32)
+    )
+    split = (
+        F.when(pct < SPLIT_TRAIN_PCT, F.lit("train"))
+        .when(pct < SPLIT_TRAIN_PCT + SPLIT_VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("cluster_id"),
+        split.alias("split"),
+    )

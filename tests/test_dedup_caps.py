@@ -174,3 +174,22 @@ def test_incremental_dedup_classifies_injected_dups(spark, tmp_path_factory):
     # that shares a band — all corpus docs share the base phrase)
     assert out[9][0] == "near" and out[9][1] % 5 != 4
     assert out[14] == ("unique", None)
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    from kafka2delta_spark.functions.dedup import qx06_leakage_safe_split
+
+    out = qx06_leakage_safe_split(spark, sf_dir)
+    # every doc assigned exactly once; every cluster maps to ONE split
+    assert out.count() == out.select("doc_id").distinct().count()
+    multi = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert multi == 0
+    # all three splits materialize at corpus scale
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {
+        "train", "val", "test",
+    }
