@@ -320,3 +320,103 @@ def q95b_audio_pcm_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unhex(F.repeat(F.md5(F.col("text")), _PCM_REPEATS)).alias("payload"),
     )
     return with_payload.mapInPandas(pcm_window_energy, schema=AUDIO_SCHEMA)
+
+
+# PNG header geometry (the spec's fixed layout): 8-byte magic, 4-byte
+# IHDR chunk length, 4-byte "IHDR" tag, then big-endian width(4),
+# height(4), bit depth(1), color type(1). Resolution/aspect filtering —
+# the most common media curation predicate — needs ONLY these 26 bytes.
+_PNG_MAGIC_HEX = "89504E470D0A1A0A"
+
+
+def _be4(col):
+    """Int -> 4-byte big-endian binary, native exprs (hex -> pad -> unhex)."""
+    return F.unhex(F.lpad(F.hex(col.cast("bigint")), 8, "0"))
+
+
+def synthesize_png_header(width, height, bit_depth, color_type):
+    """Spec-valid PNG signature + IHDR prefix from typed columns — the
+    test double for a real image blob (this environment has no imaging
+    libs, but a header parser neither needs nor wants one)."""
+    return F.concat(
+        F.unhex(F.lit(_PNG_MAGIC_HEX)),
+        _be4(F.lit(13)),
+        F.encode(F.lit("IHDR"), "UTF-8"),
+        _be4(width),
+        _be4(height),
+        F.unhex(F.lpad(F.hex(bit_depth.cast("bigint")), 2, "0")),
+        F.unhex(F.lpad(F.hex(color_type.cast("bigint")), 2, "0")),
+    )
+
+
+def parse_png_header(payload):
+    """(is_png, width, height, bit_depth, color_type) from a binary
+    column — pure codegen'd binary slicing (substring on binary +
+    conv(hex(...))), zero Python, zero decode. At 100 TB this is the
+    operator that filters a media corpus by resolution while the actual
+    pixel data never leaves parquet (column pruning keeps payload reads
+    to the projected byte ranges of matching rows)."""
+
+    def be_int(start, length):
+        return F.conv(F.hex(F.substring(payload, start, length)), 16, 10).cast(
+            "bigint"
+        )
+
+    is_png = F.hex(F.substring(payload, 1, 8)) == F.lit(_PNG_MAGIC_HEX)
+    return (
+        is_png.alias("is_png"),
+        be_int(17, 4).alias("width"),
+        be_int(21, 4).alias("height"),
+        be_int(25, 1).alias("bit_depth"),
+        be_int(26, 1).alias("color_type"),
+    )
+
+
+@register(
+    "qx07_image_header_metadata",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           TRUE AS is_png,
+           CAST(640 + doc_id % 1280 AS BIGINT) AS width,
+           CAST(360 + doc_id % 720 AS BIGINT) AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 6 END AS BIGINT)
+               AS color_type,
+           ROUND((640 + doc_id % 1280) * 1.0 / (360 + doc_id % 720), 4)
+               AS aspect
+    FROM documents
+    """,
+)
+def qx07_image_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image metadata WITHOUT an image library: synthesize spec-valid PNG
+    signature+IHDR bytes from per-doc dimensions, then parse width/
+    height/depth/color back out with native binary expressions. The
+    oracle computes the expected values directly from doc_id arithmetic,
+    so a parser that misreads any byte offset (or endianness) hash-fails.
+    The synthesize->parse round trip is the honest test double for "read
+    resolution from a real media blob": header parsing is byte slicing,
+    not decoding, and belongs JVM-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dims = docs.select(
+        "doc_id",
+        (F.lit(640) + F.col("doc_id") % 1280).alias("w"),
+        (F.lit(360) + F.col("doc_id") % 720).alias("h"),
+        F.lit(8).alias("bd"),
+        F.when(F.col("doc_id") % 2 == 0, 2).otherwise(6).alias("ct"),
+    )
+    payloads = dims.select(
+        "doc_id",
+        synthesize_png_header(
+            F.col("w"), F.col("h"), F.col("bd"), F.col("ct")
+        ).alias("payload"),
+    )
+    parsed = payloads.select("doc_id", *parse_png_header(F.col("payload")))
+    return parsed.select(
+        "doc_id",
+        "is_png",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        F.round(F.col("width") / F.col("height"), 4).alias("aspect"),
+    )

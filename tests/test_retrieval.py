@@ -85,3 +85,22 @@ def test_semantic_dedup_keeps_one_medoid_per_cluster(spark, sf_dir):
         assert 1 <= r["n_kept"] <= r["n"]
         # the closest-to-centroid vector is always kept (it is the medoid)
         assert r["kept_min"] == r["all_min"]
+
+
+def test_png_parser_reads_a_real_header(spark):
+    """Parse the actual byte prefix of a real-world 1x1 RGBA PNG — the
+    synthesize->parse round trip can't hide a shared offset bug; a
+    spec-literal header can."""
+    from kafka2delta_spark.functions.multimodal import parse_png_header
+    from pyspark.sql import functions as F
+
+    real_1x1 = bytes.fromhex(
+        "89504E470D0A1A0A" "0000000D" "49484452"
+        "00000001" "00000001" "08" "06"
+    )
+    df = spark.createDataFrame([(1, bytearray(real_1x1)), (2, bytearray(b"notapng_at_all_............"))],
+                               "doc_id long, payload binary")
+    out = {r["doc_id"]: r for r in df.select("doc_id", *parse_png_header(F.col("payload"))).collect()}
+    assert out[1]["is_png"] and (out[1]["width"], out[1]["height"]) == (1, 1)
+    assert out[1]["bit_depth"] == 8 and out[1]["color_type"] == 6
+    assert not out[2]["is_png"]
