@@ -92,14 +92,16 @@ def _bm25_oracle() -> str:
 def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-{k} documents for a fixed query-term set.
 
-    Plan: one corpus scan computes token arrays + doc lengths; the token
-    explode filters to the literal vocabulary before the (doc, term)
-    hash-agg, so the shuffle carries only query-term hits. df (one row
-    per term) and the (N, avgdl) scalar broadcast back; final scoring is
-    per-row arithmetic plus a top-k over |hit docs| rows. Per-term
-    scores pivot into fixed columns summed in declaration order — float
-    addition is re-ordered freely by SQL engines otherwise, and the
-    oracle gate hashes exact 4dp rounds."""
+    Plan: the token explode filters to the literal vocabulary before the
+    (doc, term) hash-agg, so the shuffle carries only query-term hits.
+    df (one row per term) and the (N, avgdl) scalar broadcast back;
+    final scoring is per-row arithmetic plus a top-k over |hit docs|
+    rows. The (N, avgdl) corpus stats cost a second lightweight scan of
+    the two projected columns — in production those are precomputed
+    table statistics, refreshed per ingest, not recomputed per query.
+    Per-term scores pivot into fixed columns summed in declaration order
+    — float addition is re-ordered freely by SQL engines otherwise, and
+    the oracle gate hashes exact 4dp rounds."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
     )
