@@ -345,11 +345,20 @@ def decode_avro(
     # Fallback: Arrow-batched pure-Python decode (per-partition, not per-row).
     value_schema = avro_schema_to_spark(avro_json_schema)
     in_schema = df.schema
+    fail_fast = mode.upper() == "FAILFAST"
+    value_fields = list(value_schema.fields)
+    if not fail_fast:
+        # PERMISSIVE emits all-null rows for corrupt payloads, so every
+        # value column must be nullable regardless of the Avro schema's
+        # required fields (matches from_avro, which returns a null struct)
+        value_fields = [
+            T.StructField(f.name, f.dataType, nullable=True, metadata=f.metadata)
+            for f in value_fields
+        ]
     out_schema = T.StructType(
-        [f for f in in_schema.fields if f.name != payload_col] + list(value_schema.fields)
+        [f for f in in_schema.fields if f.name != payload_col] + value_fields
     )
     payload_idx = payload_col
-    fail_fast = mode.upper() == "FAILFAST"
     schema_str = avro_json_schema
 
     def _decode_batches(batches: Iterator) -> Iterator:

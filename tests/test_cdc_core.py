@@ -293,3 +293,33 @@ def test_split_upserts_deletes(spark):
     up, de = split_upserts_deletes(df)
     assert sorted(r["id"] for r in up.collect()) == [1, 3]
     assert [r["id"] for r in de.collect()] == [2]
+
+
+# -- corrupt payloads (the reference's FAILFAST contract) ------------------
+
+
+def test_decode_avro_corrupt_payload_failfast_raises(spark):
+    """FAILFAST (the reference's default, ref stream/stream.py:36-37): a
+    corrupt Avro payload must kill the job loudly, not produce nulls —
+    silent null state rows would be merged into the table."""
+    good = encode_avro_payload(user_record(1, "a", "a@x", 10), USERS_SCHEMA)
+    df = spark.createDataFrame(
+        [(good,), (bytearray(b"\xff\xfe garbage not avro"),)], "value_avro binary"
+    )
+    out = decode_avro(df, "value_avro", USERS_SCHEMA)
+    with pytest.raises(Exception):
+        out.collect()
+
+
+def test_decode_avro_corrupt_payload_permissive_nulls(spark):
+    """PERMISSIVE mode: corrupt rows decode to all-null columns, good
+    rows still decode — the quarantine-and-continue alternative."""
+    good = encode_avro_payload(user_record(1, "a", "a@x", 10), USERS_SCHEMA)
+    df = spark.createDataFrame(
+        [(good,), (bytearray(b"\xff\xfe garbage not avro"),)], "value_avro binary"
+    )
+    out = decode_avro(df, "value_avro", USERS_SCHEMA, mode="PERMISSIVE").collect()
+    by_id = {r["id"]: r for r in out}
+    assert len(out) == 2
+    assert by_id[1]["email"] == "a@x"
+    assert by_id[None]["name"] is None  # corrupt row -> typed nulls
