@@ -347,3 +347,61 @@ def q57_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4→7.5 s, 8→5.3-6.7 s, 16→5.2 s, 32→5.8 s.
     name = drain_to_memory(sessions, "append", shuffle_partitions="16")
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+
+
+@register(
+    "qx08_stream_full_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id,
+           p.ts AS purchase_ts, c.ts AS click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+)
+def qx08_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE stream-stream FULL OUTER interval join — both eviction paths
+    at once: unmatched purchases null-pad like q58, AND unmatched clicks
+    emit once the watermark proves no purchase within the following hour
+    can still arrive. State on both sides is bounded by the watermark
+    delay exactly as in q56/q58; the sentinel flows through both side
+    filters so both per-side watermarks advance past every real event
+    and the final unmatched rows on BOTH sides flush in the no-data
+    batch. Completes the streaming join matrix: inner (q56), left outer
+    (q58), full outer (here)."""
+    ev = _open_stream(spark, sf_dir)
+    purchases = (
+        ev.filter(F.col("event_type").isin("purchase", "sentinel"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    clicks = (
+        ev.filter(F.col("event_type").isin("click", "sentinel"))
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user_id") == F.col("c_user_id"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("click_ts") <= F.col("purchase_ts")),
+        "fullOuter",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.coalesce("p_user_id", "c_user_id").alias("user_id"),
+        "purchase_ts",
+        "click_ts",
+    )
+    name = drain_to_memory(joined, "append", shuffle_partitions="2")
+    return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
