@@ -35,13 +35,20 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right-side values with
-    ``right.ts <= left.ts`` (backward as-of), matching equal timestamps.
+    """For each left row, attach the nearest right-side values —
+    ``direction="backward"`` (default): latest right row with
+    ``right.ts <= left.ts``; ``direction="forward"``: earliest right row
+    with ``right.ts >= left.ts``. Equal timestamps match in both modes.
+    Same single-shuffle union+window shape either way (forward just flips
+    the tiebreak order and the window frame).
 
     Output: all left columns + one ``<value><suffix>`` column per value col
-    (NULL when no right row precedes the left row).
+    (NULL when no right row exists in the given direction).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction}")
     left_cols = left.columns
     tagged_left = left.select(
         *on,
@@ -64,16 +71,28 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
-    # right rows (__is_left=0) sort before left rows at equal ts → ties match
-    w = (
-        W.partitionBy(*on)
-        .orderBy("__ts", "__is_left")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
+    if direction == "backward":
+        # right rows (__is_left=0) sort before left rows at equal ts →
+        # ties match; carry the last right value seen so far forward
+        w = (
+            W.partitionBy(*on)
+            .orderBy("__ts", "__is_left")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        pick = F.last
+    else:
+        # forward: left rows sort before right rows at equal ts → a tied
+        # right row is inside the following frame; take the first ahead
+        w = (
+            W.partitionBy(*on)
+            .orderBy("__ts", F.desc("__is_left"))
+            .rowsBetween(W.currentRow, W.unboundedFollowing)
+        )
+        pick = F.first
     carried = unioned.select(
         *unioned.columns,
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            pick(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
             for c in value_cols
         ],
     )
@@ -154,4 +173,42 @@ def q61_range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> D
         )
         .groupBy("event_id")
         .agg(F.count("c_ts").alias("n_clicks_1h"))
+    )
+
+
+@register(
+    "qx09_asof_next_view_after_purchase",
+    oracle="""
+    WITH purchases AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+         views     AS (SELECT user_id, ts FROM events
+                       WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           CAST(date_diff('second', p.ts, v.ts) AS BIGINT) AS secs_to_next_view
+    FROM purchases p
+    ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+)
+def qx09_asof_next_view_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the other half of the as-of pair (q60 is
+    backward): each purchase gets the EARLIEST view at-or-after it, the
+    shape of did-the-user-come-back / time-to-next-touch attribution.
+    Same single-shuffle union+window plan as q60 with the frame flipped;
+    DuckDB's native ASOF with ``v.ts >= p.ts`` is the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts")
+    joined = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["ts"], direction="forward",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        (F.unix_timestamp("ts_asof") - F.unix_timestamp("ts"))
+        .cast("bigint")
+        .alias("secs_to_next_view"),
     )
