@@ -704,3 +704,70 @@ def q47_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("event_type", ignorenulls=True).over(wf).alias("type_ff"),
         F.col("v1000").isNotNull().alias("observed"),
     )
+
+
+# Exponentially-weighted rolling aggregate in exact fixed-point: value
+# scaled x1000 to BIGINT, binary decay (weight 2^position within the
+# frame, most recent highest). max |value|*1000 ~ 1e6, * 2^19 * 20 terms
+# < 2^53 — exact on both engines, so the oracle gate hashes clean where
+# float EWMA's order-dependent accumulation could not.
+EWMA_SPAN = 20
+
+
+@register(
+    "qx10_ewm_rolling_value",
+    oracle=f"""
+    WITH x AS (
+        SELECT user_id, ts, event_id,
+               CAST(floor(value * 1000) AS BIGINT) AS v1000
+        FROM events),
+    framed AS (
+        SELECT user_id, event_id,
+               list(v1000) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {EWMA_SPAN - 1} PRECEDING AND CURRENT ROW
+               ) AS l
+        FROM x)
+    SELECT user_id, event_id,
+           CAST(list_sum([l[i] * CAST(pow(2, i - 1) AS BIGINT)
+                          for i in range(1, len(l) + 1)]) AS BIGINT) AS ewm1000
+    FROM framed
+    """,
+)
+def qx10_ewm_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted rolling value per user — the time-series
+    smoothing step monitoring pipelines run over event streams — with the
+    decay folded into EXACT integer arithmetic (binary weights on x1000
+    fixed-point values), so both engines agree bit-for-bit; a float EWMA's
+    recursive accumulation is order-dependent and cannot be hash-gated.
+
+    Plan shape: the frame's values are collected per row by an ordinary
+    ROWS window (one shuffle+sort on the user key, bounded {EWMA_SPAN}-row
+    state) and the position-weighted sum runs as a codegen'd HOF over the
+    tiny array — the general recipe for ANY custom positional window
+    aggregate Spark lacks natively: collect the bounded frame, fold with
+    transform+aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(EWMA_SPAN - 1), W.currentRow)
+    )
+    framed = x.select(
+        "user_id", "event_id", F.collect_list("v1000").over(w).alias("l")
+    )
+    weighted = F.aggregate(
+        F.transform(
+            F.col("l"),
+            lambda v, i: v * F.pow(F.lit(2), i).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, z: acc + z,
+    )
+    return framed.select("user_id", "event_id", weighted.alias("ewm1000"))
