@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
@@ -347,4 +348,133 @@ def q48_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("zy").cast("bigint").alias("min_y"),
             F.max("zy").cast("bigint").alias("max_y"),
         )
+    )
+
+
+# Count-min sketch: D hash rows x W columns of counters. Deterministic
+# md5-derived hash functions (identical literals both engines) keep the
+# sketch — and therefore the oracle hash — exact. Estimates never
+# undercount (min over D rows >= true count); error is bounded by
+# N * e/W with probability 1 - e^-D.
+CM_DEPTH = 4
+CM_WIDTH = 64
+
+
+def _cm_hash_spark(d: int, key):
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{d}:"), key.cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % CM_WIDTH
+    )
+
+
+def _cm_hash_sql(d: int, key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{d}:' || CAST({key_expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {CM_WIDTH}"
+    )
+
+
+def countmin_cells(df, key_col: str):
+    """Build the D x W sketch: one row per (d, col) cell with its count.
+    A hash-agg over D*|input| exploded rows into at most D*W cells —
+    partial (map-side) aggregation makes the shuffle metadata-sized, and
+    two sketches merge by adding cells, so per-partition/per-batch
+    sketches compose (the property that makes CM the standard streaming
+    frequency summary)."""
+    rows = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cm_hash_spark(d, F.col(key_col)).alias("col"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c")
+    ).select("c.d", "c.col")
+    return rows.groupBy("d", "col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+
+
+def _cm_oracle() -> str:
+    cells_union = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cm_hash_sql(d, 'user_id')} AS col FROM events"
+        for d in range(CM_DEPTH)
+    )
+    key_hashes = " UNION ALL ".join(
+        f"SELECT user_id, {d} AS d, {_cm_hash_sql(d, 'user_id')} AS col "
+        f"FROM (SELECT DISTINCT user_id FROM events)"
+        for d in range(CM_DEPTH)
+    )
+    return f"""
+    WITH cells AS (
+        SELECT d, col, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ({cells_union}) GROUP BY d, col),
+    kh AS ({key_hashes}),
+    est AS (
+        SELECT kh.user_id, MIN(cells.cnt) AS cm_est
+        FROM kh JOIN cells ON cells.d = kh.d AND cells.col = kh.col
+        GROUP BY kh.user_id),
+    exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS true_cnt
+              FROM events GROUP BY user_id)
+    SELECT e.user_id, CAST(est.cm_est AS BIGINT) AS cm_est, e.true_cnt, rk
+    FROM (
+        SELECT est.user_id, est.cm_est,
+               ROW_NUMBER() OVER (ORDER BY est.cm_est DESC, est.user_id) AS rk
+        FROM est) est
+    JOIN exact e ON e.user_id = est.user_id
+    WHERE rk <= 10
+    """
+
+
+@register("qx11_countmin_heavy_hitters", oracle=_cm_oracle())
+def qx11_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via a count-min sketch, exact-vs-estimate side by
+    side. The sketch is {CM_DEPTH}x{CM_WIDTH} counters regardless of key
+    cardinality — the bounded-memory alternative to q62's exact salted
+    aggregation when the key space itself is too large to hold. Both the
+    sketch build and the point queries are hash-aggs + a broadcast join
+    against the 256-cell table; sketches over partitions/batches merge by
+    cell-wise addition (tested). Estimates are deterministic (md5-derived
+    hash rows baked identically into both engines), so even this
+    approximate operator is value-hash-gated, and cm_est >= true_cnt by
+    construction."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = countmin_cells(ev, "user_id")
+    keys = ev.select("user_id").distinct()
+    kh = keys.select(
+        "user_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        _cm_hash_spark(d, F.col("user_id")).alias("col"),
+                    )
+                    for d in range(CM_DEPTH)
+                ]
+            )
+        ).alias("c"),
+    ).select("user_id", "c.d", "c.col")
+    est = (
+        kh.join(F.broadcast(cells), ["d", "col"])
+        .groupBy("user_id")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    exact = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
+    )
+    wrk = W.orderBy(F.desc("cm_est"), F.asc("user_id"))
+    return (
+        est.select("user_id", "cm_est", F.row_number().over(wrk).alias("rk"))
+        .filter(F.col("rk") <= 10)
+        .join(exact, "user_id")
+        .select("user_id", F.col("cm_est").cast("bigint"), "true_cnt", "rk")
     )

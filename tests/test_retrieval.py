@@ -104,3 +104,33 @@ def test_png_parser_reads_a_real_header(spark):
     assert out[1]["is_png"] and (out[1]["width"], out[1]["height"]) == (1, 1)
     assert out[1]["bit_depth"] == 8 and out[1]["color_type"] == 6
     assert not out[2]["is_png"]
+
+
+def test_countmin_sketch_merges_by_cell_addition(spark, sf_dir):
+    """CM mergeability: sketch(first half) + sketch(second half) ==
+    sketch(all) cell-wise — what lets per-partition / per-micro-batch
+    sketches compose into the global summary without rescanning."""
+    from kafka2delta_spark.operators.advanced import countmin_cells
+    from kafka2delta_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.approxQuantile("user_id", [0.5], 0.0)[0]
+    full = countmin_cells(ev, "user_id")
+    a = countmin_cells(ev.filter(F.col("user_id") < mid), "user_id")
+    b = countmin_cells(ev.filter(F.col("user_id") >= mid), "user_id")
+    merged = (
+        a.unionByName(b)
+        .groupBy("d", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    from kafka2delta_spark.operators.advanced import qx11_countmin_heavy_hitters
+
+    out = qx11_countmin_heavy_hitters(spark, sf_dir).collect()
+    assert len(out) == 10
+    assert all(r["cm_est"] >= r["true_cnt"] for r in out)
