@@ -57,6 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # Left on prior rounds' verification: q28/q29/q34..q39/q41/q43..q48/
 # q50..q52 (r01-r03, code untouched since) and the q60..q99 remainder
 # (r03-green on current code). q27 and q55 are rows-only by design.
+# The round-4 additions qx01..qx11 sort after q99 and are outside this
+# round's 50-entry budget — local-gate-verified now, first in line for
+# the round-5 rotation.
 _ALIAS_PREFIX = "a4_"
 
 _A4_KEYS = (

@@ -44,6 +44,13 @@ SUBSET = [
     "q49_incremental_user_rollup",  # foreachBatch additive view maintenance
     "q39_histogram_quantiles",    # mergeable fixed-width histogram quantiles
     "q47_resample_ffill",         # hourly grid + forward fill
+    "qx01_bm25_retrieval",        # lexical retrieval scoring
+    "qx02_weighted_sample",       # deterministic weighted sampling
+    "qx04_incremental_dedup",     # new-batch-vs-corpus dedup
+    "qx06_leakage_safe_split",    # cluster-level split assignment
+    "qx09_asof_next_view_after_purchase",  # forward as-of
+    "qx10_ewm_rolling_value",     # fixed-point EW rolling aggregate
+    "qx11_countmin_heavy_hitters",  # mergeable CM sketch
 ]
 
 TABLES = [
