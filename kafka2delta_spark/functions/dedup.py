@@ -605,11 +605,111 @@ def connected_components(
         # multiple cluster_ids (and keep multiple "canonical" docs from one
         # duplicate group) with nothing signalling it. Min-label
         # propagation needs O(component diameter) rounds, so a hit cap
-        # means the graph has a chain longer than max_iters.
+        # means the graph has a chain longer than max_iters — exactly the
+        # regime connected_components_twophase handles in O(log n) rounds.
         raise RuntimeError(
             f"connected_components did not reach a fixpoint in {max_iters} "
-            "rounds (component diameter exceeds the cap); raise max_iters"
+            "rounds (component diameter exceeds the cap); raise max_iters "
+            "or use connected_components_twophase"
         )
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("label", "node").alias("label")
+    )
+
+
+def _star_round(und: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star contraction over a directed neighbor
+    list ``(u, v)`` (both orientations present). For each u with
+    m = min(neighbors ∪ {u}): large-star rewires every neighbor v > u to
+    m; small-star rewires every neighbor v <= u (and u itself) to m.
+    Emitted edges are returned undirected-deduped as (lo, hi) pairs."""
+    m = und.groupBy("u").agg(F.min("v").alias("__mv")).select(
+        "u", F.least(F.col("__mv"), F.col("u")).alias("m")
+    )
+    joined = und.join(m, "u")
+    if large:
+        out = joined.filter(F.col("v") > F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+    else:
+        rewired = joined.filter(F.col("v") <= F.col("u")).select(
+            F.col("v").alias("a"), F.col("m").alias("b")
+        )
+        self_edge = joined.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        out = rewired.unionByName(self_edge)
+    return (
+        out.filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("lo"), F.greatest("a", "b").alias("hi")
+        )
+        .distinct()
+    )
+
+
+def connected_components_twophase(
+    nodes: DataFrame, edges: DataFrame, max_rounds: int = 30
+) -> DataFrame:
+    """Same contract as :func:`connected_components` — (node, label) with
+    label = component min — via alternating large-star/small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond"): each pair of rounds at least halves tree heights, so
+    convergence is O(log n) ROUNDS REGARDLESS OF DIAMETER, where label
+    propagation needs O(diameter). This is the adversarial-graph path —
+    chain-shaped components (crawl rings, boilerplate link chains) that
+    would blow label propagation's round cap contract here in a handful
+    of rounds. Per round: one hash-agg (per-node min) + one join, both
+    sized by the CURRENT edge set, which only shrinks as stars form.
+
+    Convergence: the edge multiset is a fixpoint when a full
+    large+small round leaves the canonical (lo, hi) edge set unchanged
+    (checked by count + decimal checksum — contraction only ever rewires
+    toward minima, so an unchanged pair is an exact fixpoint). At the
+    fixpoint every edge is (component-min, member): labels read off as
+    min neighbor per node."""
+    und = (
+        edges.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .union(edges.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = und.select(
+        F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi")
+    ).distinct()
+    prev_sig = None
+    converged = False
+    for _ in range(max_rounds):
+        und_dir = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
+            cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        after_large = _star_round(und_dir, large=True)
+        und_dir2 = after_large.select(
+            F.col("lo").alias("u"), F.col("hi").alias("v")
+        ).union(after_large.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+        cur = _star_round(und_dir2, large=False).localCheckpoint(eager=True)
+        sig = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum((F.col("lo") * 1_000_003 + F.col("hi")).cast("decimal(38,0)")).alias(
+                "s"
+            ),
+        ).first()
+        sig = (sig["n"], sig["s"])
+        if sig == prev_sig:
+            converged = True
+            break
+        prev_sig = sig
+    if not converged:
+        raise RuntimeError(
+            f"two-phase CC did not converge in {max_rounds} rounds "
+            "(log-round contraction should converge in ~log2(n); "
+            "check the edge data)"
+        )
+    # at the fixpoint each component is a star centered at its min
+    labels = (
+        cur.select(F.col("hi").alias("node"), F.col("lo").alias("label"))
+        .groupBy("node")
+        .agg(F.min("label").alias("label"))
+    )
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("label", "node").alias("label")
     )
@@ -647,9 +747,11 @@ def q98_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE computes the same components declaratively.
     ``localCheckpoint`` per round truncates lineage so the plan does not
     grow with iterations. At 100 TB: rounds = component diameter (small
-    for near-dup graphs); for adversarial long-chain graphs switch to
-    alternating large-star/small-star (log-round contraction) — same
-    join+agg primitives, different edge rewrite."""
+    for near-dup graphs); for adversarial long-chain graphs
+    :func:`connected_components_twophase` (alternating large-star/
+    small-star, log-round contraction) is implemented and
+    equivalence-tested — label propagation stays the default because a
+    round costs half as much and near-dup diameters are small."""
     edges = (
         q88_jaccard_similar_pairs(spark, sf_dir)
         .select("doc_a", "doc_b")

@@ -87,3 +87,61 @@ def test_matches_union_find_on_random_graphs(spark, n, data):
     pairs = [(a, b) for a, b in pairs if a != b]
     got = _cc(spark, range(n), pairs)
     assert got == _union_find(n, pairs)
+
+
+# -- two-phase (large-star/small-star) equivalence + chain scaling --------
+
+
+def _labels(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_twophase_matches_label_propagation_random(spark):
+    """Both algorithms produce label = component min; equivalence over
+    random graphs is the safety net for the star-contraction rewiring."""
+    import random
+
+    from kafka2delta_spark.functions.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    rng = random.Random(7)
+    n = 60
+    for trial in range(3):
+        pairs = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(rng.randint(5, 40))
+            }
+        )
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+        edges = spark.createDataFrame(
+            [(a, b) for a, b in pairs], "doc_a long, doc_b long"
+        )
+        lp = _labels(connected_components(nodes, edges))
+        tp = _labels(connected_components_twophase(nodes, edges))
+        assert lp == tp, f"trial {trial}: {pairs}"
+
+
+def test_twophase_handles_chain_beyond_lp_cap(spark):
+    """A 64-node path has diameter 63: label propagation's 20-round cap
+    raises (documented contract), while two-phase contracts it in
+    O(log n) rounds — the exact adversarial case the docstrings defer
+    to the star algorithm."""
+    import pytest as _pytest
+
+    from kafka2delta_spark.functions.dedup import (
+        connected_components,
+        connected_components_twophase,
+    )
+
+    n = 64
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "node long")
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(nodes, chain)
+    out = _labels(connected_components_twophase(nodes, chain))
+    assert out == [(i, 0) for i in range(n)]  # one component, min label 0
