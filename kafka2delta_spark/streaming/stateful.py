@@ -405,3 +405,39 @@ def qx08_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     name = drain_to_memory(joined, "append", shuffle_partitions="2")
     return spark.table(name).filter(F.col("user_id") != SENTINEL_USER)
+
+
+@register(
+    "qx12_stream_static_enrichment",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type,
+           CAST(floor(e.value * 1000) AS BIGINT) AS v1000
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def qx12_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join — the dimension-enrichment pattern every event
+    pipeline runs before sinking: the event stream joins the static
+    customer table on the user key. STATELESS by construction (the
+    static side is re-planned per micro-batch, broadcast when small — no
+    watermark, no join state, unlike q56/q58), so enriched rows emit
+    eagerly and append mode equals the batch join. At 100 TB the static
+    dim is a broadcast or a bucketed storage-side join; the stream never
+    shuffles for the join when the dim broadcasts."""
+    ev = _open_stream(spark, sf_dir).filter(
+        F.col("user_id") != SENTINEL_USER
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    enriched = ev.join(
+        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+    ).select(
+        "event_id",
+        "user_id",
+        "c_nationkey",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+    )
+    name = drain_to_memory(enriched, "append", no_data_batches=False)
+    return spark.table(name)
