@@ -308,6 +308,54 @@ class ParquetStateStore:
             shutil.rmtree(self._dir(old), ignore_errors=True)
         return True
 
+    def read_changes(
+        self, from_version: int, to_version: int, key_cols: list[str]
+    ) -> DataFrame:
+        """Row-level diff between two retained snapshots — the parquet
+        store's analogue of Delta's Change Data Feed (``readChangeFeed``
+        with ``startingVersion``/``endingVersion``): every row tagged
+        ``_change_type`` ∈ insert / delete / update_preimage /
+        update_postimage. Downstream incremental consumers (a second
+        pipeline stage, a cache invalidator, an index maintainer) read
+        the delta instead of re-scanning the snapshot.
+
+        Computed as two key-anti-joins (insert/delete) plus one equi-join
+        with a null-safe full-row comparison (updates emit pre+post
+        image, Delta CDF's contract). Cost: one join keyed on the store's
+        key columns — at scale with hive partitioning both sides prune to
+        the touched partitions."""
+        old = self.read(version=from_version)
+        new = self.read(version=to_version)
+        val_cols = [c for c in new.columns if c not in key_cols]
+        ct = "_change_type"
+        inserts = new.join(old.select(*key_cols), key_cols, "left_anti").select(
+            "*", F.lit("insert").alias(ct)
+        )
+        deletes = old.join(new.select(*key_cols), key_cols, "left_anti").select(
+            "*", F.lit("delete").alias(ct)
+        )
+        o = old.alias("o")
+        n = new.alias("n")
+        changed = functools.reduce(
+            operator.or_,
+            [
+                ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+                for c in val_cols
+            ],
+        )
+        pairs = o.join(n, key_cols).filter(changed)
+        pre = pairs.select(
+            *key_cols,
+            *[F.col(f"o.{c}").alias(c) for c in val_cols],
+            F.lit("update_preimage").alias(ct),
+        )
+        post = pairs.select(
+            *key_cols,
+            *[F.col(f"n.{c}").alias(c) for c in val_cols],
+            F.lit("update_postimage").alias(ct),
+        )
+        return inserts.unionByName(deletes).unionByName(pre).unionByName(post)
+
     def optimize(
         self, target_files: int = 1, cluster_by: list[str] | None = None
     ) -> None:

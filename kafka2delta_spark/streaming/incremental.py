@@ -160,3 +160,63 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         q = maintain_user_rollup(spark, stream, store)
         q.awaitTermination()
     return store.read()
+
+
+@register(
+    "qx13_store_change_feed",
+    oracle="""
+    WITH mid AS (
+        SELECT CAST(quantile_cont(epoch_us(ts), 0.5) AS BIGINT) AS m
+        FROM events),
+    b0 AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+        FROM events, mid WHERE epoch_us(ts) < m GROUP BY user_id),
+    full_ AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
+               CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
+        FROM events GROUP BY user_id),
+    ins AS (
+        SELECT f.*, 'insert' AS _change_type
+        FROM full_ f LEFT JOIN b0 USING (user_id) WHERE b0.user_id IS NULL),
+    pairs AS (
+        SELECT b0.user_id,
+               b0.n_events AS o_n, b0.v1000 AS o_v, b0.last_seen_us AS o_l,
+               f.n_events AS n_n, f.v1000 AS n_v, f.last_seen_us AS n_l
+        FROM b0 JOIN full_ f USING (user_id)
+        WHERE b0.n_events <> f.n_events OR b0.v1000 <> f.v1000
+           OR b0.last_seen_us <> f.last_seen_us),
+    pre AS (SELECT user_id, o_n AS n_events, o_v AS v1000, o_l AS last_seen_us,
+                   'update_preimage' AS _change_type FROM pairs),
+    post AS (SELECT user_id, n_n AS n_events, n_v AS v1000, n_l AS last_seen_us,
+                    'update_postimage' AS _change_type FROM pairs)
+    SELECT * FROM ins UNION ALL SELECT * FROM pre UNION ALL SELECT * FROM post
+    """,
+)
+def qx13_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change Data Feed over the state store (Delta ``readChangeFeed``
+    parity): apply the rollup in two batches (the same time-median split
+    the streaming queries use), then read the row-level diff between
+    snapshot v1 and v2 — inserts for users first seen in batch 1,
+    pre/post images for users whose aggregate advanced. The downstream
+    shape: incremental consumers chain off the CHANGES (keyed joins over
+    the touched rows), never re-scanning the snapshot — what makes a
+    pipeline of materialized views incremental end to end."""
+    from kafka2delta_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").alias("m")
+    ).collect()[0]["m"]
+    mid = int(mid)
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="cdf_state_") + "/state",
+        retain_versions=2,
+    )
+    apply_rollup_batch(store, ev.filter(F.unix_micros("ts") < mid), 0)
+    apply_rollup_batch(store, ev.filter(F.unix_micros("ts") >= mid), 1)
+    return store.read_changes(1, 2, ["user_id"])

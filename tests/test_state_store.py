@@ -226,3 +226,51 @@ def test_selective_merge_falls_back_on_hive_unsafe_partition_value(
         [(1, "a:b", 20, True, "false")], schema + ", __deleted string"
     )
     assert s2.merge(ch2, ["id"], "lsn", "__deleted") is False
+
+
+def test_read_changes_change_data_feed(spark, store):
+    """Delta CDF parity: insert / delete / update pre+post images between
+    two retained versions."""
+    store.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "id long, v string, n long"
+        )
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10), (2, "B", 25), (4, "d", 40)], "id long, v string, n long"
+        )
+    )
+    out = store.read_changes(1, 2, ["id"])
+    rows = {(r["id"], r["_change_type"]): (r["v"], r["n"]) for r in out.collect()}
+    assert rows == {
+        (4, "insert"): ("d", 40),
+        (3, "delete"): ("c", 30),
+        (2, "update_preimage"): ("b", 20),
+        (2, "update_postimage"): ("B", 25),
+    }
+    # unchanged row (id=1) emits nothing
+    assert out.count() == 4
+
+
+def test_read_changes_null_safe_comparison(spark, store):
+    """NULL -> value and value -> NULL transitions are updates (the
+    null-safe comparison catches both); NULL -> NULL is unchanged."""
+    store.overwrite(
+        spark.createDataFrame(
+            [(1, None), (2, "x"), (3, None)], "id long, v string"
+        )
+    )
+    store.overwrite(
+        spark.createDataFrame(
+            [(1, "now"), (2, None), (3, None)], "id long, v string"
+        )
+    )
+    out = store.read_changes(1, 2, ["id"]).collect()
+    kinds = sorted((r["id"], r["_change_type"]) for r in out)
+    assert kinds == [
+        (1, "update_postimage"),
+        (1, "update_preimage"),
+        (2, "update_postimage"),
+        (2, "update_preimage"),
+    ]
