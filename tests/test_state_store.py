@@ -274,3 +274,14 @@ def test_read_changes_null_safe_comparison(spark, store):
         (2, "update_postimage"),
         (2, "update_preimage"),
     ]
+
+
+def test_read_changes_across_optimize_is_empty(spark, store):
+    """Compaction is content-neutral: the change feed across an OPTIMIZE
+    version must be empty (a consumer chained on changes sees nothing)."""
+    store.overwrite(
+        spark.createDataFrame([(i, i % 3) for i in range(50)], "id long, k long")
+        .repartition(8)
+    )
+    store.optimize(target_files=1)
+    assert store.read_changes(1, 2, ["id"]).count() == 0
