@@ -256,3 +256,73 @@ def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(rep), 4).alias("max_repetition"),
         F.sum(F.when(rep > 0.05, 1).otherwise(0)).alias("n_repetitive"),
     )
+
+
+@register(
+    "qx14_bigram_logprob_quality",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        FROM documents),
+    bg AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, (SELECT unnest(range(1, 10000)) AS i) idx
+        WHERE i <= len(toks) - 1),
+    cb AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2),
+    cu AS (SELECT w1, COUNT(*)::DOUBLE AS c1 FROM bg GROUP BY w1),
+    scored AS (
+        SELECT bg.doc_id, ln(cb.c12 / cu.c1) AS lp
+        FROM bg JOIN cb USING (w1, w2) JOIN cu USING (w1))
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(lp), 4) AS avg_logp
+    FROM scored GROUP BY doc_id
+    """,
+)
+def qx14_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical-LM quality score: each document's mean log-probability
+    under the corpus's own bigram model — the perplexity-filter shape
+    (CCNet-style) real curation pipelines run, with the n-gram LM
+    standing in for KenLM (not installed, and the Spark-side shape is
+    identical: per-doc n-grams joined to broadcastable model tables).
+    Low avg_logp = improbable token transitions = likely noise/garbled
+    text; high = fluent but possibly boilerplate. No smoothing needed:
+    the model is trained on the scored corpus itself, so every bigram
+    has support.
+
+    Plan: one bigram explode feeds BOTH model tables (bigram and
+    unigram-context counts hash-agg from the same exchange) and the
+    per-doc scoring join; joins are keyed on the bigram/context — the
+    same keys the counts grouped on — and the final reduction is one
+    per-doc hash-agg. Float: per-bigram ln() is exact-input-identical on
+    both engines; the per-doc mean is rounded 4dp, orders of magnitude
+    above accumulation-order jitter (precedent: q92/qx05)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+    )
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("w1"),
+                    F.element_at("toks", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    cb = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("double").alias("c12")
+    )
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    scored = (
+        bg.join(cb, ["w1", "w2"])
+        .join(cu, "w1")
+        .select("doc_id", F.log(F.col("c12") / F.col("c1")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(F.avg("lp"), 4).alias("avg_logp"),
+    )
