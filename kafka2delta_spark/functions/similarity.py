@@ -510,3 +510,92 @@ def q99_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("dim", "dmin", "dmax", "mean_abs_err_e12")
     )
+
+
+# Time-series similarity search (the streaming-similarity shape from the
+# retrieved OLAP corpus): each user's behavior becomes a fixed-length
+# hour-of-day activity profile, and similarity search runs over those
+# derived vectors with the same top-k machinery as q90. Profile entries
+# are integer counts (exact on both engines); only the final cosine is
+# float, rounded 4dp.
+PROFILE_HOURS = 24
+N_PROFILE_QUERIES = 5
+PROFILE_TOP_K = 3
+
+
+def _profile_sql() -> str:
+    cells = ", ".join(
+        f"SUM(CASE WHEN h = {h} THEN 1 ELSE 0 END)::DOUBLE"
+        for h in range(PROFILE_HOURS)
+    )
+    return f"""
+        SELECT user_id, list_value({cells}) AS v
+        FROM (SELECT user_id, EXTRACT(hour FROM ts) AS h FROM events)
+        GROUP BY user_id"""
+
+
+@register(
+    "qx15_user_activity_similarity",
+    oracle=f"""
+    WITH prof AS ({_profile_sql()}),
+    n AS (SELECT user_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM prof),
+    q AS (SELECT * FROM n WHERE user_id < {N_PROFILE_QUERIES}),
+    scored AS (
+        SELECT q.user_id AS qid, t.user_id AS nid,
+               list_dot_product(q.v, t.v) / (q.nrm * t.nrm) AS cosine
+        FROM q JOIN n t ON t.user_id <> q.user_id)
+    SELECT qid, nid, ROUND(cosine, 4) AS cosine, rk FROM (
+        SELECT qid, nid, cosine,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY cosine DESC, nid) AS rk
+        FROM scored)
+    WHERE rk <= {PROFILE_TOP_K}
+    """,
+)
+def qx15_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search over BEHAVIOR, not stored vectors:
+    each user's event stream folds into a {PROFILE_HOURS}-dim hour-of-day
+    activity profile (one hash-agg of conditional counts — no grid join,
+    no explode), then cosine top-k finds the users whose temporal rhythm
+    most resembles each query user's. The general two-step every
+    trajectory/time-series similarity system uses at scale: featurize
+    sequences into fixed-length vectors ONCE (linear scan), then search
+    in vector space where the q90/q91/q93 machinery — brute force here,
+    LSH/IVF at corpus scale — applies unchanged."""
+    from kafka2delta_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    hr = F.hour("ts")
+    prof = ev.groupBy("user_id").agg(
+        F.array(
+            *[
+                F.sum(F.when(hr == h, 1).otherwise(0)).cast("double")
+                for h in range(PROFILE_HOURS)
+            ]
+        ).alias("v")
+    )
+    n = prof.select(
+        "user_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    q = n.filter(F.col("user_id") < N_PROFILE_QUERIES).select(
+        F.col("user_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        n.crossJoin(F.broadcast(q))
+        .filter(F.col("user_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("user_id").alias("nid"),
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.select("qid", "nid", "cosine", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= PROFILE_TOP_K)
+        .select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rk")
+    )
