@@ -50,12 +50,15 @@ def _revenue() -> F.Column:
     oracle="""
     WITH ps AS (
         SELECT l_partkey AS partkey, l_suppkey AS suppkey,
-               ROUND(AVG(l_extendedprice / l_quantity), 2) AS unit_price
+               CAST((2 * SUM(CAST(floor(l_extendedprice / l_quantity * 100000)
+                                  AS BIGINT)) + 1000 * COUNT(*))
+                    // (2000 * COUNT(*)) AS BIGINT) AS unit_price_cents
         FROM lineitem GROUP BY 1, 2),
-    m AS (SELECT partkey, MIN(unit_price) AS min_price FROM ps GROUP BY 1)
-    SELECT p.p_partkey, p.p_brand, s.s_name AS supplier_name, ps.unit_price
+    m AS (SELECT partkey, MIN(unit_price_cents) AS min_price FROM ps GROUP BY 1)
+    SELECT p.p_partkey, p.p_brand, s.s_name AS supplier_name,
+           ps.unit_price_cents
     FROM ps
-    JOIN m        ON ps.partkey = m.partkey AND ps.unit_price = m.min_price
+    JOIN m        ON ps.partkey = m.partkey AND ps.unit_price_cents = m.min_price
     JOIN part p   ON p.p_partkey = ps.partkey
     JOIN supplier s ON s.s_suppkey = ps.suppkey
     WHERE p.p_size <= 5
@@ -70,7 +73,15 @@ def q02_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact and ~a tenth of it. The correlated MIN decorrelates into one
     window min over the agg output (ties kept, like the SQL): two shuffles
     total — the (partkey, suppkey) agg and the partkey window — instead of
-    agg + min-agg + self-join."""
+    agg + min-agg + self-join.
+
+    Monetary math: the per-row unit price is floored to 5dp fixed-point
+    (the double division is IEEE-identical on both engines; the floor
+    makes it integer), the group mean runs as exact integer arithmetic,
+    and the half-up round to CENTS is integer division — at sf0.1 three
+    groups sit exactly on a half-cent, where ROUND(AVG(double), 2)
+    diverged between engines (Spark rounds the shortest decimal repr,
+    DuckDB the scaled binary value)."""
     li = load_table(spark, sf_dir, "lineitem")
     part5 = (
         load_table(spark, sf_dir, "part")
@@ -78,22 +89,29 @@ def q02_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand")
     )
     supp = load_table(spark, sf_dir, "supplier")
+    r5 = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100000
+    ).cast("bigint")
     ps = (
         li.join(F.broadcast(part5), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("__r5", r5)
         .groupBy("p_partkey", "p_brand", F.col("l_suppkey").alias("suppkey"))
         .agg(
-            F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 2).alias(
-                "unit_price"
-            )
+            F.expr(
+                "(2 * sum(__r5) + 1000 * count(*)) div (2000 * count(*))"
+            ).alias("unit_price_cents")
         )
     )
     w = Window.partitionBy("p_partkey")
     return (
-        ps.withColumn("min_price", F.min("unit_price").over(w))
-        .filter(F.col("unit_price") == F.col("min_price"))
+        ps.withColumn("min_price", F.min("unit_price_cents").over(w))
+        .filter(F.col("unit_price_cents") == F.col("min_price"))
         .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
         .select(
-            "p_partkey", "p_brand", F.col("s_name").alias("supplier_name"), "unit_price"
+            "p_partkey",
+            "p_brand",
+            F.col("s_name").alias("supplier_name"),
+            "unit_price_cents",
         )
     )
 
