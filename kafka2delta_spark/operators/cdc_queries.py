@@ -16,6 +16,7 @@ from kafka2delta_spark.cdc.merge import merge_cdc_batch
 from kafka2delta_spark.cdc.wire import avro_payload_col, schema_id_col
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
+from pyspark.sql.window import Window
 
 SPLIT_TS = "2024-01-15 00:00:00"
 
@@ -121,4 +122,49 @@ def q72_wire_format_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         schema_id_col("value").cast("bigint").alias("schema_id"),
         F.length(avro_payload_col("value")).cast("int").alias("payload_len"),
+    )
+
+
+@register(
+    "qx16_scd2_history",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) AS BIGINT) AS valid_from_us,
+               CAST(LEAD(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS BIGINT) AS valid_to_us,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ) AS BIGINT) AS version
+        FROM events)
+    SELECT user_id, event_type, valid_from_us, valid_to_us, version,
+           (valid_to_us IS NULL) AS is_current
+    FROM ordered
+    """,
+)
+def qx16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history from a changelog — the warehouse consumption
+    pattern the reference's latest-state-only sink (SURVEY §2.1 P12)
+    cannot serve: every change becomes a validity interval
+    [valid_from, valid_to) with version numbers and an is_current flag,
+    so point-in-time joins ('what was this user's state when the order
+    shipped?') become range lookups. One window pass — lead() for the
+    interval close, row_number() for the version — over the key
+    partition; at scale this is a single shuffle on the key, the same
+    cost class as the CDC dedup itself. Total ordering (ts, event_id)
+    makes versions deterministic under same-timestamp changes."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), F.col("event_id")
+    )
+    out = ev.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("valid_from_us"),
+        F.lead(F.unix_micros("ts")).over(w).alias("valid_to_us"),
+        F.row_number().over(w).cast("bigint").alias("version"),
+    )
+    return out.select(
+        "*", F.col("valid_to_us").isNull().alias("is_current")
     )
