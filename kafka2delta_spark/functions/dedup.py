@@ -1126,3 +1126,53 @@ def qx06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("cluster_id"),
         split.alias("split"),
     )
+
+
+@register(
+    "qx17_canonical_doc_rollup",
+    oracle=f"""
+    WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL}) jp),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS root FROM documents
+        UNION
+        SELECT u.b AS node, r.root FROM reach r JOIN und u ON u.a = r.node),
+    cl AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node)
+    SELECT cl.cluster_id AS canonical_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
+           list_sort(list_distinct(list(d.source))) AS sources,
+           list_sort(list_distinct(list(d.lang))) AS langs
+    FROM cl JOIN documents d ON d.doc_id = cl.node
+    GROUP BY cl.cluster_id
+    """,
+)
+def qx17_canonical_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The collapse step AFTER near-dup clustering: one output row per
+    duplicate group, keyed by the canonical doc, carrying the merged
+    metadata a dedup pipeline must not lose — how many copies existed,
+    which sources and languages carried them, total bytes collapsed.
+    (Dropping duplicates without this rollup silently destroys source
+    attribution and dedup-rate accounting.) One hash-agg over the
+    cluster labels joined to the doc metadata; arrays are
+    sorted-distinct so both engines emit identical values."""
+    labels = connected_components(
+        load_table(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("node")
+        ),
+        _jaccard_edges(spark, sf_dir),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("node"), "source", "lang", "n_chars"
+    )
+    return (
+        labels.join(docs, "node")
+        .groupBy(F.col("label").alias("canonical_doc_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.array_sort(F.collect_set("source")).alias("sources"),
+            F.array_sort(F.collect_set("lang")).alias("langs"),
+        )
+    )

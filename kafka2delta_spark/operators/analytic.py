@@ -771,3 +771,63 @@ def qx10_ewm_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, z: acc + z,
     )
     return framed.select("user_id", "event_id", weighted.alias("ewm1000"))
+
+
+@register(
+    "qx18_funnel_stages",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS c,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        FROM events GROUP BY user_id),
+    staged AS (
+        SELECT user_id,
+               CASE WHEN v IS NULL THEN 0
+                    WHEN c IS NULL OR c < v THEN 1
+                    WHEN p IS NULL OR p < c THEN 2
+                    ELSE 3 END AS stage
+        FROM firsts)
+    SELECT stage,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(MIN(user_id) AS BIGINT) AS min_user
+    FROM staged GROUP BY stage
+    """,
+)
+def qx18_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-funnel analysis: how far each user progressed through
+    the ORDERED chain view -> click -> purchase (a later stage only
+    counts if its first occurrence follows the previous stage's first
+    occurrence — the sequential-pattern constraint that separates a
+    funnel from three independent counts). One hash-agg computes every
+    user's first timestamp per stage as conditional MINs — no joins, no
+    window, no per-stage passes — and the stage classification is pure
+    per-row logic; the final rollup is |stages| rows. The canonical
+    product-analytics query, and the shape a 100 TB event store wants:
+    a single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+
+    def first_of(t):
+        return F.min(F.when(F.col("event_type") == t, us))
+
+    firsts = ev.groupBy("user_id").agg(
+        first_of("view").alias("v"),
+        first_of("click").alias("c"),
+        first_of("purchase").alias("p"),
+    )
+    stage = (
+        F.when(F.col("v").isNull(), 0)
+        .when(F.col("c").isNull() | (F.col("c") < F.col("v")), 1)
+        .when(F.col("p").isNull() | (F.col("p") < F.col("c")), 2)
+        .otherwise(3)
+    )
+    return (
+        firsts.select("user_id", stage.alias("stage"))
+        .groupBy("stage")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.min("user_id").cast("bigint").alias("min_user"),
+        )
+    )
