@@ -1176,3 +1176,66 @@ def qx17_canonical_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_set("lang")).alias("langs"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx20: duplicated-span detection — the hashed-n-gram approximation of
+# suffix-array substring dedup (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better", ACL 2022: exact 50-token substring
+# matches; here width-8 word spans so the sf0.01 corpus has hits).
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8
+
+
+@register(
+    "qx20_duplicated_spans",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+               FROM documents),
+    s AS (SELECT DISTINCT doc_id,
+                 unnest([array_to_string(w[i:i+{SPAN_W - 1}], ' ')
+                         for i in range(1, len(w) - {SPAN_W - 2})]) AS gram
+          FROM t WHERE len(w) >= {SPAN_W}),
+    g AS (SELECT gram, COUNT(*) AS nd FROM s GROUP BY gram)
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT)                            AS n_unique_spans,
+           CAST(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                                                               AS n_dup_spans,
+           ROUND(SUM(CASE WHEN g.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4)                                AS dup_coverage
+    FROM s JOIN g USING (gram)
+    GROUP BY s.doc_id
+    """,
+)
+def qx20_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span stats: of a doc's distinct width-8
+    word spans, how many also occur in at least one OTHER document (or
+    twice here — corpus frequency >= 2 over distinct (doc, span) rows),
+    and what fraction of the doc that covers. The span report is what a
+    substring-dedup pass trims; high ``dup_coverage`` docs are boilerplate
+    or templated near-copies that doc-level hashing misses.
+
+    Plan: reuses ``shingle_rows`` (posexplode + window lead, distinct
+    (doc, span)); one shuffle on the span groups it for the corpus
+    frequency, and the join back to per-doc rows reuses that exchange
+    (same key) before the final per-doc hash-agg. Span strings act as
+    their own keys here; at 100 TB you'd md5 them first to fix the
+    shuffle width at 16 bytes — same counts, collision odds ~n²/2^128."""
+    rows = shingle_rows(spark, sf_dir, k=SPAN_W)
+    freq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
+    return (
+        rows.join(freq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique_spans"),
+            F.sum((F.col("nd") >= 2).cast("int"))
+            .cast("bigint")
+            .alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("nd") >= 2).cast("int"))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("dup_coverage"),
+        )
+    )

@@ -326,3 +326,68 @@ def qx14_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
         F.round(F.avg("lp"), 4).alias("avg_logp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx21: BPE merge-step pair counting — the inner loop of byte-pair-encoding
+# vocabulary induction (Sennrich et al., "Neural Machine Translation of
+# Rare Words with Subword Units", ACL 2016): count adjacent symbol pairs
+# across the corpus; the argmax pair is the next merge rule.
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "qx21_bpe_pair_counts",
+    oracle=f"""
+    WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS wd
+               FROM documents),
+    p AS (SELECT unnest([[substr(wd, i, 1), substr(wd, i + 1, 1)]
+                         for i in range(1, length(wd))]) AS pr
+          FROM w WHERE length(wd) >= 2)
+    SELECT pr[1] AS pair_left, pr[2] AS pair_right,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p
+    GROUP BY pr[1], pr[2]
+    ORDER BY n_occurrences DESC, pair_left, pair_right
+    LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def qx21_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent character-pair counts over whitespace words — the
+    first iteration of BPE vocabulary learning (each subsequent iteration
+    merges the winning pair and recounts; one iteration is registered
+    because the recount loop is this same query re-run on rewritten
+    symbol sequences).
+
+    Plan: explode words → per-word pair arrays built with native
+    ``transform(sequence(...))`` over ``substr`` (codegen, no Python) →
+    explode → one hash-agg on (left, right) with map-side partials —
+    the symbol-pair key space is tiny (alphabet²), so the shuffle carries
+    at most a few thousand partial rows per task regardless of corpus
+    size. Top-N with a total-order tiebreak (count desc, pair asc) so the
+    cut is deterministic across engines. Char-level ``substr`` is
+    code-point-safe in both engines (verified on multibyte input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("wd")
+    ).filter(F.length("wd") >= 2)
+    pairs = words.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(wd) - 1),"
+                " i -> struct(substr(wd, i, 1) AS l, substr(wd, i + 1, 1) AS r))"
+            )
+        ).alias("pr")
+    )
+    return (
+        pairs.groupBy(
+            F.col("pr.l").alias("pair_left"), F.col("pr.r").alias("pair_right")
+        )
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(
+            F.desc("n_occurrences"), F.asc("pair_left"), F.asc("pair_right")
+        )
+        .limit(BPE_TOP_PAIRS)
+    )

@@ -478,3 +478,103 @@ def qx11_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(exact, "user_id")
         .select("user_id", F.col("cm_est").cast("bigint"), "true_cnt", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# qx19: KMV (k-minimum-values) distinct sketch — a MERGEABLE approx-distinct
+# whose estimate is bit-identical across engines, unlike HLL (q27 stays
+# rows-only because Spark's HLL++ registers are engine-private; this is the
+# portable alternative a cross-engine pipeline would standardize on).
+# Public algorithm: Bar-Yossef et al., "Counting distinct elements in a
+# data stream" (RANDOM 2002).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+# 13 hex chars of md5 = 52 uniform bits; (K-1) * 2^52 stays < 2^63 so the
+# integer-division estimate never overflows BIGINT in either engine.
+KMV_SPACE = 1 << 52
+_KMV_HASH = "cast(conv(substr(md5(cast(user_id as string)),1,13),16,10) as bigint)"
+_KMV_HASH_DUCK = "('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT"
+
+
+def _kmv_oracle() -> str:
+    est = (
+        f"CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*) "
+        f"ELSE ({KMV_K - 1} * {KMV_SPACE}::BIGINT) "
+        f"// MAX(CASE WHEN rk = {KMV_K} THEN hv END) END"
+    )
+    return f"""
+    WITH h AS (SELECT DISTINCT event_type, {_KMV_HASH_DUCK} AS hv FROM events),
+    r AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+          FROM h),
+    per_type AS (
+        SELECT event_type AS scope,
+               CAST(LEAST(COUNT(*), {KMV_K}) AS INT) AS sketch_size,
+               CAST({est} AS BIGINT) AS est_distinct
+        FROM r GROUP BY event_type),
+    -- merged sketch: union the per-type k-min sets (NOT the raw table),
+    -- dedup, re-rank — exactly what Spark's merge of sketches computes
+    merged_h AS (SELECT DISTINCT hv FROM r WHERE rk <= {KMV_K}),
+    mr AS (SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rk FROM merged_h),
+    merged AS (
+        SELECT 'ALL' AS scope,
+               CAST(LEAST(COUNT(*), {KMV_K}) AS INT) AS sketch_size,
+               CAST({est} AS BIGINT) AS est_distinct
+        FROM mr)
+    SELECT * FROM per_type UNION ALL SELECT * FROM merged
+    """
+
+
+@register("qx19_kmv_distinct_sketch", oracle=_kmv_oracle())
+def qx19_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct users per event type via a portable KMV sketch,
+    plus an 'ALL' row computed by MERGING the per-type sketches — the
+    merge property is what makes the sketch usable as a partial aggregate
+    at 100 TB (combine per-partition sketches instead of shuffling raw
+    keys).
+
+    Estimate: keep the K smallest 52-bit hashes; if fewer than K distinct
+    values exist the sketch is exact, else est = (K-1)*2^52 div h_K. All
+    arithmetic is integer so the oracle hash-matches bit-for-bit.
+
+    Plan: distinct (type, hash) → two-level bottom-K (first within
+    (type, hash mod 16) subgroups — the map-side-combine shape, bounding
+    any single aggregation state — then across subgroups). The merged
+    'ALL' sketch consumes only the per-type K-min arrays (≤ K·n_types
+    values), never the raw key space. The reference has no sketches at
+    all; q27/qx11 cover HLL and count-min."""
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.select("event_type", F.expr(_KMV_HASH).alias("hv"))
+        .distinct()
+    )
+    bottom_k = F.slice(F.array_sort(F.collect_set("hv")), 1, KMV_K)
+    l1 = (
+        h.groupBy("event_type", F.pmod("hv", F.lit(16)).alias("bucket"))
+        .agg(bottom_k.alias("mins"))
+    )
+    l2 = l1.groupBy("event_type").agg(
+        F.slice(
+            F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+        ).alias("kmins")
+    )
+
+    def estimate(df: DataFrame, scope_col) -> DataFrame:
+        n = F.size("kmins")
+        est = F.when(n < KMV_K, n.cast("bigint")).otherwise(
+            F.expr(f"{KMV_K - 1} * cast({KMV_SPACE} as bigint) div element_at(kmins, {KMV_K})")
+        )
+        return df.select(
+            scope_col.alias("scope"),
+            n.cast("int").alias("sketch_size"),
+            est.cast("bigint").alias("est_distinct"),
+        )
+
+    per_type = estimate(l2, F.col("event_type"))
+    merged = (
+        l2.select(F.explode("kmins").alias("hv"))
+        .distinct()
+        .agg(bottom_k.alias("kmins"))
+    )
+    return per_type.unionByName(estimate(merged, F.lit("ALL")))
