@@ -545,10 +545,10 @@ def qx19_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     values), never the raw key space. The reference has no sketches at
     all; q27/qx11 cover HLL and count-min."""
     events = load_table(spark, sf_dir, "events")
-    h = (
-        events.select("event_type", F.expr(_KMV_HASH).alias("hv"))
-        .distinct()
-    )
+    # no .distinct() before the groupBy: collect_set dedups inside each
+    # (type, bucket) group with a map-side partial, so a separate distinct
+    # would only add a second full-width shuffle of the raw rows
+    h = events.select("event_type", F.expr(_KMV_HASH).alias("hv"))
     bottom_k = F.slice(F.array_sort(F.collect_set("hv")), 1, KMV_K)
     l1 = (
         h.groupBy("event_type", F.pmod("hv", F.lit(16)).alias("bucket"))
