@@ -1239,3 +1239,97 @@ def qx20_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx22: PageRank centrality over the near-dup similarity graph — which
+# documents sit at the center of duplication neighborhoods (the doc a
+# curation pass keeps as canonical, weighted by how much of the corpus
+# orbits it). Public algorithm: Page et al., "The PageRank Citation
+# Ranking" (1999); simplified dangling-mass-dropped variant.
+# ---------------------------------------------------------------------------
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    steps = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        steps.append(
+            f"""r{i} AS (
+        SELECT r0.node,
+               15 * (SELECT b FROM base) // 100
+               + 85 * COALESCE(inc.s, 0) // 100 AS r
+        FROM r0
+        LEFT JOIN (
+            SELECT u.b AS node, SUM(rp.r // dg.outdeg) AS s
+            FROM und u
+            JOIN {prev} rp ON rp.node = u.a
+            JOIN deg dg ON dg.node = u.a
+            GROUP BY u.b) inc USING (node))"""
+        )
+        prev = f"r{i}"
+    return f"""
+    WITH jp AS ({_JACCARD_PAIRS_SQL}),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM jp
+            UNION ALL SELECT doc_b AS a, doc_a AS b FROM jp),
+    deg AS (SELECT a AS node, COUNT(*) AS outdeg FROM und GROUP BY a),
+    base AS (SELECT {PR_SCALE} // COUNT(*) AS b FROM documents),
+    r0 AS (SELECT doc_id AS node, (SELECT b FROM base) AS r FROM documents),
+    {",".join(steps)}
+    SELECT node AS doc_id, CAST(r AS BIGINT) AS pr_score
+    FROM {prev}
+    """
+
+
+@register("qx22_pagerank_centrality", oracle=_pagerank_oracle())
+def qx22_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 fixed iterations, damping 0.85) over the undirected
+    q88 Jaccard near-dup graph; isolated docs settle at the uniform
+    floor, hub docs of duplication neighborhoods rise above it.
+
+    All arithmetic is integer fixed-point at 1e-12 resolution (rank mass
+    scaled by PR_SCALE; every division is truncating integer division in
+    a fixed order) so the scores hash-match the oracle bit-for-bit —
+    float PageRank would diverge across engines in the last ulps.
+
+    Plan: the edge list is the SAME checkpointed artifact q98/qx06 use
+    (near-dup pairs, tiny vs the corpus); each iteration is one
+    broadcast-degree join + hash-agg on the destination node, then a
+    left join back to the constant node set. Iteration count is fixed,
+    so lineage depth is bounded; at 100 TB each round shuffles only the
+    edge list — the classic Pregel-free DataFrame PageRank shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    edges = _jaccard_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionByName(
+        edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
+    )
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = docs.agg(
+        F.expr(f"cast({PR_SCALE} as bigint) div count(1)").alias("b")
+    )
+    nodes = docs.select(F.col("doc_id").alias("node")).crossJoin(
+        F.broadcast(base)
+    )
+    r = nodes.select("node", F.col("b").alias("r"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            und.join(r.withColumnRenamed("node", "a"), "a")
+            .join(F.broadcast(deg), "a")
+            .select(F.col("b").alias("node"), F.expr("r div outdeg").alias("c"))
+        )
+        inc = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        r = (
+            nodes.join(inc, "node", "left")
+            .select(
+                "node",
+                F.expr(
+                    "15 * b div 100 + 85 * coalesce(s, cast(0 as bigint)) div 100"
+                ).alias("r"),
+            )
+        )
+    return r.select(F.col("node").alias("doc_id"), F.col("r").cast("bigint").alias("pr_score"))

@@ -122,3 +122,40 @@ def test_bpe_pair_counts_match_bruteforce(spark):
         for r in qx21_bpe_pair_counts(spark, SF_DIR).collect()
     ]
     assert got == expect
+
+
+def test_pagerank_matches_bruteforce_integer_iteration(spark):
+    from kafka2delta_spark.functions.dedup import (
+        PR_ITERS,
+        PR_SCALE,
+        q88_jaccard_similar_pairs,
+        qx22_pagerank_centrality,
+    )
+
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in q88_jaccard_similar_pairs(spark, SF_DIR).collect()
+    ]
+    nodes = [d for d, _ in _docs(spark)]
+    und = defaultdict(list)
+    for a, b in edges:
+        und[a].append(b)
+        und[b].append(a)
+    base = PR_SCALE // len(nodes)
+    r = {n: base for n in nodes}
+    for _ in range(PR_ITERS):
+        inc = defaultdict(int)
+        for a, outs in und.items():
+            c = r[a] // len(outs)
+            for b in outs:
+                inc[b] += c
+        r = {n: 15 * base // 100 + 85 * inc[n] // 100 for n in nodes}
+
+    got = {
+        row["doc_id"]: row["pr_score"]
+        for row in qx22_pagerank_centrality(spark, SF_DIR).collect()
+    }
+    assert got == r
+    # the fixture graph actually has hubs above the isolated-node floor
+    floor = 15 * base // 100
+    assert min(got.values()) == floor and max(got.values()) > floor
