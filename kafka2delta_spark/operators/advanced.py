@@ -545,20 +545,53 @@ def qx19_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     values), never the raw key space. The reference has no sketches at
     all; q27/qx11 cover HLL and count-min."""
     events = load_table(spark, sf_dir, "events")
-    # no .distinct() before the groupBy: collect_set dedups inside each
-    # (type, bucket) group with a map-side partial, so a separate distinct
-    # would only add a second full-width shuffle of the raw rows
+    return kmv_estimates(kmv_sketch_by_type(events))
+
+
+def _bottom_k_set():
+    # built lazily: Column construction needs a live SparkContext
+    return F.slice(F.array_sort(F.collect_set("hv")), 1, KMV_K)
+
+
+def kmv_sketch_by_type(events: DataFrame) -> DataFrame:
+    """(event_type, kmins) sketch rows for an events-shaped frame.
+
+    No .distinct() before the groupBy: collect_set dedups inside each
+    (type, bucket) group with a map-side partial, so a separate distinct
+    would only add a second full-width shuffle of the raw rows."""
     h = events.select("event_type", F.expr(_KMV_HASH).alias("hv"))
-    bottom_k = F.slice(F.array_sort(F.collect_set("hv")), 1, KMV_K)
     l1 = (
         h.groupBy("event_type", F.pmod("hv", F.lit(16)).alias("bucket"))
-        .agg(bottom_k.alias("mins"))
+        .agg(_bottom_k_set().alias("mins"))
     )
-    l2 = l1.groupBy("event_type").agg(
+    return l1.groupBy("event_type").agg(
         F.slice(
             F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
         ).alias("kmins")
     )
+
+
+def kmv_merge(prior: DataFrame, partial: DataFrame) -> DataFrame:
+    """Combine two sketch tables — union the k-min sets per type, dedup
+    (the same hash can sit in both sketches), keep the K smallest.
+    Associative, commutative AND idempotent (set union), so any merge
+    order — including a replayed micro-batch — yields the same table."""
+    return (
+        prior.unionByName(partial)
+        .groupBy("event_type")
+        .agg(
+            F.slice(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("kmins")))),
+                1,
+                KMV_K,
+            ).alias("kmins")
+        )
+    )
+
+
+def kmv_estimates(sketches: DataFrame) -> DataFrame:
+    """Per-type estimate rows plus the merged-'ALL' row from a
+    (event_type, kmins) sketch table."""
 
     def estimate(df: DataFrame, scope_col) -> DataFrame:
         n = F.size("kmins")
@@ -571,10 +604,10 @@ def qx19_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             est.cast("bigint").alias("est_distinct"),
         )
 
-    per_type = estimate(l2, F.col("event_type"))
+    per_type = estimate(sketches, F.col("event_type"))
     merged = (
-        l2.select(F.explode("kmins").alias("hv"))
+        sketches.select(F.explode("kmins").alias("hv"))
         .distinct()
-        .agg(bottom_k.alias("kmins"))
+        .agg(_bottom_k_set().alias("kmins"))
     )
     return per_type.unionByName(estimate(merged, F.lit("ALL")))

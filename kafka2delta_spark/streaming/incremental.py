@@ -220,3 +220,86 @@ def qx13_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     apply_rollup_batch(store, ev.filter(F.unix_micros("ts") < mid), 0)
     apply_rollup_batch(store, ev.filter(F.unix_micros("ts") >= mid), 1)
     return store.read_changes(1, 2, ["user_id"])
+
+
+def apply_kmv_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch's KMV sketch partial into ``store``. Keeps
+    the same batch-id ledger as :func:`apply_rollup_batch` for symmetry,
+    though KMV merge is set union — associative, commutative and
+    IDEMPOTENT — so even an undetected replay could not corrupt the
+    sketch (unlike the additive rollup, where the ledger is load-bearing)."""
+    from kafka2delta_spark.operators.advanced import kmv_merge, kmv_sketch_by_type
+
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False
+    partial = kmv_sketch_by_type(batch_df)
+    prior = store.read() if store.exists() else None
+    store.overwrite(
+        partial if prior is None else kmv_merge(prior, partial),
+        metadata={"last_applied_batch_id": batch_id},
+    )
+    return True
+
+
+def _qx19_oracle() -> str:
+    from kafka2delta_spark.operators.advanced import _kmv_oracle
+
+    return _kmv_oracle()
+
+
+@register(
+    "qx23_streaming_kmv_distinct",
+    # Streaming maintenance must land on EXACTLY the batch sketch — KMV
+    # merge loses nothing — so the oracle is qx19's, verbatim: a
+    # streaming query with a full hash-verified oracle, not rows-only.
+    oracle=_qx19_oracle(),
+)
+def qx23_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuously-maintained approx-distinct: per-micro-batch KMV
+    sketch partials folded into the state store (foreachBatch + merge,
+    the q49 IVM shape with a sketch instead of an additive aggregate),
+    estimates read back at the end. Because sketch union is lossless
+    w.r.t. the K minimum hashes, the final table equals qx19's batch
+    answer bit-for-bit — the strongest checkable invariant a streaming
+    sketch can offer, and the 100 TB pattern for distinct-count
+    dashboards: per-partition sketch partials merge in O(K) per key, no
+    raw-key shuffle, state bounded by K x n_types regardless of
+    cardinality."""
+    from kafka2delta_spark.operators.advanced import kmv_estimates
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="kmv_state_") + "/state"
+    )
+    from kafka2delta_spark.streaming.drain import drain_shuffle_partitions
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_kmv_batch(store, batch_df, batch_id)
+
+    from kafka2delta_spark.streaming.drain import _checkpoint_dir
+
+    checkpoint = tempfile.mkdtemp(prefix="kmv_ckpt_", dir=_checkpoint_dir("kmv"))
+    with drain_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return kmv_estimates(store.read())

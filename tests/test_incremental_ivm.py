@@ -198,3 +198,52 @@ if HAVE_HYPOTHESIS:
             model[u][1] += int(v * 1000)
         expect = sorted((u, n, s) for u, (n, s) in model.items())
         assert got == expect
+
+
+# --- qx23: streaming KMV sketch maintenance -------------------------------
+
+
+def _typed_events(spark, rows):
+    """rows: (event_type, user_id)."""
+    return spark.createDataFrame(
+        [(t, u) for t, u in rows], "event_type string, user_id long"
+    )
+
+
+def _sketch(store):
+    return sorted(
+        (r["event_type"], tuple(r["kmins"])) for r in store.read().collect()
+    )
+
+
+def test_kmv_split_application_equals_single_batch(spark, tmp_path):
+    from kafka2delta_spark.streaming.incremental import apply_kmv_batch
+
+    rows = [("click", u % 37) for u in range(100)] + [
+        ("view", u % 91) for u in range(100)
+    ]
+    split = ParquetStateStore(spark, str(tmp_path / "a"))
+    assert apply_kmv_batch(split, _typed_events(spark, rows[:73]), 0)
+    assert apply_kmv_batch(split, _typed_events(spark, rows[73:]), 1)
+    # at-least-once retry of the last batch: ledger makes it a no-op
+    before = _sketch(split)
+    assert apply_kmv_batch(split, _typed_events(spark, rows[73:]), 1) is False
+    assert _sketch(split) == before
+
+    whole = ParquetStateStore(spark, str(tmp_path / "b"))
+    apply_kmv_batch(whole, _typed_events(spark, rows), 0)
+    assert _sketch(split) == _sketch(whole)
+
+
+def test_kmv_merge_is_idempotent_without_ledger(spark):
+    """Unlike the additive rollup, the sketch itself absorbs replay:
+    merging a sketch with itself changes nothing (set union)."""
+    from kafka2delta_spark.operators.advanced import kmv_merge, kmv_sketch_by_type
+
+    s = kmv_sketch_by_type(
+        _typed_events(spark, [("click", u * 7) for u in range(200)])
+    )
+    twice = kmv_merge(s, s)
+    a = sorted((r["event_type"], tuple(r["kmins"])) for r in s.collect())
+    b = sorted((r["event_type"], tuple(r["kmins"])) for r in twice.collect())
+    assert a == b
