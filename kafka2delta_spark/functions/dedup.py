@@ -504,10 +504,12 @@ def q88_jaccard_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_similar_pairs(spark, sf_dir, cap=SHINGLE_DF_CAP)
 
 
-def jaccard_similar_pairs(
+def _shingle_pair_stats(
     spark: SparkSession, sf_dir: str, cap: int | str = SHINGLE_DF_CAP
 ) -> DataFrame:
-    """q88's core with the shingle document-frequency cap as a knob: an
+    """Shared candidate-pair statistics for q88 (Jaccard) and qx24
+    (containment): one row per in-bucket pair with the intersection size
+    and both set sizes attached. The document-frequency cap is a knob: an
     int, or ``"adaptive"`` to derive it from the P99 of the docs-per-
     shingle distribution (constant dropped fraction at any corpus size)."""
     ex = shingle_rows(spark, sf_dir, k=3)
@@ -536,11 +538,17 @@ def jaccard_similar_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+
+
+def jaccard_similar_pairs(
+    spark: SparkSession, sf_dir: str, cap: int | str = SHINGLE_DF_CAP
+) -> DataFrame:
+    """q88's core over :func:`_shingle_pair_stats`."""
+    stats = _shingle_pair_stats(spark, sf_dir, cap)
     jac = F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= 0.12)
+        stats.filter(jac >= 0.12)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
 
@@ -1333,3 +1341,87 @@ def qx22_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return r.select(F.col("node").alias("doc_id"), F.col("r").cast("bigint").alias("pr_score"))
+
+
+# ---------------------------------------------------------------------------
+# qx24: directional shingle containment — catches subset duplication
+# (one doc quoted/embedded inside another) that symmetric Jaccard
+# under-scores: a 20-shingle doc fully inside a 500-shingle doc has
+# containment 1.0 but Jaccard 0.04. Public measure: Broder, "On the
+# resemblance and containment of documents" (SEQUENCES 1997).
+# ---------------------------------------------------------------------------
+
+CONTAIN_MIN = 0.5
+
+
+@register(
+    "qx24_containment_pairs",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh_t AS (
+        SELECT doc_id, {shingles_sql(k=3)} AS sh FROM t WHERE len(toks) >= 3),
+    raw_ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+    df AS (SELECT shingle, COUNT(*) AS n_docs FROM raw_ex GROUP BY shingle),
+    ex AS (SELECT r.doc_id, r.shingle
+           FROM raw_ex r JOIN df USING (shingle)
+           WHERE df.n_docs <= {SHINGLE_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    both_dir AS (
+        SELECT doc_a AS doc_id, doc_b AS container_id, n_common,
+               sa.sz AS sz_doc, sb.sz AS sz_container
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS container_id, n_common,
+               sb.sz AS sz_doc, sa.sz AS sz_container
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b)
+    SELECT doc_id, container_id, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(n_common * 1.0 / sz_doc, 4) AS containment
+    FROM both_dir
+    WHERE n_common * 1.0 / sz_doc >= {CONTAIN_MIN}
+    """,
+)
+def qx24_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional containment pairs: C(A in B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    over the capped shingle space, both directions emitted, threshold
+    CONTAIN_MIN. The dedup decision this feeds differs from Jaccard's:
+    keep the CONTAINER and drop the contained doc (it adds no content),
+    whereas near-identical Jaccard pairs keep the canonical.
+
+    Plan: identical physical shape to q88 — both consume
+    ``_shingle_pair_stats`` (one shingle shuffle, in-bucket pair
+    expansion, broadcast size joins); the direction split is a pure
+    projection union, no extra shuffle."""
+    stats = _shingle_pair_stats(spark, sf_dir, cap=SHINGLE_DF_CAP)
+    fwd = stats.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("container_id"),
+        "n_common",
+        F.col("sz_a").alias("sz_doc"),
+    )
+    rev = stats.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("container_id"),
+        "n_common",
+        F.col("sz_b").alias("sz_doc"),
+    )
+    c = F.col("n_common") / F.col("sz_doc")
+    return (
+        fwd.unionByName(rev)
+        .filter(c >= CONTAIN_MIN)
+        .select(
+            "doc_id",
+            "container_id",
+            F.col("n_common").cast("bigint").alias("n_common"),
+            F.round(c, 4).alias("containment"),
+        )
+    )
