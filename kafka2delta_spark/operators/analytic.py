@@ -831,3 +831,55 @@ def qx18_funnel_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("user_id").cast("bigint").alias("min_user"),
         )
     )
+
+
+@register(
+    "qx25_session_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+    t AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type)
+    SELECT from_type, to_type, CAST(n AS BIGINT) AS n_transitions,
+           ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 4)
+               AS transition_prob
+    FROM t
+    """,
+)
+def qx25_session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's
+    time-ordered event stream: for every (from, to) event-type pair, the
+    transition count and the row-normalized probability. The behavioral
+    counterpart of qx21's BPE pair counting — sequence statistics a
+    session-model or curriculum builder consumes; qx18's funnel is the
+    special case of one fixed target path.
+
+    Plan: one shuffle on user_id for the lead window (tie-broken by the
+    unique event_id so ordering is total and cross-engine identical),
+    then a hash-agg on the tiny (from, to) key space — the final window
+    normalization runs over at most |event types|² rows. At 100 TB the
+    user partition count is the parallelism; no global ordering
+    anywhere."""
+    events = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_transitions")
+    )
+    wn = W.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wn), 4
+        ).alias("transition_prob"),
+    )
