@@ -883,3 +883,66 @@ def qx25_session_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFram
             F.col("n_transitions") / F.sum("n_transitions").over(wn), 4
         ).alias("transition_prob"),
     )
+
+
+WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "qx26_retention_cohorts",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week
+        FROM events),
+    c AS (
+        SELECT user_id, week,
+               MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+        FROM uw),
+    m AS (
+        SELECT cohort_week, week - cohort_week AS week_offset,
+               COUNT(*) AS n_active
+        FROM c GROUP BY cohort_week, week - cohort_week)
+    SELECT cohort_week, week_offset, CAST(n_active AS BIGINT) AS n_active,
+           ROUND(n_active * 1.0 / MAX(CASE WHEN week_offset = 0
+                                           THEN n_active END)
+                 OVER (PARTITION BY cohort_week), 4) AS retention_pct
+    FROM m
+    """,
+)
+def qx26_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-active
+    week; for each (cohort, week offset) the count of still-active users
+    and the share of the cohort they represent. Weeks are epoch-based
+    integer indices (epoch_us div 7 days) — deterministic and
+    calendar-convention-free, so both engines bin identically.
+
+    Plan: distinct (user, week) then a user-partitioned min window (one
+    shuffle on user_id — the same exchange serves both the distinct and
+    the window), hash-agg on the tiny (cohort, offset) key space, and a
+    cohort-partitioned window over at most cohorts x offsets rows for
+    the denominator. At 100 TB: parallelism is the user-hash space;
+    nothing global."""
+    events = load_table(spark, sf_dir, "events")
+    uw = events.select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),
+    ).distinct()
+    wu = W.partitionBy("user_id")
+    c = uw.select(
+        "user_id", "week", F.min("week").over(wu).alias("cohort_week")
+    )
+    m = (
+        c.select("cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_active"))
+    )
+    wc = W.partitionBy("cohort_week")
+    denom = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(wc)
+    return m.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.round(F.col("n_active") / denom, 4).alias("retention_pct"),
+    )
