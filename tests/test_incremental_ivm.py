@@ -247,3 +247,57 @@ def test_kmv_merge_is_idempotent_without_ledger(spark):
     a = sorted((r["event_type"], tuple(r["kmins"])) for r in s.collect())
     b = sorted((r["event_type"], tuple(r["kmins"])) for r in twice.collect())
     assert a == b
+
+
+if HAVE_HYPOTHESIS:
+    kmv_run_strategy = st.lists(
+        st.tuples(
+            st.lists(
+                st.tuples(st.sampled_from(["click", "view"]), st.integers(0, 300)),
+                min_size=1,
+                max_size=40,
+            ),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(run=kmv_run_strategy)
+    def test_kmv_replay_property(spark, tmp_path_factory, run):
+        """For ANY batch split and ANY immediate-retry pattern, the
+        maintained KMV sketch equals the one-shot sketch over all rows —
+        here replay safety comes from the merge itself (set union), the
+        ledger is belt-and-braces."""
+        from kafka2delta_spark.streaming.incremental import apply_kmv_batch
+
+        store = ParquetStateStore(
+            spark, str(tmp_path_factory.mktemp("prop_kmv")) + "/state"
+        )
+        all_rows = []
+        for batch_id, (rows, replay) in enumerate(run):
+            all_rows.extend(rows)
+            b = spark.createDataFrame(rows, "event_type string, user_id long")
+            apply_kmv_batch(store, b, batch_id)
+            if replay:
+                apply_kmv_batch(store, b, batch_id)
+        whole = ParquetStateStore(
+            spark, str(tmp_path_factory.mktemp("prop_kmv_whole")) + "/state"
+        )
+        apply_kmv_batch(
+            whole,
+            spark.createDataFrame(all_rows, "event_type string, user_id long"),
+            0,
+        )
+        got = sorted(
+            (r["event_type"], tuple(r["kmins"])) for r in store.read().collect()
+        )
+        expect = sorted(
+            (r["event_type"], tuple(r["kmins"])) for r in whole.read().collect()
+        )
+        assert got == expect
