@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 4 (``a4_``) targets, exactly 50:
 #   * q24 — the one query never driver-verified in any round (r03's
 #     block was sized to 50 without it);
-#   * ALL 26 round-4 additions qx01..qx26 (BM25, weighted sample,
+#   * ALL 27 round-4 additions qx01..qx27 (BM25, weighted sample,
 #     semantic dedup, incremental dedup, KL divergence, leakage-safe
 #     split, PNG header parse, full-outer + stream-static streaming
 #     joins, forward as-of, EW rolling aggregate, count-min sketch,
@@ -55,27 +55,29 @@ def entry(spark: SparkSession) -> DataFrame:
 #     SCD2 history, canonical-doc rollup, funnel stages, KMV distinct
 #     sketch, duplicated spans, BPE pair counts, PageRank centrality,
 #     streaming KMV maintenance, containment pairs, session transition
-#     matrix, retention cohorts) — they sort after q99 and would
-#     otherwise never enter the gate's first-50 window;
+#     matrix, retention cohorts, end-to-end corpus build) — they sort
+#     after q99 and would otherwise never enter the gate's first-50
+#     window;
 #   * the round-3-rewritten members of q01..q57 the r03 gate did not
 #     re-check (q01, q02, q33, q40, q42, q57, q59, q64, q71, q86);
 #   * every pre-existing query modified in round 4: q49
 #     (replay-idempotent rollup), q53..q58 (drain/sentinel changes),
 #     q75 (div fix), q76+q93+q94 (k-means IVF), q86/q88/q98
 #     (adaptive-cap refactor);
-#   * backfill to 50 with the oldest-verification block q03
-#     (last driver rows from rounds 1-2).
-# Left on prior rounds' verification: q04..q23, q25..q32, q34..q48,
+#   * q01..q02 (round-3 rewrites the r03 gate missed).
+# The backfill budget is exhausted: every slot now carries q24, a
+# round-4 modification, or a round-4 addition.
+# Left on prior rounds' verification: q03..q23, q25..q32, q34..q48,
 # q50..q52 (r01-r03, code untouched since) and the q60..q99 remainder
 # (r03-green on current code). q27 and q55 are rows-only by design.
 _ALIAS_PREFIX = "a4_"
 
 _A4_KEYS = (
-    {f"q{i:02d}" for i in range(1, 4)}  # q01..q03
+    {f"q{i:02d}" for i in range(1, 3)}  # q01..q02
     | {"q24", "q33", "q40", "q42", "q49"}
     | {f"q{i}" for i in range(53, 60)}  # q53..q59
     | {"q64", "q71", "q75", "q76", "q86", "q88", "q93", "q94", "q98"}
-    | {f"qx{i:02d}" for i in range(1, 27)}  # all round-4 additions
+    | {f"qx{i:02d}" for i in range(1, 28)}  # all round-4 additions
 )
 
 

@@ -525,3 +525,112 @@ def q59_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         F.col("__cum").cast("bigint").alias("cum_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx27: the flagship end-to-end corpus build — quality gate -> near-dup
+# canonicalization -> leakage-safe split -> per-split stats, composed
+# from the same primitives the individual queries register (q74 rules,
+# q98 clusters, qx06 assignment). One operator a user actually ships.
+# ---------------------------------------------------------------------------
+
+
+def _corpus_build_oracle() -> str:
+    from kafka2delta_spark.functions.curation import (
+        MAX_CPT,
+        MAX_PUNCT_RATIO,
+        MAX_TOKENS,
+        MIN_CPT,
+        MIN_STOPWORD_RATIO,
+        MIN_TOKENS,
+        _STOP_IN,
+    )
+    from kafka2delta_spark.functions.dedup import _leakage_split_oracle
+
+    return rf"""
+    WITH assign AS ({_leakage_split_oracle()}),
+    q AS (
+        SELECT doc_id, LENGTH(text) AS n_chars,
+               regexp_split_to_array(text, '\s+') AS toks,
+               LENGTH(text) - LENGTH(regexp_replace(text, '[^\w\s]', '', 'g'))
+                   AS n_punct
+        FROM documents),
+    kept AS (
+        SELECT doc_id, len(toks) AS n_tokens
+        FROM q
+        WHERE len(toks) BETWEEN {MIN_TOKENS} AND {MAX_TOKENS}
+          AND n_chars * 1.0 / len(toks) BETWEEN {MIN_CPT} AND {MAX_CPT}
+          AND len(list_filter(toks, x -> x IN ({_STOP_IN}))) * 1.0
+              / len(toks) >= {MIN_STOPWORD_RATIO}
+          AND n_punct * 1.0 / n_chars <= {MAX_PUNCT_RATIO}),
+    ka AS (
+        SELECT k.doc_id, k.n_tokens, a.cluster_id, a.split
+        FROM kept k JOIN assign a USING (doc_id)),
+    canon AS (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY cluster_id) AS rep
+        FROM ka)
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)                   AS n_docs,
+           CAST(COUNT(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_tokens) AS BIGINT)              AS total_tokens
+    FROM canon WHERE doc_id = rep GROUP BY split
+    """
+
+
+@register("qx27_corpus_build", oracle=_corpus_build_oracle())
+def qx27_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build: apply the q74 composite quality gate,
+    drop near-duplicate non-canonicals (min doc_id per q98 cluster AMONG
+    the quality-kept docs — a cluster whose canonical fails quality
+    falls to its next member), assign the qx06 leakage-safe cluster-level
+    split, report per-split doc / cluster / token totals — the numbers a
+    training run budgets against.
+
+    Plan: the quality gate is per-row codegen over the documents scan;
+    cluster + split assignment reuses the SAME checkpointed edge list and
+    label propagation as q98/qx06 (one materialized graph per session);
+    the join back is one doc_id shuffle; canonicalization is a window
+    min within clusters (partition count = cluster count, each tiny);
+    the final agg is three rows. Composing operators does not multiply
+    their cost — the expensive artifacts are shared, which is the point
+    of materializing them."""
+    from kafka2delta_spark.functions.curation import (
+        MAX_CPT,
+        MAX_PUNCT_RATIO,
+        MAX_TOKENS,
+        MIN_CPT,
+        MIN_STOPWORD_RATIO,
+        MIN_TOKENS,
+    )
+    from kafka2delta_spark.functions.dedup import qx06_leakage_safe_split
+    from kafka2delta_spark.functions.text import STOPWORDS, TOKEN_SPLIT_RE
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), TOKEN_SPLIT_RE)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace("text", r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    kept = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        (
+            n_tokens.between(MIN_TOKENS, MAX_TOKENS)
+            & (n_chars * 1.0 / n_tokens).between(MIN_CPT, MAX_CPT)
+            & (n_stop * 1.0 / n_tokens >= MIN_STOPWORD_RATIO)
+            & (n_punct * 1.0 / n_chars <= MAX_PUNCT_RATIO)
+        ).alias("keep"),
+    ).filter("keep")
+    assign = qx06_leakage_safe_split(spark, sf_dir)
+    ka = kept.join(assign, "doc_id")
+    w = W.partitionBy("cluster_id")
+    canon = ka.withColumn("rep", F.min("doc_id").over(w)).filter(
+        F.col("doc_id") == F.col("rep")
+    )
+    return canon.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+    )
