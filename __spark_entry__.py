@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 4 (``a4_``) targets, exactly 50:
 #   * q24 — the one query never driver-verified in any round (r03's
 #     block was sized to 50 without it);
-#   * ALL 27 round-4 additions qx01..qx27 (BM25, weighted sample,
+#   * ALL 28 round-4 additions qx01..qx28 (BM25, weighted sample,
 #     semantic dedup, incremental dedup, KL divergence, leakage-safe
 #     split, PNG header parse, full-outer + stream-static streaming
 #     joins, forward as-of, EW rolling aggregate, count-min sketch,
@@ -55,13 +55,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #     SCD2 history, canonical-doc rollup, funnel stages, KMV distinct
 #     sketch, duplicated spans, BPE pair counts, PageRank centrality,
 #     streaming KMV maintenance, containment pairs, session transition
-#     matrix, retention cohorts, end-to-end corpus build) — they sort
-#     after q99 and would otherwise never enter the gate's first-50
-#     window;
+#     matrix, retention cohorts, end-to-end corpus build, zone-map
+#     pruning selectivity) — they sort after q99 and would otherwise
+#     never enter the gate's first-50 window;
 #   * the round-3-rewritten members of q01..q57 the r03 gate did not
 #     re-check (q01, q02, q33, q40, q42, q57, q59, q64, q71, q86);
 #   * every pre-existing query modified in round 4: q49
-#     (replay-idempotent rollup), q53..q58 (drain/sentinel changes),
+#     (replay-idempotent rollup), q53..q58 minus q55 (drain/sentinel
+#     changes; q55 is rows-only by design, so its weaker driver signal
+#     yielded the slot to qx28's full hash check),
 #     q75 (div fix), q76+q93+q94 (k-means IVF), q86/q88/q98
 #     (adaptive-cap refactor);
 #   * q01..q02 (round-3 rewrites the r03 gate missed).
@@ -75,9 +77,9 @@ _ALIAS_PREFIX = "a4_"
 _A4_KEYS = (
     {f"q{i:02d}" for i in range(1, 3)}  # q01..q02
     | {"q24", "q33", "q40", "q42", "q49"}
-    | {f"q{i}" for i in range(53, 60)}  # q53..q59
+    | {f"q{i}" for i in range(53, 60) if i != 55}  # q53..q59 minus q55
     | {"q64", "q71", "q75", "q76", "q86", "q88", "q93", "q94", "q98"}
-    | {f"qx{i:02d}" for i in range(1, 28)}  # all round-4 additions
+    | {f"qx{i:02d}" for i in range(1, 29)}  # all round-4 additions
 )
 
 

@@ -611,3 +611,117 @@ def kmv_estimates(sketches: DataFrame) -> DataFrame:
         .agg(_bottom_k_set().alias("kmins"))
     )
     return per_type.unionByName(estimate(merged, F.lit("ALL")))
+
+
+# ---------------------------------------------------------------------------
+# qx28: zone-map pruning selectivity — the measurable payoff of q48's
+# Z-order layout. Same rows, two file layouts (Morton vs linear-by-x),
+# three probe boxes; count files/rows a zone-map reader must touch.
+# ---------------------------------------------------------------------------
+
+#: (probe id, x_lo, x_hi, y_lo, y_hi) over the 4096x4096 key space
+PRUNE_PROBES = [
+    ("x_slice", 100, 200, 0, 4095),
+    ("y_slice", 0, 4095, 100, 200),
+    ("box", 0, 512, 0, 512),
+]
+
+
+def _probes_sql() -> str:
+    return " UNION ALL ".join(
+        f"SELECT '{p}' AS probe, {xl} AS x_lo, {xh} AS x_hi,"
+        f" {yl} AS y_lo, {yh} AS y_hi"
+        for p, xl, xh, yl, yh in PRUNE_PROBES
+    )
+
+
+@register(
+    "qx28_zone_map_pruning",
+    oracle=f"""
+    WITH dims AS (
+        SELECT CAST(user_id % 4096 AS BIGINT) AS zx,
+               CAST(abs(CAST(floor(value * 100) AS BIGINT)) % 4096 AS BIGINT)
+                   AS zy
+        FROM events),
+    z AS (SELECT zx, zy, CAST({_z_sql("zx", "zy")} AS BIGINT) AS zval
+          FROM dims),
+    zones AS (
+        SELECT 'zorder' AS layout, zval >> 18 AS f, COUNT(*) AS n_rows,
+               MIN(zx) AS min_x, MAX(zx) AS max_x,
+               MIN(zy) AS min_y, MAX(zy) AS max_y
+        FROM z GROUP BY zval >> 18
+        UNION ALL
+        SELECT 'linear' AS layout, zx // 64 AS f, COUNT(*) AS n_rows,
+               MIN(zx) AS min_x, MAX(zx) AS max_x,
+               MIN(zy) AS min_y, MAX(zy) AS max_y
+        FROM z GROUP BY zx // 64),
+    probes AS ({_probes_sql()}),
+    hits AS (
+        SELECT z.layout, p.probe, z.n_rows,
+               CASE WHEN z.max_x >= p.x_lo AND z.min_x <= p.x_hi
+                     AND z.max_y >= p.y_lo AND z.min_y <= p.y_hi
+                    THEN 1 ELSE 0 END AS touched
+        FROM zones z CROSS JOIN probes p)
+    SELECT layout, probe,
+           CAST(COUNT(*) AS BIGINT)                        AS n_files,
+           CAST(SUM(touched) AS BIGINT)                    AS files_touched,
+           CAST(SUM(CASE WHEN touched = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+                                                           AS rows_touched,
+           ROUND(1.0 - SUM(touched) * 1.0 / COUNT(*), 4)   AS files_pruned_pct
+    FROM hits GROUP BY layout, probe
+    """,
+)
+def qx28_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping effectiveness: for the q48 Morton layout vs a
+    linear-by-x layout of the SAME rows into the same file count, how
+    many files (and rows) each probe predicate must touch given only
+    per-file min/max zone maps. Z-order stays selective on BOTH
+    dimensions; the linear layout prunes x-slices perfectly and y-slices
+    not at all — the quantified reason a 100 TB table Z-orders its two
+    hottest filter columns.
+
+    Plan: zone maps are one hash-agg per layout over the events scan
+    (the two aggs share the scan); probes are a 3-row broadcast; the
+    overlap join output is n_files x n_probes rows."""
+    ev = load_table(spark, sf_dir, "events")
+    zx = (F.col("user_id") % 4096).cast("bigint")
+    zy = (F.abs(F.floor(F.col("value") * 100).cast("bigint")) % 4096).cast(
+        "bigint"
+    )
+    dims = ev.select(zx.alias("zx"), zy.alias("zy")).withColumn(
+        "zval", _z_interleave(F.col("zx"), F.col("zy"))
+    )
+
+    def zones(file_col, layout: str) -> DataFrame:
+        return dims.groupBy(file_col.alias("f")).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("zx").alias("min_x"),
+            F.max("zx").alias("max_x"),
+            F.min("zy").alias("min_y"),
+            F.max("zy").alias("max_y"),
+        ).withColumn("layout", F.lit(layout))
+    zz = zones(F.shiftright("zval", 18), "zorder").unionByName(
+        zones(F.expr("zx div 64"), "linear")
+    )
+    probes = spark.createDataFrame(
+        PRUNE_PROBES, "probe string, x_lo long, x_hi long, y_lo long, y_hi long"
+    )
+    touched = (
+        (F.col("max_x") >= F.col("x_lo"))
+        & (F.col("min_x") <= F.col("x_hi"))
+        & (F.col("max_y") >= F.col("y_lo"))
+        & (F.col("min_y") <= F.col("y_hi"))
+    ).cast("int")
+    hits = zz.crossJoin(F.broadcast(probes)).select(
+        "layout", "probe", "n_rows", touched.alias("touched")
+    )
+    return hits.groupBy("layout", "probe").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("touched").cast("bigint").alias("files_touched"),
+        F.sum(F.when(F.col("touched") == 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_touched"),
+        F.round(1.0 - F.sum("touched") / F.count(F.lit(1)), 4).alias(
+            "files_pruned_pct"
+        ),
+    )
