@@ -639,7 +639,7 @@ def _probes_sql() -> str:
     "qx28_zone_map_pruning",
     oracle=f"""
     WITH dims AS (
-        SELECT CAST(user_id % 4096 AS BIGINT) AS zx,
+        SELECT CAST((epoch_us(ts) // 1000000) % 4096 AS BIGINT) AS zx,
                CAST(abs(CAST(floor(value * 100) AS BIGINT)) % 4096 AS BIGINT)
                    AS zy
         FROM events),
@@ -672,19 +672,22 @@ def _probes_sql() -> str:
     """,
 )
 def qx28_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Data-skipping effectiveness: for the q48 Morton layout vs a
-    linear-by-x layout of the SAME rows into the same file count, how
-    many files (and rows) each probe predicate must touch given only
-    per-file min/max zone maps. Z-order stays selective on BOTH
-    dimensions; the linear layout prunes x-slices perfectly and y-slices
-    not at all — the quantified reason a 100 TB table Z-orders its two
-    hottest filter columns.
+    """Data-skipping effectiveness: Morton layout vs a linear-by-x
+    layout of the SAME rows into the same 64-file key space, measured as
+    the files (and rows) each probe predicate must touch given only
+    per-file min/max zone maps. Dimensions are second-of-epoch mod 4096
+    and cents mod 4096 — both cover the full key space, so the layouts
+    differ only in ORDER. Z-order stays selective on BOTH dimensions
+    (~1/8 of files per single-dim slice, ~1/16 per quarter box); the
+    linear layout prunes x-slices perfectly and y-slices not at all —
+    the quantified reason a 100 TB table Z-orders its two hottest filter
+    columns rather than sorting by one.
 
     Plan: zone maps are one hash-agg per layout over the events scan
     (the two aggs share the scan); probes are a 3-row broadcast; the
     overlap join output is n_files x n_probes rows."""
     ev = load_table(spark, sf_dir, "events")
-    zx = (F.col("user_id") % 4096).cast("bigint")
+    zx = (F.expr("unix_micros(ts) div 1000000") % 4096).cast("bigint")
     zy = (F.abs(F.floor(F.col("value") * 100).cast("bigint")) % 4096).cast(
         "bigint"
     )
