@@ -141,13 +141,17 @@ def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         piece = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
         total = piece if total is None else total + piece
     scored = pivoted.select("doc_id", total.alias("score"))
-    w = W.orderBy(F.desc("score"), F.asc("doc_id"))
-    return (
-        scored.select(
-            "doc_id", "score", F.row_number().over(w).alias("rk")
-        )
-        .filter(F.col("rk") <= BM25_TOP_K)
-        .select("doc_id", F.round("score", 4).alias("bm25"), "rk")
+    # distributed top-k (TakeOrderedAndProject: per-partition heads +
+    # driver merge of K rows), NEVER a global row_number window — that
+    # would sort the whole corpus in one task. The rank window then runs
+    # over K rows only; the constant partition key keeps it off the
+    # single-partition-warning path and is genuinely bounded.
+    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = W.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("doc_id"))
+    return topk.select(
+        "doc_id",
+        F.round("score", 4).alias("bm25"),
+        F.row_number().over(w).alias("rk"),
     )
 
 

@@ -471,10 +471,13 @@ def qx11_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = ev.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("true_cnt")
     )
-    wrk = W.orderBy(F.desc("cm_est"), F.asc("user_id"))
+    # distributed top-10 (TakeOrderedAndProject) instead of a global
+    # row_number window that would single-task-sort all estimated keys;
+    # the rank window then covers 10 rows under a constant partition key
+    top = est.orderBy(F.desc("cm_est"), F.asc("user_id")).limit(10)
+    wrk = W.partitionBy(F.lit(1)).orderBy(F.desc("cm_est"), F.asc("user_id"))
     return (
-        est.select("user_id", "cm_est", F.row_number().over(wrk).alias("rk"))
-        .filter(F.col("rk") <= 10)
+        top.select("user_id", "cm_est", F.row_number().over(wrk).alias("rk"))
         .join(exact, "user_id")
         .select("user_id", F.col("cm_est").cast("bigint"), "true_cnt", "rk")
     )

@@ -9,7 +9,9 @@ For each query, renders the formatted plan and flags scale smells:
     broadcast);
   * cartesian products;
   * scans reading every column of a wide table (pruning lost);
-  * row-at-a-time PythonUDF nodes (should be Arrow/Pandas or native).
+  * row-at-a-time PythonUDF nodes (should be Arrow/Pandas or native);
+  * unpartitioned Window nodes (global sort into one task — top-k must
+    be orderBy+limit, global ranks the two-pass q33 shape).
 
 Streaming queries (q53+) execute on call, so they are skipped — their
 plans are fixed by the streaming engine anyway. Usage:
@@ -70,7 +72,51 @@ def audit(name: str, plan: str) -> list[str]:
                 flags.append(f"full-width-scan:{table}")
     if "BatchEvalPython" in plan:
         flags.append("row-python-udf")
+    if _has_unbounded_single_partition_window(plan):
+        flags.append("global-window")
     return flags
+
+
+_BOUNDING = {"TakeOrderedAndProject", "CollectLimit", "GlobalLimit", "LocalLimit"}
+
+
+def _has_unbounded_single_partition_window(plan: str) -> bool:
+    """True when a Window node's subtree funnels through an
+    Exchange-SinglePartition with no Limit/TakeOrdered bounding the rows
+    first — i.e. the whole input sorts and ranks in ONE task. (A
+    constant partitionBy folds away, so this is structural, not
+    syntactic: detect via the tree + the numbered Arguments details.)"""
+    lines = plan.splitlines()
+    # numbered-detail section: node id -> first Arguments line
+    args: dict[str, str] = {}
+    cur = None
+    for ln in lines:
+        m = re.match(r"\((\d+)\) (\w+)", ln.strip())
+        if m:
+            cur = m.group(1)
+        elif cur and ln.strip().startswith("Arguments:") and cur not in args:
+            args[cur] = ln.strip()
+    # tree section: ordered (name, id, depth)
+    nodes = []
+    for ln in lines:
+        m = re.search(r"(\w[\w]*) \((\d+)\)\s*$", ln)
+        if not m:
+            continue
+        nodes.append((m.group(1), m.group(2), ln.index(m.group(1))))
+    for i, (name, _nid, depth) in enumerate(nodes):
+        if name != "Window":
+            continue
+        bounded, single = False, False
+        for cname, cid, cdepth in nodes[i + 1 :]:
+            if cdepth <= depth:
+                break
+            if cname in _BOUNDING:
+                bounded = True
+            if cname == "Exchange" and "SinglePartition" in args.get(cid, ""):
+                single = True
+        if single and not bounded:
+            return True
+    return False
 
 
 def main() -> int:
