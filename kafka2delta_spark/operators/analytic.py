@@ -946,3 +946,88 @@ def qx26_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_active",
         F.round(F.col("n_active") / denom, 4).alias("retention_pct"),
     )
+
+
+HOUR_US = 3600 * 1_000_000
+TREND_SCALE = 1_000_000
+
+
+@register(
+    "qx29_user_value_trend",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id,
+               (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
+                   // {HOUR_US} AS t,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        FROM events),
+    agg AS (
+        SELECT user_id,
+               COUNT(*)  AS n,
+               SUM(t)    AS st,  SUM(v)   AS sv,
+               SUM(t*t)  AS stt, SUM(t*v) AS stv,
+               COUNT(DISTINCT t) AS nt
+        FROM base GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n_events,
+           CAST(n * stv - st * sv AS BIGINT)  AS slope_num,
+           CAST(n * stt - st * st AS BIGINT)  AS slope_den,
+           CAST(({TREND_SCALE} * (n * stv - st * sv)) // (n * stt - st * st)
+                AS BIGINT)                    AS slope_e6,
+           CASE WHEN n * stv - st * sv > 0 THEN 'up'
+                WHEN n * stv - st * sv < 0 THEN 'down'
+                ELSE 'flat' END               AS trend
+    FROM agg WHERE nt >= 2
+    """,
+)
+def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user linear trend of event value over time: the least-squares
+    slope of v (milli-units) against hours since the user's first event,
+    kept EXACT end to end — numerator and denominator as integers, the
+    reported slope as micro-units/hour by integer division. DuckDB's //
+    and Spark's div BOTH truncate toward zero (verified on negative
+    numerators: -7//2 = -3 in each engine, and about half the corpus'
+    slopes are negative), and the scale multiply precedes the divide;
+    magnitudes stay far inside int64 (t <= hours-per-user,
+    v <= 1e3 * value). Users observed in a single hour have no slope
+    (denominator 0) and are excluded via the distinct-t count.
+
+    Plan: one shuffle on user_id serves the min-window AND the final
+    hash-agg (same key); everything else is per-row codegen. At 100 TB:
+    grouped-regression-as-aggregate — no iteration, no global state."""
+    events = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id")
+    base = events.select(
+        "user_id",
+        F.expr(
+            f"(unix_micros(ts) - min(unix_micros(ts)) over"
+            f" (partition by user_id)) div {HOUR_US}"
+        ).alias("t"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("v").alias("sv"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+        F.sum(F.col("t") * F.col("v")).alias("stv"),
+        F.countDistinct("t").alias("nt"),
+    )
+    num = F.col("n") * F.col("stv") - F.col("st") * F.col("sv")
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    return (
+        agg.filter(F.col("nt") >= 2)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n_events"),
+            num.cast("bigint").alias("slope_num"),
+            den.cast("bigint").alias("slope_den"),
+            F.expr(
+                f"cast({TREND_SCALE} * (n * stv - st * sv)"
+                f" div (n * stt - st * st) as bigint)"
+            ).alias("slope_e6"),
+            F.when(num > 0, "up")
+            .when(num < 0, "down")
+            .otherwise("flat")
+            .alias("trend"),
+        )
+    )
