@@ -1031,3 +1031,51 @@ def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("trend"),
         )
     )
+
+
+@register(
+    "qx30_exact_grouped_quantiles",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+        FROM events)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)    AS n,
+           quantile_cont(v1000, 0.25)  AS p25,
+           quantile_cont(v1000, 0.5)   AS p50,
+           quantile_cont(v1000, 0.75)  AS p75,
+           quantile_cont(v1000, 0.75) - quantile_cont(v1000, 0.25) AS iqr
+    FROM v GROUP BY event_type
+    """,
+)
+def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped quantiles (p25/median/p75 + IQR) via Spark's
+    ``percentile`` against DuckDB's ``quantile_cont`` — both type-7
+    linear interpolation. Restricted to DYADIC percentiles on integer
+    inputs, where every intermediate ((n-1)*p index, interpolation
+    weight, weighted sum) is exactly representable in binary doubles, so
+    the values hash-match across engines; 0.95 would not (the weight
+    itself rounds). Complements the mergeable-sketch family: q39's
+    fixed-bin histogram is the 100 TB approximation, this is the exact
+    answer you reconcile it against, at the cost of a per-group sort
+    inside the aggregate.
+
+    Plan: one hash-shuffle on event_type; percentile is an
+    ObjectHashAggregate whose per-group state is the value multiset —
+    exact quantiles fundamentally need the group's values in one place.
+    For skewed/huge groups use q39 (mergeable bins) or two-pass
+    range-partitioned rank (the q33 shape)."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
+    )
+    agg = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr("percentile(v1000, 0.25)").alias("p25"),
+        F.expr("percentile(v1000, 0.5)").alias("p50"),
+        F.expr("percentile(v1000, 0.75)").alias("p75"),
+    )
+    return agg.select(
+        "event_type", "n", "p25", "p50", "p75",
+        (F.col("p75") - F.col("p25")).alias("iqr"),
+    )
