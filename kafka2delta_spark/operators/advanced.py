@@ -447,7 +447,14 @@ def qx11_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate operator is value-hash-gated, and cm_est >= true_cnt by
     construction."""
     ev = load_table(spark, sf_dir, "events")
-    cells = countmin_cells(ev, "user_id")
+    return countmin_report(countmin_cells(ev, "user_id"), ev)
+
+
+def countmin_report(cells: DataFrame, ev: DataFrame) -> DataFrame:
+    """qx11's reporting tail over any (d, col, cnt) cell table: point-query
+    every distinct key against the sketch, rank the top 10 estimates,
+    attach exact counts. Shared with the streaming-maintained sketch
+    (qx31), whose cells must equal the batch cells cell-for-cell."""
     keys = ev.select("user_id").distinct()
     kh = keys.select(
         "user_id",

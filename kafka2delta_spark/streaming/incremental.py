@@ -303,3 +303,86 @@ def qx23_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return kmv_estimates(store.read())
+
+
+def apply_countmin_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch's count-min cells into ``store``. Cells are
+    ADDITIVE (like the q49 rollup, unlike KMV's idempotent union), so the
+    batch-id ledger is load-bearing: a replayed batch would double-count
+    its cells without it."""
+    from kafka2delta_spark.operators.advanced import countmin_cells
+
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False
+    partial = countmin_cells(batch_df, "user_id")
+    prior = store.read() if store.exists() else None
+    merged = (
+        partial
+        if prior is None
+        else prior.unionByName(partial)
+        .groupBy("d", "col")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    store.overwrite(merged, metadata={"last_applied_batch_id": batch_id})
+    return True
+
+
+def _qx11_oracle() -> str:
+    from kafka2delta_spark.operators.advanced import _cm_oracle
+
+    return _cm_oracle()
+
+
+@register(
+    "qx31_streaming_countmin",
+    # cell-wise addition is exact, so the maintained sketch equals the
+    # batch sketch and qx11's oracle applies verbatim
+    oracle=_qx11_oracle(),
+)
+def qx31_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained count-min heavy hitters: per-micro-batch
+    sketch cells folded into the state store (additive merge + the
+    replay ledger), report read back through qx11's exact tail. Third
+    member of the maintained-aggregate family — additive rollup (q49),
+    idempotent sketch union (qx23), and now bounded-memory frequency
+    cells: 256 counters per store version regardless of batch count or
+    key cardinality, the state shape a 100 TB stream can afford."""
+    from kafka2delta_spark.operators.advanced import countmin_report
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.drain import (
+        _checkpoint_dir,
+        drain_shuffle_partitions,
+    )
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="cm_state_") + "/state"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_countmin_batch(store, batch_df, batch_id)
+
+    checkpoint = tempfile.mkdtemp(prefix="cm_ckpt_", dir=_checkpoint_dir("cm"))
+    with drain_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return countmin_report(store.read(), batch)

@@ -301,3 +301,22 @@ if HAVE_HYPOTHESIS:
             (r["event_type"], tuple(r["kmins"])) for r in whole.read().collect()
         )
         assert got == expect
+
+
+def test_countmin_split_replay_equals_single_batch(spark, tmp_path):
+    from kafka2delta_spark.streaming.incremental import apply_countmin_batch
+
+    rows = [("e", u % 17) for u in range(120)]
+    split = ParquetStateStore(spark, str(tmp_path / "cma"))
+    b0 = _typed_events(spark, rows[:50])
+    b1 = _typed_events(spark, rows[50:])
+    assert apply_countmin_batch(split, b0, 0)
+    assert apply_countmin_batch(split, b1, 1)
+    before = sorted(tuple(r) for r in split.read().collect())
+    # additive cells MUST be guarded: replay is a no-op only via the ledger
+    assert apply_countmin_batch(split, b1, 1) is False
+    assert sorted(tuple(r) for r in split.read().collect()) == before
+
+    whole = ParquetStateStore(spark, str(tmp_path / "cmb"))
+    apply_countmin_batch(whole, _typed_events(spark, rows), 0)
+    assert before == sorted(tuple(r) for r in whole.read().collect())
