@@ -1079,3 +1079,73 @@ def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "p25", "p50", "p75",
         (F.col("p75") - F.col("p25")).alias("iqr"),
     )
+
+
+@register(
+    "qx32_user_feature_vector",
+    oracle=f"""
+    WITH base AS (
+        SELECT user_id, event_type, value,
+               epoch_us(ts) AS us,
+               epoch_us(ts) // {WEEK_US} AS week,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+        FROM events),
+    tc AS (
+        SELECT user_id, event_type, COUNT(*) AS n
+        FROM base GROUP BY user_id, event_type),
+    fav AS (
+        SELECT user_id, event_type AS top_type
+        FROM (SELECT user_id, event_type,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY n DESC, event_type) AS rk
+              FROM tc) WHERE rk = 1),
+    agg AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT)              AS n_events,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(COUNT(DISTINCT week) AS BIGINT)  AS n_active_weeks,
+               CAST(MAX(us) AS BIGINT)               AS last_seen_us,
+               CAST(SUM(v1000) AS BIGINT)            AS total_v1000,
+               CAST(MAX(v1000) AS BIGINT)            AS max_v1000
+        FROM base GROUP BY user_id)
+    SELECT a.*, f.top_type
+    FROM agg a JOIN fav f USING (user_id)
+    """,
+)
+def qx32_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral feature vector — the feature-store
+    materialization shape: activity counts, type diversity, active-week
+    span, recency, exact fixed-point value totals, and the modal event
+    type (deterministic tie-break by name) assembled in one pass.
+    Downstream this is the training-table side of qx15's similarity
+    search and the input a ranking model would join against.
+
+    Plan: ONE shuffle on user_id feeds both the main hash-agg and the
+    (user, type) count for the mode (same key prefix — the second agg is
+    a narrower regroup of the first exchange); the mode's rank window
+    partitions by user over at most |types| rows each. Exact integers
+    everywhere; no floats to diverge."""
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+    )
+    agg = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.countDistinct("week").cast("bigint").alias("n_active_weeks"),
+        F.max("us").cast("bigint").alias("last_seen_us"),
+        F.sum("v1000").cast("bigint").alias("total_v1000"),
+        F.max("v1000").cast("bigint").alias("max_v1000"),
+    )
+    tc = base.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = W.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    fav = (
+        tc.select("user_id", "event_type", F.row_number().over(wf).alias("rk"))
+        .filter(F.col("rk") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"))
+    )
+    return agg.join(fav, "user_id")
