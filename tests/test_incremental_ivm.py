@@ -320,3 +320,58 @@ def test_countmin_split_replay_equals_single_batch(spark, tmp_path):
     whole = ParquetStateStore(spark, str(tmp_path / "cmb"))
     apply_countmin_batch(whole, _typed_events(spark, rows), 0)
     assert before == sorted(tuple(r) for r in whole.read().collect())
+
+
+def test_kmv_maintenance_restart_from_checkpoint(spark, tmp_path):
+    """Checkpoint-resume for the maintained sketch: stop after batch 1,
+    restart from the same checkpoint with batch 2 appended — committed
+    offsets must not replay (ledger version pins that no merge re-ran on
+    the no-new-input restart), and the final sketch equals the one-shot
+    sketch over both batches."""
+    from kafka2delta_spark.streaming.incremental import apply_kmv_batch
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+
+    rows1 = [("click", u) for u in range(80)]
+    rows2 = [("click", u) for u in range(60, 140)] + [("view", u) for u in range(30)]
+
+    def feed(rows):
+        _typed_events(spark, rows).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(
+            "event_type string, user_id long"
+        ).parquet(src)
+
+        def merge(batch_df, batch_id):
+            apply_kmv_batch(store, batch_df, batch_id)
+
+        return (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    feed(rows1)
+    q = start()
+    q.awaitTermination()
+    after_b1 = _sketch(store)
+    meta_b1 = store.metadata()
+
+    # restart, no new input: committed offsets -> no batch fires
+    q = start()
+    q.awaitTermination()
+    assert _sketch(store) == after_b1
+    assert store.metadata() == meta_b1
+
+    # restart with batch 2 appended: only the delta applies
+    feed(rows2)
+    q = start()
+    q.awaitTermination()
+
+    whole = ParquetStateStore(spark, str(tmp_path / "whole"))
+    apply_kmv_batch(whole, _typed_events(spark, rows1 + rows2), 0)
+    assert _sketch(store) == _sketch(whole)
