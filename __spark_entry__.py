@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records the first 50 entries in
-# sorted-name order, out of 101 registered queries. Each round an
+# sorted-name order, out of 133 registered queries. Each round an
 # alias block (prefix sorts before ``q``) steers that budget at the 50
 # queries whose driver verification is most valuable THIS round; the
 # originals stay registered so the full surface remains enumerable and
