@@ -143,15 +143,19 @@ def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = pivoted.select("doc_id", total.alias("score"))
     # distributed top-k (TakeOrderedAndProject: per-partition heads +
     # driver merge of K rows), NEVER a global row_number window — that
-    # would sort the whole corpus in one task. The rank window then runs
-    # over K rows only; the constant partition key keeps it off the
-    # single-partition-warning path and is genuinely bounded.
+    # would sort the whole corpus in one task. The K survivors rank via
+    # a broadcast triangular self-join (rk = 1 + strictly-better count)
+    # so no WindowExec, partitioned or otherwise, touches this path.
     topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_K)
-    w = W.partitionBy(F.lit(1)).orderBy(F.desc("score"), F.asc("doc_id"))
-    return topk.select(
-        "doc_id",
-        F.round("score", 4).alias("bm25"),
-        F.row_number().over(w).alias("rk"),
+    other = topk.select(F.col("score").alias("s2"), F.col("doc_id").alias("d2"))
+    best = (F.col("s2") > F.col("score")) | (
+        (F.col("s2") == F.col("score")) & (F.col("d2") < F.col("doc_id"))
+    )
+    return (
+        topk.join(F.broadcast(other), best, "left")
+        .groupBy("doc_id", "score")
+        .agg((F.count("d2") + 1).cast("int").alias("rk"))
+        .select("doc_id", F.round("score", 4).alias("bm25"), "rk")
     )
 
 

@@ -479,13 +479,25 @@ def countmin_report(cells: DataFrame, ev: DataFrame) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("true_cnt")
     )
     # distributed top-10 (TakeOrderedAndProject) instead of a global
-    # row_number window that would single-task-sort all estimated keys;
-    # the rank window then covers 10 rows under a constant partition key
+    # row_number window that would single-task-sort all estimated keys.
+    # The rank over the 10 survivors is a broadcast triangular self-join
+    # (rk = 1 + count of strictly-better rows) — exact on the unique
+    # (cm_est, user_id) order and free of WindowExec entirely, so the
+    # no-unpartitioned-window invariant holds even for the K-row tail.
     top = est.orderBy(F.desc("cm_est"), F.asc("user_id")).limit(10)
-    wrk = W.partitionBy(F.lit(1)).orderBy(F.desc("cm_est"), F.asc("user_id"))
+    other = top.select(
+        F.col("cm_est").alias("e2"), F.col("user_id").alias("u2")
+    )
+    better = (F.col("e2") > F.col("cm_est")) | (
+        (F.col("e2") == F.col("cm_est")) & (F.col("u2") < F.col("user_id"))
+    )
+    ranked = (
+        top.join(F.broadcast(other), better, "left")
+        .groupBy("user_id", "cm_est")
+        .agg((F.count("u2") + 1).cast("int").alias("rk"))
+    )
     return (
-        top.select("user_id", "cm_est", F.row_number().over(wrk).alias("rk"))
-        .join(exact, "user_id")
+        ranked.join(exact, "user_id")
         .select("user_id", F.col("cm_est").cast("bigint"), "true_cnt", "rk")
     )
 
