@@ -1149,3 +1149,52 @@ def qx32_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", F.col("event_type").alias("top_type"))
     )
     return agg.join(fav, "user_id")
+
+
+@register(
+    "qx33_user_event_sequences",
+    oracle="""
+    WITH g AS (
+        SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id)
+    SELECT user_id, seq,
+           CAST(len(seq) AS BIGINT) AS seq_len,
+           seq[1]                   AS first_type,
+           seq[-1]                  AS last_type
+    FROM g
+    """,
+)
+def qx33_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-ordered event-type sequence as an ARRAY column —
+    the training-sample assembly step (multi-turn construction, session
+    replay, sequence models) that turns an event log into one row per
+    example. Ordering is total (ts, then the unique event_id), so the
+    array itself is gate-hashed element-for-element, not just counted.
+
+    Plan: one hash-agg on user_id; order is imposed INSIDE the aggregate
+    (sort_array over (ts, id, type) structs, then a projection strips
+    the keys) — no window, no per-group shuffle beyond the one agg
+    exchange. Per-group state is the user's own events, the natural unit
+    a sequence example must hold anyway; a pathological hot key would
+    cap/chunk via q78's chunker downstream."""
+    events = load_table(spark, sf_dir, "events")
+    packed = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.unix_micros("ts").alias("us"),
+                F.col("event_id").alias("eid"),
+                F.col("event_type").alias("t"),
+            )
+        )
+    )
+    return (
+        events.groupBy("user_id")
+        .agg(packed.alias("p"))
+        .select(
+            "user_id",
+            F.transform("p", lambda s: s["t"]).alias("seq"),
+            F.size("p").cast("bigint").alias("seq_len"),
+            F.element_at("p", 1)["t"].alias("first_type"),
+            F.element_at("p", -1)["t"].alias("last_type"),
+        )
+    )
