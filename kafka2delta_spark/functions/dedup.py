@@ -1447,3 +1447,49 @@ def qx24_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(c, 4).alias("containment"),
         )
     )
+
+
+@register(
+    "qx34_source_coduplication",
+    oracle=f"""
+    WITH jp AS ({_JACCARD_PAIRS_SQL}),
+    lab AS (
+        SELECT jp.doc_a, jp.doc_b,
+               LEAST(da.source, db.source)    AS source_x,
+               GREATEST(da.source, db.source) AS source_y
+        FROM jp
+        JOIN documents da ON da.doc_id = jp.doc_a
+        JOIN documents db ON db.doc_id = jp.doc_b)
+    SELECT source_x, source_y,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (source_x = source_y)    AS within_source
+    FROM lab GROUP BY source_x, source_y
+    """,
+)
+def qx34_source_coduplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source co-duplication matrix: for every unordered source pair,
+    how many near-duplicate document pairs (q88 edges) span it. The
+    provenance question behind dedup policy — high cross-source counts
+    mean mirrored/scraped content (dedup globally, attribute once);
+    within-source counts mean templating (fix extraction). Sources are
+    canonically ordered (least/greatest) so each unordered pair is one
+    row.
+
+    Plan: consumes the SAME checkpointed edge list as q98/qx06/qx22
+    (tiny), joins the 2-column documents side twice broadcast, one
+    hash-agg on the sources-squared key space."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    edges = _jaccard_edges(spark, sf_dir)
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    lab = (
+        edges.join(F.broadcast(da), "doc_a")
+        .join(F.broadcast(db), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_x"),
+            F.greatest("sa", "sb").alias("source_y"),
+        )
+    )
+    return lab.groupBy("source_x", "source_y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+    ).withColumn("within_source", F.col("source_x") == F.col("source_y"))
