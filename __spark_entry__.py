@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records the first 50 entries in
-# sorted-name order, out of 135 registered queries. Each round an
+# sorted-name order, out of 136 registered queries. Each round an
 # alias block (prefix sorts before ``q``) steers that budget at the 50
 # queries whose driver verification is most valuable THIS round; the
 # originals stay registered so the full surface remains enumerable and
@@ -47,7 +47,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # Round 4 (``a4_``) targets, exactly 50:
 #   * q24 — the one query never driver-verified in any round (r03's
 #     block was sized to 50 without it);
-#   * round-4 additions qx01..qx34 (BM25, weighted sample,
+#   * round-4 additions qx01..qx35 (BM25, weighted sample,
 #     semantic dedup, incremental dedup, KL divergence, leakage-safe
 #     split, PNG header parse, full-outer + stream-static streaming
 #     joins, forward as-of, EW rolling aggregate, count-min sketch,
@@ -58,10 +58,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     matrix, retention cohorts, end-to-end corpus build, zone-map
 #     pruning selectivity, grouped linear trend, exact grouped
 #     quantiles, streaming count-min, user feature vectors, event
-#     sequences, source co-duplication) — they sort after q99 and would
-#     otherwise never enter the gate's first-50 window; qx01..qx28 fit
-#     (the 50-slot budget is spent — qx29..qx34 rely on the tri-scale
-#     local artifacts until the next rotation);
+#     sequences, source co-duplication, vocab coverage) — they sort
+#     after q99 and would otherwise never enter the gate's first-50
+#     window; qx01..qx28 fit (the 50-slot budget is spent — qx29..qx35
+#     rely on the tri-scale local artifacts until the next rotation);
 #   * the round-3-rewritten members of q01..q57 the r03 gate did not
 #     re-check (q01, q02, q33, q40, q42, q57, q59, q64, q71, q86);
 #   * every pre-existing query modified in round 4: q49

@@ -391,3 +391,81 @@ def qx21_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(BPE_TOP_PAIRS)
     )
+
+
+VOCAB_KS = [10, 100, 1000]
+
+
+@register(
+    "qx35_vocab_coverage",
+    oracle=f"""
+    WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS wd
+               FROM documents),
+    freq AS (SELECT wd, COUNT(*) AS n FROM w GROUP BY wd),
+    ranked AS (
+        SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, wd) AS rk FROM freq),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS vocab FROM freq)
+    SELECT k,
+           CAST((SELECT vocab FROM tot) AS BIGINT)  AS n_vocab,
+           CAST((SELECT SUM(n) FROM ranked WHERE rk <= k) AS BIGINT)
+                                                    AS covered_occurrences,
+           CAST((SELECT total FROM tot) AS BIGINT)  AS total_occurrences,
+           ROUND((SELECT SUM(n) FROM ranked WHERE rk <= k) * 1.0
+                 / (SELECT total FROM tot), 4)      AS coverage
+    FROM (SELECT unnest([{",".join(str(k) for k in VOCAB_KS)}]) AS k)
+    """,
+)
+def qx35_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the fraction of all token occurrences
+    covered by the k most frequent words, k in {10, 100, 1000} — the
+    Zipf head-mass measurement that sizes a tokenizer vocabulary (when
+    coverage plateaus, extra vocab buys nothing).
+
+    Plan: one hash-agg builds the (word, count) table; ONE
+    orderBy+limit(max k) takes the head (TakeOrderedAndProject —
+    per-partition heads, K-row merge, no global sort or rank window);
+    the head is checkpointed (max-k rows) and ranked by a broadcast
+    triangular self-join, so all three coverages reduce in a single
+    conditional aggregation over it. Totals are one two-column agg over
+    the same frequency table. Deterministic ties: (count desc, word
+    asc)."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("wd")
+    )
+    freq = words.groupBy("wd").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+    )
+    head = (
+        freq.orderBy(F.desc("n"), F.asc("wd"))
+        .limit(max(VOCAB_KS))
+        .localCheckpoint(eager=True)
+    )
+    other = head.select(F.col("n").alias("n2"), F.col("wd").alias("w2"))
+    better = (F.col("n2") > F.col("n")) | (
+        (F.col("n2") == F.col("n")) & (F.col("w2") < F.col("wd"))
+    )
+    ranked = (
+        head.join(F.broadcast(other), better, "left")
+        .groupBy("wd", "n")
+        .agg((F.count("w2") + 1).alias("rk"))
+    )
+    ks_df = spark.createDataFrame([(k,) for k in VOCAB_KS], "k int")
+    covered = (
+        ranked.crossJoin(F.broadcast(ks_df))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("n").cast("bigint").alias("covered"))
+    )
+    return (
+        covered.crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            F.col("vocab").alias("n_vocab"),
+            F.col("covered").alias("covered_occurrences"),
+            F.col("total").alias("total_occurrences"),
+            F.round(F.col("covered") / F.col("total"), 4).alias("coverage"),
+        )
+    )
