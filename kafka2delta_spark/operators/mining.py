@@ -1,0 +1,209 @@
+"""Pattern- and graph-mining operators.
+
+Frequent-pair (market-basket) mining over the order/part star schema and
+triangle/clustering-coefficient analysis over the near-duplicate document
+graph. Both are classic distributed-mining shapes the reference engine's
+domain (CDC ingest; ref stream/stream.py) never needed, mandated by the
+gap map (SURVEY §2.2/§2.3): bounded pair expansion inside groups, and
+ordered-edge triangle enumeration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+#: minimum number of co-occurrences for a brand pair to be reported —
+#: the classic min-support cut that bounds output (and downstream rule
+#: generation) no matter how large the order corpus grows.
+PAIR_MIN_SUPPORT = 20
+
+
+@register(
+    "qx36_brand_cooccurrence",
+    oracle=f"""
+    WITH basket AS (
+        SELECT DISTINCT l.l_orderkey, p.p_brand
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM basket),
+    brand_n AS (
+        SELECT p_brand, COUNT(*) AS n FROM basket GROUP BY p_brand),
+    pair_n AS (
+        SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+               COUNT(*) AS n_both
+        FROM basket a JOIN basket b
+          ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+        GROUP BY a.p_brand, b.p_brand)
+    SELECT brand_a, brand_b,
+           CAST(n_both AS BIGINT)               AS n_both,
+           CAST(na.n AS BIGINT)                 AS n_a,
+           CAST(nb.n AS BIGINT)                 AS n_b,
+           CAST(tot.n_orders AS BIGINT)         AS n_orders,
+           ROUND(n_both * tot.n_orders * 1.0 / (na.n * nb.n), 4) AS lift
+    FROM pair_n
+    JOIN brand_n na ON na.p_brand = brand_a
+    JOIN brand_n nb ON nb.p_brand = brand_b
+    CROSS JOIN tot
+    WHERE n_both >= {PAIR_MIN_SUPPORT}
+    """,
+)
+def qx36_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: for every unordered pair of part brands
+    co-occurring in at least ``PAIR_MIN_SUPPORT`` orders, the exact
+    co-occurrence count, per-brand order counts, and lift
+    (``P(a,b) / (P(a)P(b))``) — the support/lift core of association-rule
+    mining, run over the order→part star join.
+
+    Plan: lineitem joins the 2-column (partkey, brand) projection of part
+    broadcast; baskets (distinct (order, brand)) come from one hash-agg
+    keyed by order. Pair expansion happens INSIDE each order via
+    ``collect_set`` + a native nested ``transform`` (no self-join shuffle:
+    the quadratic blowup is bounded by basket size ≤ distinct brands per
+    order, single digits here, and by the brand alphabet generally —
+    C(25,2) = 300 possible output rows regardless of corpus size). One
+    final hash-agg on the pair key; per-brand counts and the order total
+    are metadata-sized and broadcast back. All counts stay integer; the
+    single double division happens once per output row after rounding
+    both operands are exact int64 products. At 100 TB the only
+    data-sized shuffle is the basket hash-agg on l_orderkey."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    basket = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+    )
+    pairs = basket.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, (x, i) ->"
+                " transform(slice(brands, i + 2, size(brands) - i - 1),"
+                " y -> struct(x AS brand_a, y AS brand_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.brand_a", "pr.brand_b")
+    pair_n = pairs.groupBy("brand_a", "brand_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    exploded = basket.select(
+        "l_orderkey", F.explode("brands").alias("p_brand")
+    )
+    brand_n = exploded.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = basket.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    na = brand_n.select(
+        F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
+    )
+    nb = brand_n.select(
+        F.col("p_brand").alias("brand_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pair_n.filter(F.col("n_both") >= PAIR_MIN_SUPPORT)
+        .join(F.broadcast(na), "brand_a")
+        .join(F.broadcast(nb), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a", "brand_b", "n_both", "n_a", "n_b", "n_orders",
+            F.round(
+                (F.col("n_both") * F.col("n_orders"))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
+        )
+    )
+
+
+def _triangle_oracle() -> str:
+    from kafka2delta_spark.functions.dedup import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH e AS (SELECT doc_a AS a, doc_b AS b FROM ({_JACCARD_PAIRS_SQL})),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e2.a = e1.b
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+    tri_nodes AS (
+        SELECT x AS node FROM tri
+        UNION ALL SELECT y FROM tri
+        UNION ALL SELECT z FROM tri),
+    tri_n AS (SELECT node, COUNT(*) AS n_tri FROM tri_nodes GROUP BY node),
+    und AS (SELECT a AS node, b AS nbr FROM e UNION ALL SELECT b, a FROM e),
+    deg AS (SELECT node, COUNT(*) AS degree FROM und GROUP BY node)
+    SELECT d.node AS doc_id,
+           CAST(d.degree AS BIGINT)               AS degree,
+           CAST(COALESCE(t.n_tri, 0) AS BIGINT)   AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+             ROUND(2.0 * COALESCE(t.n_tri, 0) / (d.degree * (d.degree - 1)), 4)
+           ELSE 0.0 END                           AS clustering_coeff
+    FROM deg d LEFT JOIN tri_n t ON t.node = d.node
+    """
+
+
+@register("qx37_neardup_triangles", oracle=_triangle_oracle())
+def qx37_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle count and local clustering coefficient over
+    the near-duplicate similarity graph — the density diagnostic behind
+    dedup policy: high-coefficient neighborhoods are template families
+    (cluster-and-keep-one is safe), low-coefficient stars are hub pages
+    incidentally similar to many others (transitive dedup would
+    over-delete).
+
+    Plan: ordered-edge triangle enumeration — edges are canonical
+    (doc_a < doc_b), so each triangle {{x<y<z}} is produced exactly once
+    by joining (x,y)⋈(y,z) on the shared middle vertex and closing with
+    an equi-join against (x,z); no orientation dedup pass needed. The
+    edge list is the SAME per-session checkpointed artifact q98/qx06/
+    qx22/qx34 consume (near-dup pairs — tiny relative to the corpus), so
+    the joins broadcast here. At 100 TB the same plan shuffles on the
+    join vertex; the standard skew guard (orient edges from
+    lower-degree to higher-degree endpoint before the wedge join, which
+    bounds wedge counts by sqrt-degree) is noted rather than applied
+    because near-dup graphs cap degree by construction
+    (SHINGLE_DF_CAP bounds how many docs can share a shingle)."""
+    from kafka2delta_spark.functions.dedup import _jaccard_edges
+
+    e = _jaccard_edges(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    tri_nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionByName(tri.select(F.col("y").alias("node")))
+        .unionByName(tri.select(F.col("z").alias("node")))
+    )
+    tri_n = tri_nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )
+    und = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    )
+    deg = und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+    return (
+        deg.join(tri_n, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            F.coalesce("n_tri", F.lit(0)).cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0
+                    * F.coalesce("n_tri", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    4,
+                ),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+    )
