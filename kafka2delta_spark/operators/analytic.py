@@ -1198,3 +1198,171 @@ def qx33_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at("p", -1)["t"].alias("last_type"),
         )
     )
+
+
+# qx38: rolling z-score anomaly detection, EXACT. |x - mean| > z*std over
+# the trailing window is algebraically (n*x - sum)^2 > z^2*(n*sumsq - sum^2)
+# — every term an int64 on milli-unit values, so no float mean/stddev ever
+# exists to diverge between engines. Magnitude check: v1000 <= ~2e7,
+# window n <= 10 -> (n*x - sum)^2 <= (4e8)^2 = 1.6e17; z^2 * (n*sumsq -
+# sum^2) <= 9 * 10 * 10 * (2e7)^2 = 3.6e17 — both far inside int64.
+ANOM_WINDOW = 10
+ANOM_MIN_N = 5
+ANOM_Z2 = 9  # z = 3
+
+
+@register(
+    "qx38_rolling_zscore_anomalies",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+        FROM events),
+    w AS (
+        SELECT user_id, event_id, v1000,
+               COUNT(*)      OVER fr AS n,
+               SUM(v1000)    OVER fr AS s,
+               SUM(v1000 * v1000) OVER fr AS ss
+        FROM v
+        WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, v1000,
+           CAST(n AS BIGINT)                    AS n_window,
+           CAST(n * v1000 - s AS BIGINT)        AS dev_num,
+           CASE WHEN n * v1000 - s > 0 THEN 'high' ELSE 'low' END AS direction
+    FROM w
+    WHERE n >= {ANOM_MIN_N}
+      AND (n * v1000 - s) * (n * v1000 - s) > {ANOM_Z2} * (n * ss - s * s)
+    """,
+)
+def qx38_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: an event is anomalous when its
+    value deviates from the mean of the user's trailing ``ANOM_WINDOW``
+    events by more than 3 trailing standard deviations — the standard
+    streaming-metrics outlier rule, kept EXACT by clearing denominators:
+    ``|x - s/n| > z*sqrt((n*ss - s^2)/n^2)`` is squared into
+    ``(n*x - s)^2 > z^2*(n*ss - s^2)``, all int64 terms (bounds in the
+    header comment), so both engines compare identical integers — no
+    float mean, stddev, or sqrt anywhere.
+
+    Plan: one shuffle on user_id; count/sum/sum-of-squares come from a
+    single window pass over the trailing ROWS frame (the frame excludes
+    the current row, so an event is judged against its past only), then
+    per-row codegen arithmetic. Total order (ts, event_id) makes the
+    frame deterministic. At 100 TB this is the q30 shape: per-user state
+    is one frame of 10 values, no global sort, no iteration."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+    )
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    w = v.select(
+        "user_id", "event_id", "v1000",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("v1000").over(fr).alias("s"),
+        F.sum(F.col("v1000") * F.col("v1000")).over(fr).alias("ss"),
+    )
+    dev = F.col("n") * F.col("v1000") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        w.filter((F.col("n") >= ANOM_MIN_N) & (dev * dev > ANOM_Z2 * var_n2))
+        .select(
+            "user_id", "event_id", "v1000",
+            F.col("n").cast("bigint").alias("n_window"),
+            dev.cast("bigint").alias("dev_num"),
+            F.when(dev > 0, "high").otherwise("low").alias("direction"),
+        )
+    )
+
+
+#: session gap for batch attribution, matching the streaming sessionizer
+#: (streaming/stateful.py SESSION_GAP_MIN).
+ATTR_GAP_MIN = 30
+
+
+@register(
+    "qx39_session_attribution",
+    oracle=f"""
+    WITH e AS (
+        SELECT user_id, event_id, ts, event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
+               CASE WHEN LAG(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         IS NULL
+                      OR epoch_us(ts)
+                         - LAG(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > {ATTR_GAP_MIN} * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events),
+    s AS (
+        SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM e),
+    f AS (
+        SELECT *, FIRST_VALUE(event_type)
+                      OVER (PARTITION BY user_id, session_seq
+                            ORDER BY ts, event_id) AS first_touch
+        FROM s)
+    SELECT first_touch,
+           CAST(COUNT(*) AS BIGINT)      AS n_purchases,
+           CAST(SUM(v1000) AS BIGINT)    AS revenue_1000,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM f WHERE event_type = 'purchase'
+    GROUP BY first_touch
+    """,
+)
+def qx39_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: split each user's event log into sessions
+    at {ATTR_GAP_MIN}-minute inactivity gaps (the same gap rule as the
+    streaming sessionizer q57), attribute every purchase to the FIRST
+    event type of its session, and aggregate purchase count / revenue
+    (milli-units, exact) / distinct purchasers per entry channel — the
+    batch form of marketing attribution over a behavioral log.
+
+    Plan: one shuffle on user_id serves all three window passes (gap
+    detection via lag, session numbering via running sum, first-touch
+    via first_value — Spark executes them in a single Window stage
+    chain on the same partitioning), then a hash-agg on the tiny
+    channel key. A NULL lag (the user's first event) is always a
+    session start; ordering (ts, event_id) is total. At
+    100 TB: per-user sessionization never crosses the user partition,
+    the final agg is alphabet-sized."""
+    events = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = ATTR_GAP_MIN * 60 * 1_000_000
+    e = events.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        F.when(
+            F.lag(F.unix_micros("ts")).over(wu).isNull()
+            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    s = e.withColumn(
+        "session_seq",
+        F.sum("is_start").over(wu.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    f = s.withColumn(
+        "first_touch",
+        F.first("event_type").over(
+            W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+        ),
+    )
+    return (
+        f.filter(F.col("event_type") == "purchase")
+        .groupBy("first_touch")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+            F.sum("v1000").cast("bigint").alias("revenue_1000"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
