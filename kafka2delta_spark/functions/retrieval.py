@@ -352,3 +352,55 @@ def qx05_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(p_s * F.log(p_s / p)), 4).alias("kl"))
         .select("source", F.col("n").cast("bigint").alias("n_tokens"), "kl")
     )
+
+
+@register(
+    "qx40_inverted_index",
+    oracle="""
+    WITH tr AS (
+        SELECT DISTINCT doc_id,
+               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents),
+    occ AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT term, COUNT(*) AS total_tf FROM occ GROUP BY term),
+    post AS (
+        SELECT term, list(doc_id ORDER BY doc_id) AS postings,
+               COUNT(*) AS df
+        FROM tr GROUP BY term)
+    SELECT p.term, CAST(p.df AS BIGINT) AS df,
+           CAST(t.total_tf AS BIGINT)   AS total_tf,
+           p.postings                   AS postings
+    FROM post p JOIN tf t ON t.term = p.term
+    """,
+)
+def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: one row per term with its document
+    frequency, total term frequency, and the full posting list (sorted
+    doc_ids) as an array column — the index-build step behind qx01's
+    BM25 scoring, materialized instead of consumed inline. The posting
+    arrays themselves are gate-hashed element-for-element.
+
+    Plan: one explode + two hash-aggs sharing the term key — postings
+    from collect_set (dedup inside the aggregate, sorted once at the
+    end), occurrence totals from a plain count; the join between them is
+    on the same key, so AQE coalesces it onto the agg exchange. Per-term
+    state IS the posting list — that is the artifact an index build
+    materializes, not an accident of the plan; at 100 TB the output is
+    range-sharded by term and a df cap (stop-word postings are the known
+    skew: corpus-length lists) routes ultra-common terms to the q88
+    SHINGLE_DF_CAP treatment — drop or impact-order truncate, the
+    documented retrieval-index tradeoff."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = occ.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("total_tf")
+    )
+    post = occ.groupBy("term").agg(
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.countDistinct("doc_id").cast("bigint").alias("df"),
+    )
+    return post.join(tf, "term").select("term", "df", "total_tf", "postings")

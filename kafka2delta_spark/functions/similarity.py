@@ -599,3 +599,79 @@ def qx15_user_activity_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("rk") <= PROFILE_TOP_K)
         .select("qid", "nid", F.round("cosine", 4).alias("cosine"), "rk")
     )
+
+
+#: fixed-point scale for dimension statistics (matches clustering.SCALE);
+#: variance threshold (on the n*ss - s^2 numerator, scale e6^2) below
+#: which a dimension is flagged near-constant — dead dimensions waste
+#: index bits and distort cosine geometry.
+DIMSTAT_SCALE = 1_000_000
+
+
+@register(
+    "qx41_embedding_dim_stats",
+    oracle=f"""
+    WITH x AS (
+        SELECT unnest([{{'dim': i, 'v': CAST(FLOOR(embedding[i]::DOUBLE
+                                              * {DIMSTAT_SCALE}) AS BIGINT)}}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM embeddings),
+    f AS (SELECT u.dim AS dim, u.v AS v FROM x),
+    a AS (
+        SELECT dim, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS ss,
+               MIN(v) AS min_e6, MAX(v) AS max_e6
+        FROM f GROUP BY dim)
+    SELECT CAST(dim AS INT)            AS dim,
+           CAST(n AS BIGINT)           AS n,
+           CAST(s // n AS BIGINT)      AS mean_e6,
+           CAST(n * ss - s * s AS HUGEINT)::VARCHAR AS m2_num,
+           CAST(min_e6 AS BIGINT)      AS min_e6,
+           CAST(max_e6 AS BIGINT)      AS max_e6
+    FROM a
+    """,
+)
+def qx41_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health statistics: count, fixed-point mean
+    (integer division — DuckDB's ``//`` and Spark's ``div`` both truncate
+    toward zero, the same cross-engine identity qx29 verified),
+    the exact population-variance numerator ``n*ss - s^2``, and min/max,
+    all on ``floor(x * 1e6)`` integer coordinates so every aggregate is
+    order-free exact. The variance numerator can exceed int64
+    (n≈6e3 × ss≈6e3·(5e5)² ≈ 1e16·n) at larger SFs, so it is carried as
+    a DECIMAL on the Spark side and HUGEINT in DuckDB, compared as a
+    string. Near-zero m2 flags dead dimensions — the embedding-QA check
+    run before ANN index build (q90-q93): dead dims waste index bits.
+
+    Plan: posexplode is a per-row codegen expansion (64 rows per vector);
+    one hash-agg on the 64-value dim key with map-side partials does all
+    five aggregates in a single pass — the shuffle carries 64 rows per
+    task regardless of corpus size. No floats anywhere after the initial
+    fixed-point cast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.select(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x") * DIMSTAT_SCALE).cast("bigint").alias("v"),
+    )
+    a = f.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ss"),
+        F.min("v").cast("bigint").alias("min_e6"),
+        F.max("v").cast("bigint").alias("max_e6"),
+    )
+    return a.select(
+        "dim",
+        "n",
+        F.expr("cast(s div n as bigint)").alias("mean_e6"),
+        (
+            F.col("n").cast("decimal(38,0)") * F.col("ss")
+            - F.col("s").cast("decimal(38,0)") * F.col("s")
+        )
+        .cast("decimal(38,0)")
+        .cast("string")
+        .alias("m2_num"),
+        "min_e6",
+        "max_e6",
+    )

@@ -1,0 +1,64 @@
+"""Brute-force invariant tests for qx40 (inverted index) and qx41
+(embedding dimension statistics) at sf0.001.
+"""
+
+import math
+import re
+from collections import Counter, defaultdict
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_inverted_index_reconstructs_corpus(spark):
+    from kafka2delta_spark.functions.retrieval import qx40_inverted_index
+    from kafka2delta_spark.sources.tables import load_table
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].lower())
+        for r in load_table(spark, SF_DIR, "documents").collect()
+    }
+    tf = Counter()
+    postings = defaultdict(set)
+    for doc_id, toks in docs.items():
+        for t in toks:
+            tf[t] += 1
+            postings[t].add(doc_id)
+
+    out = {r["term"]: r for r in qx40_inverted_index(spark, SF_DIR).collect()}
+    assert set(out) == set(postings)
+    for term, r in out.items():
+        assert r["postings"] == sorted(postings[term])
+        assert r["df"] == len(postings[term])
+        assert r["total_tf"] == tf[term]
+    # the index is lossless at the doc level: every doc appears in the
+    # posting list of each of its distinct terms
+    assert sum(r["df"] for r in out.values()) == sum(
+        len(set(t)) for t in docs.values()
+    )
+
+
+def test_embedding_dim_stats_match_bruteforce(spark):
+    from kafka2delta_spark.functions.similarity import (
+        DIMSTAT_SCALE,
+        qx41_embedding_dim_stats,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    vecs = [
+        [math.floor(float(x) * DIMSTAT_SCALE) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    ]
+    dims = len(vecs[0])
+    out = {r["dim"]: r for r in qx41_embedding_dim_stats(spark, SF_DIR).collect()}
+    assert set(out) == set(range(1, dims + 1))
+    for d in range(1, dims + 1):
+        col = [v[d - 1] for v in vecs]
+        n, s, ss = len(col), sum(col), sum(x * x for x in col)
+        r = out[d]
+        assert r["n"] == n
+        # div truncates toward zero in both engines
+        q = abs(s) // n
+        assert r["mean_e6"] == (q if s >= 0 else -q)
+        assert int(r["m2_num"]) == n * ss - s * s
+        assert int(r["m2_num"]) >= 0  # variance numerator is a sum of squares
+        assert (r["min_e6"], r["max_e6"]) == (min(col), max(col))
