@@ -301,3 +301,146 @@ def q79_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (logit > 0).alias("keep"),
         )
     )
+
+
+@register(
+    "qx42_data_quality_audit",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'customer_pk_unique' AS check_name,
+             CAST(COUNT(*) AS BIGINT) AS n_checked,
+             CAST(COUNT(*) - COUNT(DISTINCT c_custkey) AS BIGINT) AS n_violations
+      FROM customer
+      UNION ALL
+      SELECT 'orders_custkey_fk',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'lineitem_orderkey_fk',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem_qty_range',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1
+                                OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'orders_price_nonneg',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'events_value_nonneg',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN value IS NULL OR value < 0 THEN 1 ELSE 0 END)
+                  AS BIGINT)
+      FROM events
+      UNION ALL
+      SELECT 'documents_text_complete',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                           THEN 1 ELSE 0 END) AS BIGINT)
+      FROM documents
+      UNION ALL
+      SELECT 'events_event_id_unique',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(*) - COUNT(DISTINCT event_id) AS BIGINT)
+      FROM events
+    ) WHERE TRUE
+    """,
+)
+def qx42_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint audit (the Deequ/Great-
+    Expectations shape): one row per check with rows examined and
+    violation count — primary-key uniqueness, two referential-integrity
+    checks, range constraints, and completeness, over five tables in one
+    report. A training-data pipeline runs exactly this gate before a
+    corpus snapshot is blessed.
+
+    Plan: each single-table check is ONE aggregate (violations as a
+    conditional sum fused into the same scan — checking three
+    constraints on lineitem costs one pass, not three); uniqueness uses
+    count-distinct inside the agg; FK checks are left joins against the
+    broadcast parent key projection, counted in the same pass. The
+    per-check results are literal 1-row DataFrames unioned at the end —
+    the union is metadata-sized. At 100 TB each check remains one scan +
+    map-side partials; the FK parent side (keys only) broadcasts or,
+    when the parent is itself fact-sized, falls back to a shuffle join
+    on the key — the plan Catalyst already picks by size."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    events = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def one(name: str, agg_df: DataFrame) -> DataFrame:
+        return agg_df.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_checked"),
+            F.col("v").cast("bigint").alias("n_violations"),
+        )
+
+    viol = lambda cond: F.sum(F.when(cond, 1).otherwise(0)).alias("v")  # noqa: E731
+    n = F.count(F.lit(1)).alias("n")
+
+    checks = [
+        one(
+            "customer_pk_unique",
+            cust.agg(n, (F.count(F.lit(1)) - F.countDistinct("c_custkey")).alias("v")),
+        ),
+        one(
+            "orders_custkey_fk",
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == cust.c_custkey,
+                "left",
+            ).agg(n, viol(F.col("c_custkey").isNull())),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            li.join(
+                orders.select("o_orderkey"),
+                li.l_orderkey == orders.o_orderkey,
+                "left",
+            ).agg(n, viol(F.col("o_orderkey").isNull())),
+        ),
+        one(
+            "lineitem_qty_range",
+            li.agg(
+                n,
+                viol(
+                    F.col("l_quantity").isNull()
+                    | (F.col("l_quantity") < 1)
+                    | (F.col("l_quantity") > 50)
+                ),
+            ),
+        ),
+        one(
+            "orders_price_nonneg",
+            orders.agg(
+                n, viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 0))
+            ),
+        ),
+        one(
+            "events_value_nonneg",
+            events.agg(n, viol(F.col("value").isNull() | (F.col("value") < 0))),
+        ),
+        one(
+            "documents_text_complete",
+            docs.agg(n, viol(F.col("text").isNull() | (F.length("text") == 0))),
+        ),
+        one(
+            "events_event_id_unique",
+            events.agg(
+                n, (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -469,3 +469,140 @@ def qx35_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("covered") / F.col("total"), 4).alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx43: BPE vocabulary learning — the full iterative merge loop (qx21 is
+# one iteration of this). Each round: count adjacent symbol pairs weighted
+# by word frequency, take the argmax pair, rewrite every word's symbol
+# sequence with that merge applied greedily left-to-right.
+#
+# The rewrite trick (both engines, no lookbehind needed — DuckDB's RE2 has
+# none): double every inter-symbol space and pad, so each candidate match
+# owns its delimiters; a plain (non-regex) replace of ' a  b ' with
+# ' ab ' is then exactly the greedy non-overlapping merge, and a final
+# space-collapse + trim restores canonical form. Verified on the
+# overlap case ('a a a' -> 'aa a') and the adjacent case
+# ('a b a b' -> 'ab ab').
+# ---------------------------------------------------------------------------
+
+BPE_N_MERGES = 5
+
+
+def bpe_merge_expr(s, left: str, right: str):
+    """Greedy left-to-right merge of the adjacent symbol pair
+    (``left``, ``right``) in a space-separated symbol string: double
+    every delimiter so each match owns its spaces, literal-replace
+    ``' left  right '`` with ``' leftright '``, collapse and trim.
+    Pure codegen (no regex lookarounds, no Python UDF); shared by the
+    qx43 loop and the unit test that pins the greedy semantics."""
+    padded = F.concat(F.lit(" "), F.replace(s, F.lit(" "), F.lit("  ")), F.lit(" "))
+    merged = F.replace(
+        padded, F.lit(f" {left}  {right} "), F.lit(f" {left}{right} ")
+    )
+    return F.trim(F.regexp_replace(merged, " +", " "))
+
+
+def _bpe_oracle() -> str:
+    ctes = [
+        """w AS (
+        SELECT wd, COUNT(*) AS cnt
+        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS wd
+              FROM documents)
+        WHERE wd <> '' GROUP BY wd),
+    s0 AS (
+        SELECT wd, cnt,
+               array_to_string([substr(wd, i, 1)
+                                for i in range(1, length(wd) + 1)], ' ') AS s
+        FROM w)"""
+    ]
+    for k in range(1, BPE_N_MERGES + 1):
+        ctes.append(f"""p{k} AS (
+        SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(cnt) AS BIGINT) AS n
+        FROM (SELECT cnt, unnest([[toks[i], toks[i + 1]]
+                                  for i in range(1, len(toks))]) AS pr
+              FROM (SELECT cnt, string_split(s, ' ') AS toks FROM s{k - 1})
+              WHERE len(toks) >= 2)
+        GROUP BY pr[1], pr[2]),
+    b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+    s{k} AS (
+        SELECT wd, cnt,
+               trim(regexp_replace(
+                   replace(' ' || replace(s, ' ', '  ') || ' ',
+                           ' ' || (SELECT l FROM b{k}) || '  '
+                               || (SELECT r FROM b{k}) || ' ',
+                           ' ' || (SELECT l FROM b{k})
+                               || (SELECT r FROM b{k}) || ' '),
+                   ' +', ' ', 'g')) AS s
+        FROM s{k - 1})""")
+    unions = " UNION ALL ".join(
+        f"SELECT {k} AS iteration, l AS pair_left, r AS pair_right,"
+        f" n AS n_occurrences FROM b{k}"
+        for k in range(1, BPE_N_MERGES + 1)
+    )
+    joined = ",\n    ".join(ctes)
+    return f"WITH {joined}\n    {unions}"
+
+
+@register("qx43_bpe_learn", oracle=_bpe_oracle())
+def qx43_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (Sennrich et al., ACL 2016), the real
+    iterative loop: BPE_N_MERGES merge rounds, each counting frequency-weighted
+    adjacent symbol pairs over the (distinct-word, count) table, choosing
+    the argmax pair (total-order tiebreak: count desc, pair asc), and
+    greedily rewriting every word's symbol sequence. Returns the learned
+    merge table — the tokenizer artifact itself.
+
+    Plan: the corpus collapses to the distinct-word frequency table ONCE
+    (one hash-agg over the token explode); every subsequent round runs
+    over vocabulary-sized data, not corpus-sized — the property that
+    makes corpus-scale BPE training tractable (at 100 TB the vocab table
+    is millions of rows while the corpus is trillions of tokens). Per
+    round: one pair-explode + hash-agg, a 1-row argmax collect (driver
+    metadata, like q76's centroids), and a per-row codegen rewrite
+    (double-space pad + literal replace + collapse — see module comment;
+    no Python UDFs). ``localCheckpoint`` per round truncates lineage so
+    the plan stays flat across iterations."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("wd")
+        )
+        .filter(F.col("wd") != "")
+        .groupBy("wd")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    syms = w.select(
+        "wd", "cnt", F.array_join(F.split("wd", ""), " ").alias("s")
+    ).localCheckpoint(eager=True)
+
+    merges = []
+    for k in range(1, BPE_N_MERGES + 1):
+        pairs = (
+            syms.select("cnt", F.split("s", " ").alias("toks"))
+            .filter(F.size("toks") >= 2)
+            .select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(toks) - 1),"
+                        " i -> struct(toks[i - 1] AS l, toks[i] AS r))"
+                    )
+                ).alias("pr"),
+            )
+            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .agg(F.sum("cnt").cast("bigint").alias("n"))
+        )
+        best = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
+        if not best:
+            break
+        l, r, n = best[0]["l"], best[0]["r"], best[0]["n"]
+        merges.append((k, l, r, n))
+        syms = syms.withColumn(
+            "s", bpe_merge_expr(F.col("s"), l, r)
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "iteration int, pair_left string, pair_right string, n_occurrences bigint",
+    )
