@@ -750,3 +750,161 @@ def qx28_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "files_pruned_pct"
         ),
     )
+
+
+#: number of heavy-hitter keys the skew profile reports individually.
+SKEW_TOP_KEYS = 5
+
+
+@register(
+    "qx44_join_key_skew_profile",
+    oracle=f"""
+    WITH c AS (SELECT user_id AS key, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT)   AS n_keys,
+                 CAST(SUM(cnt) AS BIGINT)   AS n_rows,
+                 CAST(MAX(cnt) AS BIGINT)   AS max_cnt,
+                 CAST(MIN(cnt) AS BIGINT)   AS min_cnt,
+                 CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq
+          FROM c),
+    top AS (
+        SELECT key, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, key) AS rk
+        FROM c)
+    SELECT 'n_keys' AS metric, CAST(NULL AS BIGINT) AS key, n_keys AS value FROM s
+    UNION ALL SELECT 'n_rows', NULL, n_rows FROM s
+    UNION ALL SELECT 'max_key_rows', NULL, max_cnt FROM s
+    UNION ALL SELECT 'min_key_rows', NULL, min_cnt FROM s
+    UNION ALL SELECT 'sum_sq_rows', NULL, sum_sq FROM s
+    UNION ALL SELECT 'skew_ratio_e6', NULL,
+                     CAST(max_cnt * 1000000 * n_keys // n_rows AS BIGINT) FROM s
+    UNION ALL SELECT 'collision_factor_e6', NULL,
+                     CAST(sum_sq * 1000000 // n_rows AS BIGINT) FROM s
+    UNION ALL
+    SELECT 'top_key', key, CAST(cnt AS BIGINT)
+    FROM top WHERE rk <= {SKEW_TOP_KEYS}
+    """,
+)
+def qx44_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile — the pre-flight a planner (or an engineer)
+    runs before shuffling 100 TB on a key: per-key cardinality extremes,
+    the exact sum-of-squared-counts (the collision mass that predicts
+    shuffle-join work and hot-partition size), ``skew_ratio_e6``
+    (max-key rows over mean-key rows, scaled 1e6 — the salting factor
+    you'd need to level the hot key), and the ``SKEW_TOP_KEYS`` heaviest
+    keys individually. Everything integer-exact; ratios via the
+    truncating integer division both engines share (qx29).
+
+    Plan: one hash-agg on the key (map-side partials), then a
+    metadata-sized summary agg and a TakeOrderedAndProject for the
+    heavy hitters (per-partition heads + K-row merge — no global sort,
+    no unpartitioned window; the q33/qx01 rule). The per-key count
+    table is the only data-sized intermediate, and it is the profile's
+    natural output anyway."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy(F.col("user_id").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    s = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.min("cnt").cast("bigint").alias("min_cnt"),
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("sum_sq"),
+    ).localCheckpoint(eager=True)
+
+    def srow(metric: str, col) -> DataFrame:
+        return s.select(
+            F.lit(metric).alias("metric"),
+            F.lit(None).cast("bigint").alias("key"),
+            col.cast("bigint").alias("value"),
+        )
+
+    summary = (
+        srow("n_keys", F.col("n_keys"))
+        .unionByName(srow("n_rows", F.col("n_rows")))
+        .unionByName(srow("max_key_rows", F.col("max_cnt")))
+        .unionByName(srow("min_key_rows", F.col("min_cnt")))
+        .unionByName(srow("sum_sq_rows", F.col("sum_sq")))
+        .unionByName(
+            srow(
+                "skew_ratio_e6",
+                F.expr("max_cnt * 1000000 * n_keys div n_rows"),
+            )
+        )
+        .unionByName(
+            srow("collision_factor_e6", F.expr("sum_sq * 1000000 div n_rows"))
+        )
+    )
+    top = (
+        c.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(SKEW_TOP_KEYS)
+        .select(
+            F.lit("top_key").alias("metric"),
+            F.col("key").cast("bigint").alias("key"),
+            F.col("cnt").cast("bigint").alias("value"),
+        )
+    )
+    return summary.unionByName(top)
+
+
+#: columns profiled by the stats collector; chosen to cover int keys,
+#: low-cardinality flags, continuous values, and timestamps.
+STATS_COLUMNS = [
+    "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+    "l_returnflag", "l_linestatus", "l_shipdate",
+]
+
+
+@register(
+    "qx45_table_stats_collect",
+    oracle="""
+    SELECT * FROM (
+    """
+    + "\n    UNION ALL\n    ".join(
+        f"""SELECT '{c}' AS column_name,
+               CAST(COUNT(*) AS BIGINT)                AS n_rows,
+               CAST(COUNT(*) - COUNT({c}) AS BIGINT)   AS n_null,
+               CAST(COUNT(DISTINCT {c}) AS BIGINT)     AS ndv
+        FROM lineitem"""
+        for c in STATS_COLUMNS
+    )
+    + """
+    ) WHERE TRUE
+    """,
+)
+def qx45_table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-TABLE statistics collection: row count, null count, and
+    EXACT distinct-value count for each profiled lineitem column — the
+    inputs a cost-based optimizer feeds join reordering and broadcast
+    decisions (SURVEY §4: the reference leaves all planning to Spark;
+    this is the operator that feeds that planner).
+
+    Plan: ONE scan computes every column's n/n_null (conditional counts
+    fuse into a single agg); exact NDVs run as one hash-agg per column
+    over its projected values (each a two-column shuffle of the
+    column's distinct stream). Exact multi-column NDV in a single agg
+    would force Catalyst's Expand (row duplication x columns — the
+    documented cost cliff); at 100 TB you flip EXACT_NDV to the HLL
+    sketch (q27/approx_count_distinct, mergeable partials, one pass,
+    no Expand) and accept ±2%: the knob and tradeoff are the point.
+    The unioned result is metadata-sized (one row per column)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        *[
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"null_{c}")
+            for c in STATS_COLUMNS
+        ],
+    ).localCheckpoint(eager=True)
+    out = None
+    for c in STATS_COLUMNS:
+        ndv = li.select(c).distinct().agg(
+            F.count(F.lit(1)).cast("bigint").alias("ndv")
+        )
+        row = base.crossJoin(F.broadcast(ndv)).select(
+            F.lit(c).alias("column_name"),
+            "n_rows",
+            F.col(f"null_{c}").alias("n_null"),
+            "ndv",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

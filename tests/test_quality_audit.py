@@ -32,3 +32,51 @@ def test_quality_audit_report_shape(spark):
     for name in ("customer_pk_unique", "orders_custkey_fk",
                  "lineitem_orderkey_fk", "events_event_id_unique"):
         assert out[name]["n_violations"] == 0, name
+
+
+def test_skew_profile_matches_bruteforce(spark):
+    from collections import Counter
+
+    from kafka2delta_spark.operators.advanced import (
+        SKEW_TOP_KEYS,
+        qx44_join_key_skew_profile,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    counts = Counter(
+        r["user_id"] for r in load_table(spark, SF_DIR, "events").collect()
+    )
+    rows = qx44_join_key_skew_profile(spark, SF_DIR).collect()
+    summary = {r["metric"]: r["value"] for r in rows if r["metric"] != "top_key"}
+    n_rows = sum(counts.values())
+    assert summary["n_keys"] == len(counts)
+    assert summary["n_rows"] == n_rows
+    assert summary["max_key_rows"] == max(counts.values())
+    assert summary["min_key_rows"] == min(counts.values())
+    assert summary["sum_sq_rows"] == sum(v * v for v in counts.values())
+    assert summary["skew_ratio_e6"] == max(counts.values()) * 10**6 * len(counts) // n_rows
+    assert summary["collision_factor_e6"] == sum(v * v for v in counts.values()) * 10**6 // n_rows
+    top = sorted(
+        ((r["key"], r["value"]) for r in rows if r["metric"] == "top_key"),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    want = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:SKEW_TOP_KEYS]
+    assert top == want
+
+
+def test_table_stats_match_bruteforce(spark):
+    from kafka2delta_spark.operators.advanced import (
+        STATS_COLUMNS,
+        qx45_table_stats_collect,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").collect()
+    out = {r["column_name"]: r for r in qx45_table_stats_collect(spark, SF_DIR).collect()}
+    assert set(out) == set(STATS_COLUMNS)
+    for c in STATS_COLUMNS:
+        vals = [r[c] for r in li]
+        r = out[c]
+        assert r["n_rows"] == len(vals)
+        assert r["n_null"] == sum(1 for v in vals if v is None)
+        assert r["ndv"] == len({v for v in vals if v is not None})
