@@ -1210,10 +1210,7 @@ ANOM_WINDOW = 10
 ANOM_MIN_N = 5
 ANOM_Z2 = 9  # z = 3
 
-
-@register(
-    "qx38_rolling_zscore_anomalies",
-    oracle=f"""
+ANOM_ORACLE = f"""
     WITH v AS (
         SELECT user_id, event_id, ts,
                CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
@@ -1233,8 +1230,41 @@ ANOM_Z2 = 9  # z = 3
     FROM w
     WHERE n >= {ANOM_MIN_N}
       AND (n * v1000 - s) * (n * v1000 - s) > {ANOM_Z2} * (n * ss - s * s)
-    """,
-)
+    """
+
+
+def flag_rolling_anomalies(v: DataFrame) -> DataFrame:
+    """Trailing-frame z-score flags over (user_id, event_id, ts, v1000)
+    rows — the integer-exact core shared by qx38 (whole-table batch) and
+    qx46 (per-micro-batch maintenance over prior-tail ∪ batch). Extra
+    input columns (e.g. the maintenance path's ``is_new`` marker) pass
+    through untouched so the caller can scope emission."""
+    fr = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    extra = [c for c in v.columns if c not in ("user_id", "event_id", "ts", "v1000")]
+    w = v.select(
+        "user_id", "event_id", "v1000", *extra,
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("v1000").over(fr).alias("s"),
+        F.sum(F.col("v1000") * F.col("v1000")).over(fr).alias("ss"),
+    )
+    dev = F.col("n") * F.col("v1000") - F.col("s")
+    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        w.filter((F.col("n") >= ANOM_MIN_N) & (dev * dev > ANOM_Z2 * var_n2))
+        .select(
+            "user_id", "event_id", "v1000", *extra,
+            F.col("n").cast("bigint").alias("n_window"),
+            dev.cast("bigint").alias("dev_num"),
+            F.when(dev > 0, "high").otherwise("low").alias("direction"),
+        )
+    )
+
+
+@register("qx38_rolling_zscore_anomalies", oracle=ANOM_ORACLE)
 def qx38_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection: an event is anomalous when its
     value deviates from the mean of the user's trailing ``ANOM_WINDOW``
@@ -1256,28 +1286,7 @@ def qx38_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id", "event_id", "ts",
         F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
     )
-    fr = (
-        W.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-ANOM_WINDOW, -1)
-    )
-    w = v.select(
-        "user_id", "event_id", "v1000",
-        F.count(F.lit(1)).over(fr).alias("n"),
-        F.sum("v1000").over(fr).alias("s"),
-        F.sum(F.col("v1000") * F.col("v1000")).over(fr).alias("ss"),
-    )
-    dev = F.col("n") * F.col("v1000") - F.col("s")
-    var_n2 = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
-    return (
-        w.filter((F.col("n") >= ANOM_MIN_N) & (dev * dev > ANOM_Z2 * var_n2))
-        .select(
-            "user_id", "event_id", "v1000",
-            F.col("n").cast("bigint").alias("n_window"),
-            dev.cast("bigint").alias("dev_num"),
-            F.when(dev > 0, "high").otherwise("low").alias("direction"),
-        )
-    )
+    return flag_rolling_anomalies(v)
 
 
 #: session gap for batch attribution, matching the streaming sessionizer

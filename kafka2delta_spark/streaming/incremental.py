@@ -36,6 +36,7 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.state.store import ParquetStateStore
@@ -386,3 +387,146 @@ def qx31_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return countmin_report(store.read(), batch)
+
+
+ANOM_STATE_SCHEMA = (
+    "kind string, user_id bigint, event_id bigint, ts timestamp, "
+    "v1000 bigint, n_window bigint, dev_num bigint, direction string"
+)
+
+
+def apply_anomaly_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch into the rolling-anomaly state: flag batch
+    events against (prior per-user tail ∪ batch) with qx38's exact
+    trailing-frame rule, append the flags, and keep only the newest
+    ``ANOM_WINDOW`` events per user as the next tail. Appended flags are
+    NOT idempotent, so the batch-id ledger is load-bearing (same
+    contract as the additive rollup/count-min maintainers)."""
+    from kafka2delta_spark.operators.analytic import (
+        ANOM_WINDOW,
+        flag_rolling_anomalies,
+    )
+
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False
+    spark = batch_df.sparkSession
+    rows = batch_df.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        F.lit(1).alias("is_new"),
+    )
+    prior = (
+        store.read()
+        if store.exists()
+        else spark.createDataFrame([], ANOM_STATE_SCHEMA)
+    )
+    tail = prior.filter(F.col("kind") == "tail").select(
+        "user_id", "event_id", "ts", "v1000", F.lit(0).alias("is_new")
+    )
+    union = tail.unionByName(rows)
+    flagged = (
+        flag_rolling_anomalies(union)
+        .filter(F.col("is_new") == 1)
+        .select(
+            F.lit("anom").alias("kind"),
+            "user_id", "event_id",
+            F.lit(None).cast("timestamp").alias("ts"),
+            "v1000", "n_window", "dev_num", "direction",
+        )
+    )
+    keep = (
+        union.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(
+                    F.desc("ts"), F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("rk") <= ANOM_WINDOW)
+        .select(
+            F.lit("tail").alias("kind"),
+            "user_id", "event_id", "ts", "v1000",
+            F.lit(None).cast("bigint").alias("n_window"),
+            F.lit(None).cast("bigint").alias("dev_num"),
+            F.lit(None).cast("string").alias("direction"),
+        )
+    )
+    store.overwrite(
+        prior.filter(F.col("kind") == "anom").unionByName(flagged).unionByName(keep),
+        metadata={"last_applied_batch_id": batch_id},
+    )
+    return True
+
+
+def _qx38_oracle() -> str:
+    from kafka2delta_spark.operators.analytic import ANOM_ORACLE
+
+    return ANOM_ORACLE
+
+
+@register(
+    "qx46_streaming_anomalies",
+    # micro-batches arrive in event-time order (the same two-file split
+    # every streaming query here drains), and each batch is judged
+    # against exactly the ANOM_WINDOW-event per-user tail the batch
+    # boundary preserved — so the maintained flag set equals qx38's
+    # whole-table answer and its oracle applies VERBATIM.
+    oracle=_qx38_oracle(),
+)
+def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained rolling z-score anomalies: per micro-batch,
+    events are flagged against the stored per-user tail (the last
+    ANOM_WINDOW events) plus earlier same-batch events — qx38's exact
+    integer rule via the shared ``flag_rolling_anomalies`` core — then
+    the tail rolls forward and flags append under the replay ledger.
+    Fourth member of the maintained-aggregate family (additive rollup
+    q49, idempotent union qx23, bounded cells qx31, and now
+    ORDER-SENSITIVE windowed state): per-user state is ANOM_WINDOW rows
+    regardless of history length, the shape that lets a 100 TB event
+    stream run anomaly detection with state proportional to users, not
+    events.
+
+    The window inside a batch shuffles on user_id exactly like the
+    batch query; the tail read-modify-write is store-sized (users x
+    ANOM_WINDOW rows), not history-sized."""
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.drain import (
+        _checkpoint_dir,
+        drain_shuffle_partitions,
+    )
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="anom_state_") + "/state"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_anomaly_batch(store, batch_df, batch_id)
+
+    checkpoint = tempfile.mkdtemp(prefix="anom_ckpt_", dir=_checkpoint_dir("anom"))
+    with drain_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return store.read().filter(F.col("kind") == "anom").select(
+        "user_id", "event_id", "v1000", "n_window", "dev_num", "direction"
+    )

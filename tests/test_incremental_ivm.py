@@ -375,3 +375,60 @@ def test_kmv_maintenance_restart_from_checkpoint(spark, tmp_path):
     whole = ParquetStateStore(spark, str(tmp_path / "whole"))
     apply_kmv_batch(whole, _typed_events(spark, rows1 + rows2), 0)
     assert _sketch(store) == _sketch(whole)
+
+
+# --- qx46: streaming rolling-anomaly maintenance ---------------------------
+
+
+def _anom_events(spark, rows):
+    """rows: (event_id, user_id, minute, value)."""
+    import datetime as dt
+
+    return spark.createDataFrame(
+        [
+            (i, u, dt.datetime(2024, 1, 1, 0, m), float(v))
+            for i, u, m, v in rows
+        ],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+
+
+def _flags(store):
+    return sorted(
+        tuple(r)
+        for r in store.read()
+        .filter("kind = 'anom'")
+        .select("user_id", "event_id", "v1000", "n_window", "dev_num", "direction")
+        .collect()
+    )
+
+
+def test_anomaly_split_application_equals_single_batch(spark, tmp_path):
+    """Time-ordered split points anywhere (including mid-anomaly-window)
+    must not change the flag set, and a replayed batch is a ledger no-op."""
+    from kafka2delta_spark.streaming.incremental import apply_anomaly_batch
+
+    # user 1: stable around 10 with one spike; user 2: noisy ramp
+    rows = [(1, m, 10.0 + (m % 3) * 0.5) for m in range(20)]
+    rows[13] = (1, 13, 500.0)  # spike after a stable prefix -> must flag
+    rows += [(2, m, float(m * m % 17)) for m in range(20)]
+    rows.sort(key=lambda r: (r[1], r[0]))  # time order, ties by user
+    rows = [(i, u, m, v) for i, (u, m, v) in enumerate(rows)]
+    spike_id = next(i for i, u, m, v in rows if v == 500.0)
+
+    whole = ParquetStateStore(spark, str(tmp_path / "w"))
+    assert apply_anomaly_batch(whole, _anom_events(spark, rows), 0)
+    want = _flags(whole)
+    assert any(r[1] == spike_id for r in want), (
+        "the engineered spike must be flagged"
+    )
+
+    for cut in (7, 13, 20, 33):
+        split = ParquetStateStore(spark, str(tmp_path / f"s{cut}"))
+        assert apply_anomaly_batch(split, _anom_events(spark, rows[:cut]), 0)
+        assert apply_anomaly_batch(split, _anom_events(spark, rows[cut:]), 1)
+        assert _flags(split) == want, f"cut at {cut}"
+        # at-least-once retry: ledger makes the replay a no-op
+        before = _flags(split)
+        assert apply_anomaly_batch(split, _anom_events(spark, rows[cut:]), 1) is False
+        assert _flags(split) == before
