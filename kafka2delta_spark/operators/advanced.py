@@ -908,3 +908,98 @@ def qx45_table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def _fp_digest_sql(canon: str) -> str:
+    """First 13 md5 hex digits of the canonical row string as a BIGINT
+    (the md5 text is identical across engines; 13 hex digits = 52 bits
+    fit int64 exactly — the q27/KMV trick)."""
+    return f"('0x' || substr(md5({canon}), 1, 13))::BIGINT"
+
+
+@register(
+    "qx47_snapshot_fingerprint",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'documents' AS table_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(d) AS HUGEINT)::VARCHAR AS fingerprint
+      FROM (SELECT {_fp_digest_sql(
+          "concat_ws('|', doc_id::VARCHAR, lang, source,"
+          " n_chars::VARCHAR, md5(text))")} AS d FROM documents)
+      UNION ALL
+      SELECT 'events', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(d) AS HUGEINT)::VARCHAR
+      FROM (SELECT {_fp_digest_sql(
+          "concat_ws('|', event_id::VARCHAR, user_id::VARCHAR, event_type,"
+          " CAST(FLOOR(value * 1000) AS BIGINT)::VARCHAR,"
+          " epoch_us(ts)::VARCHAR)")} AS d FROM events)
+      UNION ALL
+      SELECT 'orders', CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(d) AS HUGEINT)::VARCHAR
+      FROM (SELECT {_fp_digest_sql(
+          "concat_ws('|', o_orderkey::VARCHAR, o_custkey::VARCHAR,"
+          " o_orderstatus, CAST(FLOOR(o_totalprice * 100) AS BIGINT)::VARCHAR,"
+          " epoch_us(o_orderdate)::VARCHAR)")} AS d FROM orders)
+    ) WHERE TRUE
+    """,
+)
+def qx47_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressable snapshot manifest: an ORDER-FREE exact
+    fingerprint per table (sum of per-row 52-bit md5 digests over a
+    canonical row serialization, carried in decimal so it never
+    overflows) plus row count — the artifact that lets two
+    independently-produced copies of a 100 TB snapshot (a backfill vs
+    the incremental path, a migration vs its source) be compared with
+    one scan each and no sort, shuffle, or row alignment. Any changed,
+    added, or dropped row moves the sum; commutativity means partition
+    order, file order, and parallelism cannot.
+
+    Canonicalization pins every cross-engine hazard: timestamps as
+    epoch-micros integers, doubles as fixed-point integers, text by its
+    md5 (so '|' inside values cannot alias field boundaries for any
+    realistic corpus). Plan: per-table one scan -> per-row codegen md5
+    -> single 1-row hash-agg of decimal partials; the three tables scan
+    independently and the final union is metadata-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+
+    def digest(canon) -> F.Column:
+        return F.expr(
+            f"cast(conv(substr(md5({canon}), 1, 13), 16, 10) as bigint)"
+        )
+
+    def fp(df: DataFrame, name: str, canon: str) -> DataFrame:
+        return df.select(digest(canon).alias("d")).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("d").cast("decimal(38,0)")).cast("string").alias(
+                "fingerprint"
+            ),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "fingerprint")
+
+    return (
+        fp(
+            docs, "documents",
+            "concat_ws('|', cast(doc_id as string), lang, source,"
+            " cast(n_chars as string), md5(text))",
+        )
+        .unionByName(
+            fp(
+                ev, "events",
+                "concat_ws('|', cast(event_id as string),"
+                " cast(user_id as string), event_type,"
+                " cast(cast(floor(value * 1000) as bigint) as string),"
+                " cast(unix_micros(ts) as string))",
+            )
+        )
+        .unionByName(
+            fp(
+                orders, "orders",
+                "concat_ws('|', cast(o_orderkey as string),"
+                " cast(o_custkey as string), o_orderstatus,"
+                " cast(cast(floor(o_totalprice * 100) as bigint) as string),"
+                " cast(unix_micros(cast(o_orderdate as timestamp)) as string))",
+            )
+        )
+    )

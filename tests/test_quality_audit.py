@@ -80,3 +80,56 @@ def test_table_stats_match_bruteforce(spark):
         assert r["n_rows"] == len(vals)
         assert r["n_null"] == sum(1 for v in vals if v is None)
         assert r["ndv"] == len({v for v in vals if v is not None})
+
+
+def test_snapshot_fingerprint_detects_single_row_change(spark, tmp_path):
+    """The manifest must be (a) invariant to row order / partitioning and
+    (b) sensitive to a single-row edit in a single table."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from kafka2delta_spark.operators.advanced import qx47_snapshot_fingerprint
+    from kafka2delta_spark.sources.tables import load_table
+
+    base = {r["table_name"]: r for r in qx47_snapshot_fingerprint(spark, SF_DIR).collect()}
+    assert set(base) == {"documents", "events", "orders"}
+
+    # (a) same data rewritten shuffled into 8 files -> identical manifest
+    mirror = str(tmp_path / "mirror")
+    for t in ("documents", "events", "orders"):
+        load_table(spark, SF_DIR, t).repartition(8).write.parquet(
+            f"{mirror}/{t}.parquet"
+        )
+    shuffled = {
+        r["table_name"]: r for r in qx47_snapshot_fingerprint(spark, mirror).collect()
+    }
+    for t, r in base.items():
+        assert (shuffled[t]["n_rows"], shuffled[t]["fingerprint"]) == (
+            r["n_rows"], r["fingerprint"]
+        ), t
+
+    # (b) mutate ONE document's text -> only documents' fingerprint moves
+    edited = str(tmp_path / "edited")
+    docs = load_table(spark, SF_DIR, "documents")
+    victim = docs.select(F.min("doc_id")).collect()[0][0]
+    docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == victim, F.concat(F.col("text"), F.lit(" x")))
+        .otherwise(F.col("text")),
+    ).write.parquet(f"{edited}/documents.parquet")
+    import os
+
+    for t in ("events", "orders"):
+        src, dst = f"{SF_DIR}/{t}.parquet", f"{edited}/{t}.parquet"
+        if os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copy(src, dst)
+    got = {
+        r["table_name"]: r for r in qx47_snapshot_fingerprint(spark, edited).collect()
+    }
+    assert got["documents"]["n_rows"] == base["documents"]["n_rows"]
+    assert got["documents"]["fingerprint"] != base["documents"]["fingerprint"]
+    for t in ("events", "orders"):
+        assert got[t]["fingerprint"] == base[t]["fingerprint"], t
