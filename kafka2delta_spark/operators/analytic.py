@@ -1293,11 +1293,10 @@ def qx38_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
 #: (streaming/stateful.py SESSION_GAP_MIN).
 ATTR_GAP_MIN = 30
 
-
-@register(
-    "qx39_session_attribution",
-    oracle=f"""
-    WITH e AS (
+#: shared sessionized-events CTE body (``e`` -> ``s`` with session_seq),
+#: used verbatim by the qx39 and qx48 oracles so both engines sessionize
+#: identically.
+SESSIONIZED_SQL = f"""e AS (
         SELECT user_id, event_id, ts, event_type,
                CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
                CASE WHEN LAG(epoch_us(ts))
@@ -1312,7 +1311,37 @@ ATTR_GAP_MIN = 30
     s AS (
         SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_seq
-        FROM e),
+        FROM e)"""
+
+
+def sessionize_events(events: DataFrame) -> DataFrame:
+    """Gap-rule sessionization shared by qx39 and qx48: split each user's
+    event log at ``ATTR_GAP_MIN``-minute inactivity gaps (the q57
+    streaming sessionizer's rule, batch form). Adds ``v1000`` and
+    ``session_seq``; one shuffle on user_id serves both window passes."""
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = ATTR_GAP_MIN * 60 * 1_000_000
+    e = events.select(
+        "user_id", "event_id", "ts", "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        F.when(
+            F.lag(F.unix_micros("ts")).over(wu).isNull()
+            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    return e.withColumn(
+        "session_seq",
+        F.sum("is_start").over(wu.rowsBetween(W.unboundedPreceding, 0)),
+    ).drop("is_start")
+
+
+@register(
+    "qx39_session_attribution",
+    oracle=f"""
+    WITH {SESSIONIZED_SQL},
     f AS (
         SELECT *, FIRST_VALUE(event_type)
                       OVER (PARTITION BY user_id, session_seq
@@ -1342,24 +1371,7 @@ def qx39_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     session start; ordering (ts, event_id) is total. At
     100 TB: per-user sessionization never crosses the user partition,
     the final agg is alphabet-sized."""
-    events = load_table(spark, sf_dir, "events")
-    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
-    gap_us = ATTR_GAP_MIN * 60 * 1_000_000
-    e = events.select(
-        "user_id", "event_id", "ts", "event_type",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
-        F.when(
-            F.lag(F.unix_micros("ts")).over(wu).isNull()
-            | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu) > gap_us),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_start"),
-    )
-    s = e.withColumn(
-        "session_seq",
-        F.sum("is_start").over(wu.rowsBetween(W.unboundedPreceding, 0)),
-    )
+    s = sessionize_events(load_table(spark, sf_dir, "events"))
     f = s.withColumn(
         "first_touch",
         F.first("event_type").over(
@@ -1373,5 +1385,95 @@ def qx39_session_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
             F.sum("v1000").cast("bigint").alias("revenue_1000"),
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
+
+
+#: minimum sessions containing both types for a pair to be reported.
+AFFINITY_MIN_SUPPORT = 3
+
+
+@register(
+    "qx48_session_type_affinity",
+    oracle=f"""
+    WITH {SESSIONIZED_SQL},
+    pres AS (
+        SELECT DISTINCT user_id, session_seq, event_type FROM s),
+    tot AS (
+        SELECT COUNT(*) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_seq FROM s)),
+    tn AS (SELECT event_type, COUNT(*) AS n FROM pres GROUP BY event_type),
+    pn AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_both
+        FROM pres a JOIN pres b
+          ON a.user_id = b.user_id AND a.session_seq = b.session_seq
+         AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type)
+    SELECT type_a, type_b,
+           CAST(n_both AS BIGINT)       AS n_both,
+           CAST(na.n AS BIGINT)         AS n_a,
+           CAST(nb.n AS BIGINT)         AS n_b,
+           CAST(tot.n_sessions AS BIGINT) AS n_sessions,
+           ROUND(n_both * tot.n_sessions * 1.0 / (na.n * nb.n), 4) AS lift
+    FROM pn
+    JOIN tn na ON na.event_type = type_a
+    JOIN tn nb ON nb.event_type = type_b
+    CROSS JOIN tot
+    WHERE n_both >= {AFFINITY_MIN_SUPPORT}
+    """,
+)
+def qx48_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-level event-type affinity: for each unordered pair of
+    event types, in how many sessions they co-occur, with lift against
+    independence — qx36's market-basket analysis transplanted from order
+    baskets to BEHAVIORAL sessions (the composition is the point: the
+    gap-rule sessionizer shared with qx39 feeds presence sets, then the
+    bounded in-group pair expansion). 'error co-occurs with purchase at
+    lift 1.4' is the kind of signal this surfaces.
+
+    Plan: sessionize (one user_id shuffle), distinct presence per
+    (session, type) — a hash-agg on the session key; pair expansion via
+    ``collect_set`` + nested ``transform`` inside each session (set size
+    bounded by the event-type alphabet, so the blowup is C(5,2) here and
+    alphabet-bounded generally); one hash-agg on the tiny pair key; type
+    totals and the session count broadcast back. All counts exact int64,
+    one rounded double division per output row."""
+    s = sessionize_events(load_table(spark, sf_dir, "events"))
+    sets = s.groupBy("user_id", "session_seq").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(types, (x, i) ->"
+                " transform(slice(types, i + 2, size(types) - i - 1),"
+                " y -> struct(x AS type_a, y AS type_b))))"
+            )
+        ).alias("pr")
+    ).select("pr.type_a", "pr.type_b")
+    pair_n = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    )
+    tn = (
+        sets.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    na = tn.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    nb = tn.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pair_n.filter(F.col("n_both") >= AFFINITY_MIN_SUPPORT)
+        .join(F.broadcast(na), "type_a")
+        .join(F.broadcast(nb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a", "type_b", "n_both", "n_a", "n_b", "n_sessions",
+            F.round(
+                (F.col("n_both") * F.col("n_sessions"))
+                / (F.col("n_a") * F.col("n_b")),
+                4,
+            ).alias("lift"),
         )
     )

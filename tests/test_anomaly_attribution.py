@@ -77,3 +77,48 @@ def test_session_attribution_matches_bruteforce(spark):
     for ft, (n, rev, users) in agg.items():
         r = out[ft]
         assert (r["n_purchases"], r["revenue_1000"], r["n_users"]) == (n, rev, len(users))
+
+
+def test_session_type_affinity_matches_bruteforce(spark):
+    from collections import Counter
+
+    from kafka2delta_spark.operators.analytic import (
+        AFFINITY_MIN_SUPPORT,
+        ATTR_GAP_MIN,
+        qx48_session_type_affinity,
+    )
+    from itertools import combinations
+
+    gap_us = ATTR_GAP_MIN * 60 * 1_000_000
+    sessions = []
+    for uid, stream in _user_streams(spark).items():
+        prev_us, cur = None, None
+        for ts, _eid, _v, etype in stream:
+            us = int(ts.timestamp() * 1_000_000)
+            if prev_us is None or us - prev_us > gap_us:
+                cur = set()
+                sessions.append(cur)
+            prev_us = us
+            cur.add(etype)
+
+    type_n = Counter()
+    pair_n = Counter()
+    for types in sessions:
+        for t in types:
+            type_n[t] += 1
+        for a, b in combinations(sorted(types), 2):
+            pair_n[(a, b)] += 1
+    n_sessions = len(sessions)
+
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in qx48_session_type_affinity(spark, SF_DIR).collect()
+    }
+    want = {p: n for p, n in pair_n.items() if n >= AFFINITY_MIN_SUPPORT}
+    assert set(out) == set(want)
+    for (a, b), r in out.items():
+        assert r["n_both"] == want[(a, b)]
+        assert (r["n_a"], r["n_b"]) == (type_n[a], type_n[b])
+        assert r["n_sessions"] == n_sessions
+        lift = r["n_both"] * n_sessions / (type_n[a] * type_n[b])
+        assert abs(r["lift"] - lift) < 5e-5
