@@ -1,0 +1,132 @@
+"""Synthetic scale-up gate: replicate the driver tables 8-16x with shifted
+keys, then run the query shapes whose scale behavior is least obvious from
+sf0.01 (two-pass global rank, trailing-frame windows, skew profile, exact
+quantiles, full-scan aggregation) against a DuckDB oracle over the SAME
+scaled parquet. The point is regression evidence that the distributed
+shapes stay CORRECT when every group is ~10x larger and key ranges no
+longer match the generator's — not performance (local timing is noise).
+
+The scaled dataset is built once per machine under /tmp keyed by the
+source dir (the `_events_multibatch_dir` convention).
+"""
+
+import math
+import os
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+SRC = "/root/testdata/sf0.01"
+EVENTS_REPLICAS = 16
+LINEITEM_REPLICAS = 8
+
+#: queries stressed, chosen for scale-sensitive plans:
+#: q01 full-scan agg, q33 two-pass global rank, qx30 exact grouped
+#: quantiles, qx38 trailing-frame window, qx44 skew profile (its
+#: heavy-hitter ordering must stay total under 16x duplicate counts).
+STRESSED = [
+    "q01_pricing_summary",
+    "q33_customer_percentiles",
+    "qx30_exact_grouped_quantiles",
+    "qx38_rolling_zscore_anomalies",
+    "qx44_join_key_skew_profile",
+]
+
+
+@pytest.fixture(scope="module")
+def scaled_dir(spark):
+    d = os.path.join(
+        tempfile.gettempdir(), "scale_stress_" + SRC.strip("/").replace("/", "_")
+    )
+    marker = os.path.join(d, "_DONE")
+    if not os.path.exists(marker):
+        from kafka2delta_spark.sources.tables import load_table
+
+        ev = load_table(spark, SRC, "events")
+        n_ev = ev.count()
+        reps = spark.range(EVENTS_REPLICAS).select(F.col("id").alias("rep"))
+        (
+            ev.crossJoin(reps)
+            .select(
+                (F.col("event_id") + F.col("rep") * (n_ev + 1)).alias("event_id"),
+                # shift each replica 1 minute so per-user order interleaves
+                # rather than producing exact ties
+                (F.col("ts") + F.make_interval(mins=F.col("rep"))).alias("ts"),
+                (F.col("user_id") + F.col("rep") * 1_000_000).alias("user_id"),
+                "event_type",
+                (F.col("value") + F.col("rep")).alias("value"),
+                "props",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/events.parquet")
+        )
+        li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+        n_ord = li.agg(F.max("l_orderkey")).collect()[0][0]
+        reps8 = spark.range(LINEITEM_REPLICAS).select(F.col("id").alias("rep"))
+        (
+            li.crossJoin(reps8)
+            .select(
+                (F.col("l_orderkey") + F.col("rep") * (n_ord + 1)).alias(
+                    "l_orderkey"
+                ),
+                "l_partkey", "l_suppkey", "l_linenumber",
+                (F.col("l_quantity") + F.col("rep") % 3).alias("l_quantity"),
+                (F.col("l_extendedprice") * (1 + F.col("rep"))).alias(
+                    "l_extendedprice"
+                ),
+                "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+                "l_shipdate",
+            )
+            .write.mode("overwrite")
+            .parquet(f"{d}/lineitem.parquet")
+        )
+        # dimension tables pass through unscaled
+        for t in ("part", "orders", "customer", "supplier", "nation", "region",
+                  "documents", "embeddings"):
+            spark.read.parquet(f"{SRC}/{t}.parquet").write.mode(
+                "overwrite"
+            ).parquet(f"{d}/{t}.parquet")
+        open(marker, "w").write("ok")
+    return d
+
+
+def _normalize(df, cols):
+    out = []
+    for _, row in df[cols].iterrows():
+        vals = []
+        for v in row:
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                vals.append("NULL")
+            elif isinstance(v, float):
+                vals.append(repr(v))
+            elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                vals.append(str([x for x in v]))
+            else:
+                vals.append(str(v))
+        out.append("|".join(vals))
+    return sorted(out)
+
+
+@pytest.mark.parametrize("name", STRESSED)
+def test_scaled_query_matches_oracle(spark, scaled_dir, name):
+    from kafka2delta_spark.queryset import ORACLES, QUERIES, load_all_querysets
+
+    load_all_querysets()
+    sdf = QUERIES[name](spark, scaled_dir).toPandas()
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{scaled_dir}/{t}.parquet/*.parquet')"
+        )
+    odf = con.execute(ORACLES[name]).fetchdf()
+    assert sorted(sdf.columns) == sorted(odf.columns), name
+    assert len(sdf) == len(odf), name
+    cols = sorted(sdf.columns)
+    assert _normalize(sdf, cols) == _normalize(odf, cols), name
+    # the scale-up really happened: events-derived outputs must be larger
+    if name == "qx38_rolling_zscore_anomalies":
+        assert len(sdf) > 1000
