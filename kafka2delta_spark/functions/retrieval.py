@@ -404,3 +404,74 @@ def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("df"),
     )
     return post.join(tf, "term").select("term", "df", "total_tf", "postings")
+
+
+CHAR_TERMS_TOP_K = 5
+
+
+@register(
+    "qx49_source_characteristic_terms",
+    oracle=f"""
+    WITH tr AS (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents),
+    tf AS (SELECT source, term, COUNT(*) AS tf FROM tr GROUP BY source, term),
+    df AS (SELECT term, COUNT(DISTINCT source) AS df FROM tr GROUP BY term),
+    ns AS (SELECT COUNT(DISTINCT source) AS n_src FROM documents),
+    scored AS (
+        SELECT tf.source, tf.term, tf.tf, df.df,
+               tf.tf * ln((ns.n_src + 1.0) / (df.df + 0.5)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN ns),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY score DESC, term) AS rk
+        FROM scored)
+    SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           ROUND(score, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= {CHAR_TERMS_TOP_K}
+    """,
+)
+def qx49_source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic vocabulary per source: top-{k} terms by smoothed
+    TF-IDF (BM25's idf floor keeps the score positive when a term spans
+    every source, so the ranking degrades gracefully to
+    term-frequency on a flat corpus instead of collapsing to zero) —
+    the per-domain keyword profile used for source triage and mixture
+    debugging in corpus curation.
+
+    Plan: one explode feeds both the (source, term) tf hash-agg and the
+    per-term source-df hash-agg; df and the source count broadcast back
+    onto the tf table; the per-source top-k is a window over the SOURCE
+    partition (group-bounded rank — never a global sort; the q31
+    per-group pattern, safe at any source count). One ln + multiply per
+    surviving row, rounded once."""
+    docs = load_table(spark, sf_dir, "documents")
+    tr = docs.select(
+        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    )
+    tf = tr.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tr.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    ns = docs.agg(F.countDistinct("source").alias("n_src"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            "source", "term", "tf", "df",
+            (
+                F.col("tf")
+                * F.log((F.col("n_src") + 1.0) / (F.col("df") + 0.5))
+            ).alias("score"),
+        )
+    )
+    w = W.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= CHAR_TERMS_TOP_K)
+        .select(
+            "source", "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.round("score", 4).alias("tfidf"),
+            F.col("rk").cast("bigint").alias("rk"),
+        )
+    )

@@ -1477,3 +1477,74 @@ def qx48_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+@register(
+    "qx50_robust_dispersion",
+    oracle="""
+    WITH v AS (
+        SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+        FROM events),
+    med AS (
+        SELECT event_type, quantile_cont(v1000, 0.5) AS med
+        FROM v GROUP BY event_type),
+    dev AS (
+        SELECT v.event_type, v.v1000, med.med,
+               ABS(v.v1000 - med.med) AS adev
+        FROM v JOIN med USING (event_type))
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)       AS n,
+           ANY_VALUE(med)                 AS median_v1000,
+           quantile_cont(adev, 0.5)       AS mad_v1000,
+           CAST(SUM(CASE WHEN adev > 3 * (SELECT quantile_cont(d2.adev, 0.5)
+                                          FROM dev d2
+                                          WHERE d2.event_type = dev.event_type)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_beyond_3mad
+    FROM dev GROUP BY event_type
+    """,
+)
+def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust dispersion per event type: exact median, exact median
+    absolute deviation (MAD — the outlier-resistant scale estimate), and
+    the count of events beyond 3 MAD. Exactness carries through both
+    percentile passes: milli-unit integers interpolate at the dyadic 0.5
+    to values with at-worst .5 fractions (exact binary doubles), the
+    absolute deviations are again exact, and their median interpolates
+    to at-worst .25 fractions — every comparison in both engines is on
+    identical doubles (the qx30 dyadic argument, applied twice).
+
+    Plan: two grouped percentile passes over the same event_type key
+    (medians broadcast back between them — the alphabet-sized join), a
+    final hash-agg fusing the MAD and the 3-MAD exceedance count into
+    one pass over the deviations. Exact per-group quantiles hold the
+    group's values in the aggregate (qx30's documented tradeoff); q39's
+    mergeable histogram is the approximation at hot-group scale."""
+    events = load_table(spark, sf_dir, "events")
+    v = events.select(
+        "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(v1000, 0.5)").alias("med")
+    )
+    dev = v.join(F.broadcast(med), "event_type").select(
+        "event_type", "v1000", "med",
+        F.abs(F.col("v1000") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.first("med").alias("median_v1000"),
+        F.expr("percentile(adev, 0.5)").alias("mad_v1000"),
+    )
+    return (
+        dev.join(F.broadcast(mad.select("event_type", "mad_v1000")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad_v1000"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_beyond_3mad")
+        )
+        .join(F.broadcast(mad), "event_type")
+        .select(
+            "event_type", "n", "median_v1000", "mad_v1000", "n_beyond_3mad"
+        )
+    )
