@@ -106,14 +106,23 @@ def _has_unbounded_single_partition_window(plan: str) -> bool:
     for i, (name, _nid, depth) in enumerate(nodes):
         if name != "Window":
             continue
+        # Walk ONLY the windowed-data input spine (pre-order: a node's
+        # first child is the next line with greater depth). Side branches
+        # — broadcast build sides, scalar-aggregate subqueries — funnel
+        # through their own SinglePartition exchanges legitimately (a
+        # 1-row count agg IS single-partition) and must not be charged
+        # to the window; only the window's own input sorting in one task
+        # is the smell.
         bounded, single = False, False
-        for cname, cid, cdepth in nodes[i + 1 :]:
-            if cdepth <= depth:
-                break
+        cur = i
+        while cur + 1 < len(nodes) and nodes[cur + 1][2] > nodes[cur][2]:
+            cname, cid, _cd = nodes[cur + 1]
             if cname in _BOUNDING:
                 bounded = True
-            if cname == "Exchange" and "SinglePartition" in args.get(cid, ""):
-                single = True
+            if cname == "Exchange":
+                single = "SinglePartition" in args.get(cid, "")
+                break  # first exchange on the spine decides partitioning
+            cur += 1
         if single and not bounded:
             return True
     return False
