@@ -384,8 +384,9 @@ def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one explode + two hash-aggs sharing the term key — postings
     from collect_set (dedup inside the aggregate, sorted once at the
-    end), occurrence totals from a plain count; the join between them is
-    on the same key, so AQE coalesces it onto the agg exchange. Per-term
+    end), occurrence totals from a plain count whose one-row-per-term
+    result broadcasts onto the postings side (verified plan:
+    BroadcastHashJoin, build = the totals agg). Per-term
     state IS the posting list — that is the artifact an index build
     materializes, not an accident of the plan; at 100 TB the output is
     range-sharded by term and a df cap (stop-word postings are the known
