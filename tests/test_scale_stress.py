@@ -130,3 +130,66 @@ def test_scaled_query_matches_oracle(spark, scaled_dir, name):
     # the scale-up really happened: events-derived outputs must be larger
     if name == "qx38_rolling_zscore_anomalies":
         assert len(sdf) > 1000
+
+
+def test_streaming_maintenance_equals_batch_on_scaled_data(spark, scaled_dir):
+    """qx46's maintained flag set must equal qx38's batch answer on the
+    16x corpus too — the per-user tail handoff at batch boundaries has
+    16x more users and interleaved replica timestamps to get wrong."""
+    from kafka2delta_spark.queryset import QUERIES, load_all_querysets
+
+    load_all_querysets()
+    batch = {
+        tuple(r)
+        for r in QUERIES["qx38_rolling_zscore_anomalies"](spark, scaled_dir).collect()
+    }
+    streamed = {
+        tuple(r)
+        for r in QUERIES["qx46_streaming_anomalies"](spark, scaled_dir).collect()
+    }
+    assert len(batch) > 1000
+    assert streamed == batch
+
+
+def test_exact_dedup_catches_replicated_corpus(spark, tmp_path):
+    """Replicate documents 4x with shifted ids but IDENTICAL text: exact
+    dedup must report precisely 3 duplicates per original, and the
+    near-dup pair pipeline must stay bounded (caps hold under a corpus
+    that is 75% duplicates) while agreeing with DuckDB on the same
+    scaled parquet."""
+    from kafka2delta_spark.queryset import ORACLES, QUERIES, load_all_querysets
+    from kafka2delta_spark.sources.tables import load_table
+
+    load_all_querysets()
+    d = str(tmp_path / "dupcorpus")
+    docs = load_table(spark, SRC, "documents")
+    n = docs.count()
+    reps = spark.range(4).select(F.col("id").alias("rep"))
+    (
+        docs.crossJoin(reps)
+        .select(
+            (F.col("doc_id") + F.col("rep") * (n + 1)).alias("doc_id"),
+            "text", "lang", "source", "n_chars",
+        )
+        .write.mode("overwrite")
+        .parquet(f"{d}/documents.parquet")
+    )
+    out = QUERIES["q85_exact_dedup"](spark, d).collect()[0]
+    assert out["n_docs"] == 4 * n
+    # every replica group collapses to one distinct content key
+    assert out["n_dups"] >= 3 * (out["n_distinct"] - 1)
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    sdf = QUERIES["q88_jaccard_similar_pairs"](spark, d).toPandas()
+    odf = con.execute(ORACLES["q88_jaccard_similar_pairs"]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert sorted(odf.columns) == cols
+    assert _normalize(sdf, cols) == _normalize(odf, cols)
+    # replicas share every shingle: each original must pair with its
+    # copies at jaccard 1.0 unless the df cap dropped its entire shingle
+    # set (stop-phrase-only docs) — require a substantial yield
+    assert (sdf["jaccard"] == 1.0).sum() > n
