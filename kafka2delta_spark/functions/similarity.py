@@ -675,3 +675,112 @@ def qx41_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_e6",
         "max_e6",
     )
+
+
+#: symmetric int8 quantization scale (q99 is per-dim affine for storage;
+#: search needs a SHARED scale so integer dot products stay
+#: rank-meaningful: b ~= x * 127/gmax elementwise, so b.b' ~= c^2 x.x').
+QANN_LEVELS = 127
+
+
+def _qann_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    g AS (SELECT MAX(m) AS gmax FROM
+          (SELECT MAX(list_aggregate(list_transform(v, x -> ABS(x)), 'max')) AS m
+           FROM e)),
+    qz AS (SELECT vec_id,
+                  list_transform(v, x -> FLOOR((x * {QANN_LEVELS}.0)
+                                               / g.gmax)) AS b
+           FROM e, g),
+    nb AS (SELECT vec_id, b, sqrt(list_dot_product(b, b)) AS nrm FROM qz),
+    qq AS (SELECT vec_id AS qid, b AS qb, nrm AS qn
+           FROM nb WHERE vec_id < {N_QUERIES}),
+    qscored AS (
+        SELECT qq.qid, nb.vec_id AS nid,
+               list_dot_product(qq.qb, nb.b) / (qq.qn * nb.nrm) AS qcos
+        FROM qq JOIN nb ON nb.vec_id <> qq.qid),
+    qtop AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY qcos DESC, nid) AS rk
+            FROM qscored) WHERE rk <= {TOP_K}),
+    fn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    fq AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
+           FROM fn WHERE vec_id < {N_QUERIES}),
+    fscored AS (
+        SELECT fq.qid, fn.vec_id AS nid,
+               list_dot_product(fq.qv, fn.v) / (fq.qn * fn.nrm) AS cosine
+        FROM fq JOIN fn ON fn.vec_id <> fq.qid),
+    ftop AS (
+        SELECT qid, nid FROM (
+            SELECT qid, nid,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cosine DESC, nid) AS rk
+            FROM fscored) WHERE rk <= {TOP_K})
+    SELECT f.qid,
+           CAST(SUM(CASE WHEN q.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_hits,
+           ROUND(SUM(CASE WHEN q.nid IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / {TOP_K}, 4) AS recall
+    FROM ftop f LEFT JOIN qtop q ON q.qid = f.qid AND q.nid = f.nid
+    GROUP BY f.qid
+    """
+
+
+@register("qx51_quantized_ann_recall", oracle=_qann_oracle())
+def qx51_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of int8-quantized similarity search against the exact float
+    baseline: vectors quantize to integer grids with ONE shared
+    symmetric scale (floor(x·127/gmax) — q99's per-dim affine grid is
+    the right STORAGE layout but per-dim offsets break dot-product
+    ranking, so search uses the shared-scale variant), candidates rank
+    by quantized cosine, and recall@k is measured per query against
+    q90's float top-k. The production question this answers: how much
+    ANN quality does 4x memory compression cost on THIS corpus.
+
+    Exactness: quantized coordinates are exact small integers, their
+    dot products are exact integers carried in doubles far below 2^53,
+    norms/cosines derive from identical op orders in both engines, and
+    recall is a ratio of counts. Plan: the gmax scalar broadcasts, both
+    rankings are per-query-partition windows over broadcast-query
+    scored sets (the q90 shape twice), and the final overlap join is
+    k·queries rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", _vec().alias("v"))
+    g = e.agg(
+        F.max(F.expr("aggregate(transform(v, x -> abs(x)), 0D, (a, x) -> greatest(a, x))")).alias("gmax")
+    )
+    qz = e.crossJoin(F.broadcast(g)).select(
+        "vec_id",
+        F.expr(f"transform(v, x -> floor((x * {QANN_LEVELS}.0) / gmax))").alias("b"),
+    )
+    nb = qz.select(
+        "vec_id", "b", F.sqrt(dot(F.col("b"), F.col("b"))).alias("nrm")
+    )
+    qq = nb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("b").alias("qb"), F.col("nrm").alias("qn")
+    )
+    qscored = nb.join(F.broadcast(qq), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        (dot(F.col("qb"), F.col("b")) / (F.col("qn") * F.col("nrm"))).alias("qcos"),
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("qcos"), F.asc("nid"))
+    qtop = (
+        qscored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= TOP_K)
+        .select("qid", "nid", F.lit(1).alias("hit"))
+    )
+    ftop = q90_cosine_topk_bruteforce(spark, sf_dir).select("qid", "nid")
+    return (
+        ftop.join(F.broadcast(qtop), ["qid", "nid"], "left")
+        .groupBy("qid")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("bigint").alias("n_hits"),
+            F.round(
+                F.sum(F.coalesce("hit", F.lit(0))) / F.lit(float(TOP_K)), 4
+            ).alias("recall"),
+        )
+    )

@@ -1003,3 +1003,81 @@ def qx47_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+#: number of range partitions the planner proposes boundaries for.
+RANGE_BUCKETS = 8
+
+
+@register(
+    "qx52_range_partition_planner",
+    oracle=f"""
+    WITH v AS (SELECT epoch_us(ts) AS us FROM events),
+    b AS (
+        SELECT {", ".join(
+            f"quantile_cont(us, {i}/{RANGE_BUCKETS}.0) AS b{i}"
+            for i in range(1, RANGE_BUCKETS)
+        )}
+        FROM v),
+    assigned AS (
+        SELECT ({" + ".join(
+            f"(CASE WHEN v.us > b.b{i} THEN 1 ELSE 0 END)"
+            for i in range(1, RANGE_BUCKETS)
+        )}) AS bucket
+        FROM v, b),
+    counts AS (SELECT bucket, COUNT(*) AS n_rows FROM assigned GROUP BY bucket),
+    tot AS (SELECT COUNT(*) AS total FROM v)
+    SELECT CAST(c.bucket AS INT)      AS bucket,
+           CAST(c.n_rows AS BIGINT)   AS n_rows,
+           CAST(tot.total AS BIGINT)  AS total_rows,
+           CAST(c.n_rows * 1000000 * {RANGE_BUCKETS} // tot.total AS BIGINT)
+               AS balance_e6
+    FROM counts c CROSS JOIN tot
+    """,
+)
+def qx52_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner planning: derive {RANGE_BUCKETS}-way boundary
+    values from exact dyadic quantiles of the sort key (event-time
+    micros) and report the realized per-bucket row counts plus a
+    balance factor (1e6 = perfectly even) — the explicit version of
+    what Spark's RangePartitioner does by sampling, run exactly. A
+    balance_e6 far from 1e6 on a proposed layout key is the signal to
+    pick different boundaries (or a different key) BEFORE rewriting
+    100 TB into a sorted layout (q48's Z-order companion for the
+    1-dimensional case).
+
+    Exactness: boundaries interpolate at i/8 of (n-1) — eighths are
+    exact binary doubles over integer micros (the qx30 dyadic
+    argument), bucket assignment compares those exact doubles, counts
+    and the truncating-div balance are integers. Plan: one percentile
+    agg (per-group multiset state — the documented exact-quantile
+    cost), boundaries broadcast back (7 rows), one conditional-sum
+    bucket assignment + hash-agg on the bucket id."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(F.unix_micros("ts").alias("us"))
+    pcts = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
+    b = v.agg(
+        *[
+            F.expr(f"percentile(us, {i}/{RANGE_BUCKETS})").alias(f"b{i}")
+            for i in range(1, RANGE_BUCKETS)
+        ]
+    )
+    bucket = None
+    for i in range(1, RANGE_BUCKETS):
+        term = F.when(F.col("us") > F.col(f"b{i}"), 1).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    counts = (
+        v.crossJoin(F.broadcast(b))
+        .select(bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_rows",
+        F.col("total").alias("total_rows"),
+        F.expr(f"cast(n_rows * 1000000 * {RANGE_BUCKETS} div total as bigint)").alias(
+            "balance_e6"
+        ),
+    )

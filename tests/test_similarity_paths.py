@@ -65,3 +65,81 @@ def test_plane_buckets_identical_under_both_paths(vec_df, monkeypatch):
     assert vec_on.sort_values("id")["bkt"].tolist() == vec_off.sort_values("id")[
         "bkt"
     ].tolist()
+
+
+def test_quantized_ann_recall_matches_bruteforce(spark):
+    """Recompute qx51 in plain Python: shared-scale int8 quantization,
+    quantized-cosine ranking, recall vs the float top-k."""
+    import math
+
+    from kafka2delta_spark.functions.similarity import (
+        N_QUERIES,
+        QANN_LEVELS,
+        TOP_K,
+        qx51_quantized_ann_recall,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    vecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in load_table(spark, "/root/testdata/sf0.001", "embeddings").collect()
+    }
+    gmax = max(abs(x) for v in vecs.values() for x in v)
+    q = {i: [math.floor((x * QANN_LEVELS) / gmax) for x in v] for i, v in vecs.items()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    def topk(space, qid):
+        scored = sorted(
+            ((cos(space[qid], v), -nid) for nid, v in space.items() if nid != qid),
+            reverse=True,
+        )
+        return {-nid for _, nid in scored[:TOP_K]}
+
+    want = {}
+    for qid in range(N_QUERIES):
+        f = topk(vecs, qid)
+        g = topk(q, qid)
+        hits = len(f & g)
+        want[qid] = (hits, round(hits / TOP_K, 4))
+
+    out = {r["qid"]: r for r in qx51_quantized_ann_recall(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == set(want)
+    for qid, (hits, rec) in want.items():
+        assert (out[qid]["n_hits"], out[qid]["recall"]) == (hits, rec)
+
+
+def test_range_partition_planner_matches_bruteforce(spark):
+    from kafka2delta_spark.operators.advanced import (
+        RANGE_BUCKETS,
+        qx52_range_partition_planner,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    us = sorted(
+        int(r["ts"].timestamp() * 1_000_000)
+        for r in load_table(spark, "/root/testdata/sf0.001", "events").collect()
+    )
+    n = len(us)
+
+    def qtile(p):  # type-7 linear interpolation, exact at eighths
+        idx = (n - 1) * p
+        lo = int(idx)
+        frac = idx - lo
+        return us[lo] + frac * (us[min(lo + 1, n - 1)] - us[lo])
+
+    bnds = [qtile(i / RANGE_BUCKETS) for i in range(1, RANGE_BUCKETS)]
+    counts = [0] * RANGE_BUCKETS
+    for x in us:
+        counts[sum(1 for b in bnds if x > b)] += 1
+
+    out = {r["bucket"]: r for r in qx52_range_partition_planner(spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {i for i in range(RANGE_BUCKETS) if counts[i] > 0}
+    for i, r in out.items():
+        assert r["n_rows"] == counts[i]
+        assert r["total_rows"] == n
+        assert r["balance_e6"] == counts[i] * 10**6 * RANGE_BUCKETS // n
+    # quantile boundaries on a continuous-ish key must balance well
+    assert all(abs(r["balance_e6"] - 10**6) < 10**5 for r in out.values())
