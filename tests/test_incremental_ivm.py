@@ -432,3 +432,66 @@ def test_anomaly_split_application_equals_single_batch(spark, tmp_path):
         before = _flags(split)
         assert apply_anomaly_batch(split, _anom_events(spark, rows[cut:]), 1) is False
         assert _flags(split) == before
+
+
+def test_anomaly_maintenance_restart_from_checkpoint(spark, tmp_path):
+    """Checkpoint-resume for the ORDER-SENSITIVE maintainer: stop after
+    batch 1, restart on the same checkpoint (no replay — ledger and flag
+    set pinned unchanged), append batch 2, and require the final flag
+    set to equal the one-shot application over both batches. The tail
+    handed across the restart is what makes this stricter than the
+    sketch version: a lost or doubled tail changes flags, not just
+    counts."""
+    from kafka2delta_spark.streaming.incremental import apply_anomaly_batch
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+
+    rows = [(1, m, 10.0 + (m % 3) * 0.5) for m in range(20)]
+    rows[13] = (1, 13, 500.0)
+    rows += [(2, m, float((m * 7) % 23)) for m in range(20)]
+    rows.sort(key=lambda r: (r[1], r[0]))
+    rows = [(i, u, m, v) for i, (u, m, v) in enumerate(rows)]
+    rows1, rows2 = rows[:17], rows[17:]
+
+    def feed(rs):
+        _anom_events(spark, rs).coalesce(1).write.mode("append").parquet(src)
+
+    def start():
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, ts timestamp, value double"
+        ).parquet(src)
+
+        def merge(batch_df, batch_id):
+            apply_anomaly_batch(store, batch_df, batch_id)
+
+        return (
+            stream.writeStream.foreachBatch(merge)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    feed(rows1)
+    q = start()
+    q.awaitTermination()
+    after_b1 = _flags(store)
+    meta_b1 = store.metadata()
+
+    # restart with no new input: committed offsets, nothing fires
+    q = start()
+    q.awaitTermination()
+    assert _flags(store) == after_b1
+    assert store.metadata() == meta_b1
+
+    # restart + batch 2: only the delta applies, tail carried across
+    feed(rows2)
+    q = start()
+    q.awaitTermination()
+
+    whole = ParquetStateStore(spark, str(tmp_path / "whole"))
+    apply_anomaly_batch(whole, _anom_events(spark, rows), 0)
+    assert _flags(store) == _flags(whole)
+    assert any(r[1] == next(i for i, u, m, v in rows if v == 500.0)
+               for r in _flags(store))
