@@ -1172,8 +1172,10 @@ def qx06_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cl.cluster_id AS canonical_doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(d.n_chars) AS BIGINT) AS total_chars,
-           list_sort(list_distinct(list(d.source))) AS sources,
-           list_sort(list_distinct(list(d.lang))) AS langs
+           array_to_string(list_sort(list_distinct(list(d.source))), '|')
+               AS sources,
+           array_to_string(list_sort(list_distinct(list(d.lang))), '|')
+               AS langs
     FROM cl JOIN documents d ON d.doc_id = cl.node
     GROUP BY cl.cluster_id
     """,
@@ -1185,8 +1187,10 @@ def qx17_canonical_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     which sources and languages carried them, total bytes collapsed.
     (Dropping duplicates without this rollup silently destroys source
     attribution and dedup-rate accounting.) One hash-agg over the
-    cluster labels joined to the doc metadata; arrays are
-    sorted-distinct so both engines emit identical values."""
+    cluster labels joined to the doc metadata; the merged source/lang
+    sets are emitted as sorted ``'|'``-joined strings (not arrays) so
+    any downstream row canonicalizer — including ones that lexsort on
+    column values — can hash them; both engines join identically."""
     labels = connected_components(
         load_table(spark, sf_dir, "documents").select(
             F.col("doc_id").alias("node")
@@ -1202,8 +1206,12 @@ def qx17_canonical_doc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.sum("n_chars").cast("bigint").alias("total_chars"),
-            F.array_sort(F.collect_set("source")).alias("sources"),
-            F.array_sort(F.collect_set("lang")).alias("langs"),
+            F.array_join(F.array_sort(F.collect_set("source")), "|").alias(
+                "sources"
+            ),
+            F.array_join(F.array_sort(F.collect_set("lang")), "|").alias(
+                "langs"
+            ),
         )
     )
 

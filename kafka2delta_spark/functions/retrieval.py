@@ -425,7 +425,7 @@ CHAR_TERMS_TOP_K = 5
         FROM tf JOIN df USING (term) CROSS JOIN ns),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY source
-                                     ORDER BY score DESC, term) AS rk
+                                     ORDER BY ROUND(score, 4) DESC, term) AS rk
         FROM scored)
     SELECT source, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
            ROUND(score, 4) AS tfidf, CAST(rk AS BIGINT) AS rk
@@ -444,8 +444,12 @@ def qx49_source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFr
     per-term source-df hash-agg; df and the source count broadcast back
     onto the tf table; the per-source top-k is a window over the SOURCE
     partition (group-bounded rank — never a global sort; the q31
-    per-group pattern, safe at any source count). One ln + multiply per
-    surviving row, rounded once."""
+    per-group pattern, safe at any source count). The rank key is the
+    4dp-ROUNDED score (then term): JVM ``Math.log`` and libm ``log``
+    are not bit-identical, so ranking raw doubles risks a cross-engine
+    order flip when two (tf, df) pairs score within an ulp; rounding
+    first makes the sort key engine-identical, with the term tiebreak
+    resolving within-bucket order."""
     docs = load_table(spark, sf_dir, "documents")
     tr = docs.select(
         "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
@@ -464,7 +468,9 @@ def qx49_source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("score"),
         )
     )
-    w = W.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    w = W.partitionBy("source").orderBy(
+        F.desc(F.round("score", 4)), F.asc("term")
+    )
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= CHAR_TERMS_TOP_K)

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
 
@@ -775,9 +776,11 @@ SKEW_TOP_KEYS = 5
     UNION ALL SELECT 'min_key_rows', NULL, min_cnt FROM s
     UNION ALL SELECT 'sum_sq_rows', NULL, sum_sq FROM s
     UNION ALL SELECT 'skew_ratio_e6', NULL,
-                     CAST(max_cnt * 1000000 * n_keys // n_rows AS BIGINT) FROM s
+                     CAST(CAST(max_cnt AS HUGEINT) * 1000000 * n_keys
+                          // n_rows AS BIGINT) FROM s
     UNION ALL SELECT 'collision_factor_e6', NULL,
-                     CAST(sum_sq * 1000000 // n_rows AS BIGINT) FROM s
+                     CAST(CAST(sum_sq AS HUGEINT) * 1000000
+                          // n_rows AS BIGINT) FROM s
     UNION ALL
     SELECT 'top_key', key, CAST(cnt AS BIGINT)
     FROM top WHERE rk <= {SKEW_TOP_KEYS}
@@ -825,13 +828,26 @@ def qx44_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(srow("min_key_rows", F.col("min_cnt")))
         .unionByName(srow("sum_sq_rows", F.col("sum_sq")))
         .unionByName(
+            # the product runs in DECIMAL(38,0): max_cnt*1e6*n_keys in
+            # int64 would wrap silently in Spark (non-ANSI) while DuckDB
+            # raises on BIGINT overflow — decimal makes overflow
+            # impossible for any key cardinality that fits the profile
             srow(
                 "skew_ratio_e6",
-                F.expr("max_cnt * 1000000 * n_keys div n_rows"),
+                F.expr(
+                    "cast(cast(max_cnt as decimal(38,0)) * 1000000 * n_keys"
+                    " div n_rows as bigint)"
+                ),
             )
         )
         .unionByName(
-            srow("collision_factor_e6", F.expr("sum_sq * 1000000 div n_rows"))
+            srow(
+                "collision_factor_e6",
+                F.expr(
+                    "cast(cast(sum_sq as decimal(38,0)) * 1000000"
+                    " div n_rows as bigint)"
+                ),
+            )
         )
     )
     top = (
@@ -897,8 +913,15 @@ def qx45_table_stats_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     out = None
     for c in STATS_COLUMNS:
-        ndv = li.select(c).distinct().agg(
-            F.count(F.lit(1)).cast("bigint").alias("ndv")
+        # NULL is excluded before the distinct: COUNT(DISTINCT c) ignores
+        # NULLs on both engines, while distinct().count() would count the
+        # null group as one extra "value" the moment a profiled column
+        # acquires NULLs.
+        ndv = (
+            li.select(c)
+            .where(F.col(c).isNotNull())
+            .distinct()
+            .agg(F.count(F.lit(1)).cast("bigint").alias("ndv"))
         )
         row = base.crossJoin(F.broadcast(ndv)).select(
             F.lit(c).alias("column_name"),
@@ -1049,19 +1072,18 @@ def qx52_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: boundaries interpolate at i/8 of (n-1) — eighths are
     exact binary doubles over integer micros (the qx30 dyadic
     argument), bucket assignment compares those exact doubles, counts
-    and the truncating-div balance are integers. Plan: one percentile
-    agg (per-group multiset state — the documented exact-quantile
-    cost), boundaries broadcast back (7 rows), one conditional-sum
-    bucket assignment + hash-agg on the bucket id."""
+    and the truncating-div balance are integers. Plan: the boundaries
+    come from ``exact_percentiles_by_rank`` (two-pass range-partitioned
+    rank, the q33 shape) — NOT a global ``percentile()`` aggregate,
+    whose single reducer would hold the entire column's value multiset
+    at 100 TB. Here no task ever buffers more than its own sorted range
+    partition; the 7 boundary values broadcast back (1 row), then one
+    conditional-sum bucket assignment + hash-agg on the bucket id."""
     ev = load_table(spark, sf_dir, "events")
     v = ev.select(F.unix_micros("ts").alias("us"))
-    pcts = [i / RANGE_BUCKETS for i in range(1, RANGE_BUCKETS)]
-    b = v.agg(
-        *[
-            F.expr(f"percentile(us, {i}/{RANGE_BUCKETS})").alias(f"b{i}")
-            for i in range(1, RANGE_BUCKETS)
-        ]
-    )
+    b = exact_percentiles_by_rank(
+        v, "us", list(range(1, RANGE_BUCKETS)), RANGE_BUCKETS, prefix="b"
+    ).drop("__n")
     bucket = None
     for i in range(1, RANGE_BUCKETS):
         term = F.when(F.col("us") > F.col(f"b{i}"), 1).otherwise(0)

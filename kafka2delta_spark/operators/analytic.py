@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
 
@@ -256,7 +257,15 @@ def q35_first_last_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q36_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates incl. exact median / interpolated quantile
-    (``percentile``, not the sketch-based approx variant)."""
+    (``percentile``, not the sketch-based approx variant).
+
+    Scale note: ``percentile`` buffers each group's value multiset in one
+    aggregate state — acceptable here only because l_returnflag has 3
+    groups of bounded skew. The exact scale-safe alternative is the
+    concrete two-pass rank shape in ``operators/rankstats.py``
+    (``exact_percentiles_by_rank``, used by qx30/qx50/qx52); it is not
+    used HERE because p90 = 9/10 is non-dyadic, so the bit-exact
+    cross-engine interpolation argument only covers the median leg."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
@@ -1060,24 +1069,29 @@ def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer you reconcile it against, at the cost of a per-group sort
     inside the aggregate.
 
-    Plan: one hash-shuffle on event_type; percentile is an
-    ObjectHashAggregate whose per-group state is the value multiset —
-    exact quantiles fundamentally need the group's values in one place.
-    For skewed/huge groups use q39 (mergeable bins) or two-pass
-    range-partitioned rank (the q33 shape)."""
+    Plan: ``exact_percentiles_by_rank`` (operators/rankstats.py) — the
+    q33 two-pass range-partitioned rank generalized to groups. No
+    ObjectHashAggregate holding a per-group value multiset anywhere:
+    range-partition on (event_type, v1000), parallel local sorts, exact
+    within-group ranks from a metadata-sized offset table, and the
+    interpolation touches only the ≤2 rows per group at each target
+    rank. Survives groups of any size; the former single-shuffle
+    ``percentile`` shape is exactly what breaks on a skewed 100 TB
+    group."""
     events = load_table(spark, sf_dir, "events")
     v = events.select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
     )
-    agg = v.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.expr("percentile(v1000, 0.25)").alias("p25"),
-        F.expr("percentile(v1000, 0.5)").alias("p50"),
-        F.expr("percentile(v1000, 0.75)").alias("p75"),
+    q = exact_percentiles_by_rank(
+        v, "v1000", [1, 2, 3], 4, keys=["event_type"], prefix="q"
     )
-    return agg.select(
-        "event_type", "n", "p25", "p50", "p75",
-        (F.col("p75") - F.col("p25")).alias("iqr"),
+    return q.select(
+        "event_type",
+        F.col("__n").alias("n"),
+        F.col("q1").alias("p25"),
+        F.col("q2").alias("p50"),
+        F.col("q3").alias("p75"),
+        (F.col("q3") - F.col("q1")).alias("iqr"),
     )
 
 
@@ -1513,27 +1527,34 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     to at-worst .25 fractions — every comparison in both engines is on
     identical doubles (the qx30 dyadic argument, applied twice).
 
-    Plan: two grouped percentile passes over the same event_type key
-    (medians broadcast back between them — the alphabet-sized join), a
-    final hash-agg fusing the MAD and the 3-MAD exceedance count into
-    one pass over the deviations. Exact per-group quantiles hold the
-    group's values in the aggregate (qx30's documented tradeoff); q39's
-    mergeable histogram is the approximation at hot-group scale."""
+    Plan: two grouped median passes, each via
+    ``exact_percentiles_by_rank`` (operators/rankstats.py — the q33
+    two-pass range-partitioned rank, so NO per-group value multiset ever
+    sits in an aggregate buffer, even for a hot event_type at 100 TB);
+    medians broadcast back between the passes (alphabet-sized join), a
+    final hash-agg fusing the 3-MAD exceedance count. q39's mergeable
+    histogram remains the cheaper approximation when exactness is not
+    required."""
     events = load_table(spark, sf_dir, "events")
     v = events.select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
     )
-    med = v.groupBy("event_type").agg(
-        F.expr("percentile(v1000, 0.5)").alias("med")
-    )
+    med = exact_percentiles_by_rank(
+        v, "v1000", [1], 2, keys=["event_type"], prefix="m"
+    ).select("event_type", F.col("m1").alias("med"))
     dev = v.join(F.broadcast(med), "event_type").select(
         "event_type", "v1000", "med",
         F.abs(F.col("v1000") - F.col("med")).alias("adev"),
     )
-    mad = dev.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.first("med").alias("median_v1000"),
-        F.expr("percentile(adev, 0.5)").alias("mad_v1000"),
+    mad_q = exact_percentiles_by_rank(
+        dev, "adev", [1], 2, keys=["event_type"], prefix="m"
+    ).select(
+        "event_type",
+        F.col("__n").alias("n"),
+        F.col("m1").alias("mad_v1000"),
+    )
+    mad = mad_q.join(F.broadcast(med), "event_type").select(
+        "event_type", "n", F.col("med").alias("median_v1000"), "mad_v1000"
     )
     return (
         dev.join(F.broadcast(mad.select("event_type", "mad_v1000")), "event_type")

@@ -1,0 +1,142 @@
+"""Scale-safe EXACT order statistics via two-pass range-partitioned rank.
+
+Spark's ``percentile`` aggregate is exact but holds the whole per-group
+value multiset in one ObjectHashAggregate buffer — O(group size) state in
+a single reducer, the one aggregate shape that does not survive a 100×
+scale-up (a global percentile over 100 TB of events would funnel every
+value through one task). This module computes the SAME type-7
+(linearly-interpolated) quantiles from rank statistics instead, using the
+q33 two-pass shape (``operators/analytic.py``):
+
+  1. ``repartitionByRange`` on (group keys, value) → parallel local sorts,
+     per-partition ``row_number``.
+  2. Per-(partition, group) counts → prefix offsets over that
+     metadata-sized side (n_partitions × n_groups rows) → exact global
+     0-indexed rank within each group, with no unpartitioned window and no
+     per-group value buffer anywhere.
+  3. For each requested quantile p = num/denom the interpolation touches
+     only the values at ranks ⌊p·(n−1)⌋ and ⌊p·(n−1)⌋+1 — ≤ 2·|probs|
+     rows per group survive the filter; one tiny conditional aggregate
+     assembles ``v_lo + (v_hi − v_lo)·frac``, the same formula both
+     Spark's ``percentile`` and DuckDB's ``quantile_cont`` use.
+
+Exactness across engines: restricted (by construction of the callers) to
+dyadic probabilities over integer-valued columns, every intermediate —
+p·(n−1), the interpolation weight, the weighted sum — is an exactly
+representable binary double, so results hash-match ``quantile_cont``
+bit-for-bit (the qx30 dyadic argument).
+
+Ties need no tiebreak column: ``row_number`` among equal values is
+arbitrary, but the VALUE at any global rank is order-independent once
+sorted by value, which is all the interpolation reads.
+
+At 100 TB: two shuffles sized by the data (range exchange + the window's
+hash exchange on the synthetic partition id), joins against broadcast
+metadata only. Group-key cardinality must be bounded (offsets/totals are
+broadcast); for unbounded keys drop the broadcast hints and the same plan
+degrades gracefully to shuffle joins keyed by group.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def exact_percentiles_by_rank(
+    df: DataFrame,
+    value_col: str,
+    numerators: Sequence[int],
+    denom: int,
+    keys: Sequence[str] = (),
+    n_parts: int = 32,
+    prefix: str = "p",
+) -> DataFrame:
+    """Exact type-7 quantiles of ``value_col`` at ``num/denom`` for each
+    ``num`` in ``numerators``, grouped by ``keys`` (global if empty).
+
+    Returns one row per group with columns ``keys + [__n] + [f"{prefix}{num}"
+    for num in numerators]``; ``__n`` is the group row count (BIGINT) and
+    each quantile column is DOUBLE. NULL values must be pre-filtered by the
+    caller (``percentile``/``quantile_cont`` both ignore NULLs; this helper
+    would rank them).
+    """
+    keys = list(keys)
+    val = F.col(value_col).cast("double")
+
+    ranked = (
+        df.repartitionByRange(n_parts, *(keys + [value_col]))
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                W.partitionBy("__pid", *keys).orderBy(value_col)
+            ),
+        )
+    )
+    counts = ranked.groupBy("__pid", *keys).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    prior = counts.select(
+        F.col("__pid").alias("__pid2"),
+        F.col("__cnt").alias("__cnt2"),
+        *[F.col(k).alias(f"__{k}2") for k in keys],
+    )
+    pair_cond = F.col("__pid2") < F.col("__pid")
+    for k in keys:
+        pair_cond = pair_cond & (F.col(f"__{k}2") == F.col(k))
+    offsets = (
+        counts.join(F.broadcast(prior), pair_cond, "left")
+        .groupBy("__pid", *keys)
+        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"))
+    )
+    if keys:
+        totals = counts.groupBy(*keys).agg(
+            F.sum("__cnt").cast("bigint").alias("__n")
+        )
+        joined = ranked.join(F.broadcast(offsets), ["__pid", *keys]).join(
+            F.broadcast(totals), keys
+        )
+    else:
+        totals = counts.agg(F.sum("__cnt").cast("bigint").alias("__n"))
+        joined = ranked.join(F.broadcast(offsets), ["__pid"]).crossJoin(
+            F.broadcast(totals)
+        )
+
+    rk0 = F.col("__off") + F.col("__rn") - 1  # 0-indexed rank in group
+    n1 = F.col("__n") - 1
+
+    def target(num: int):
+        return F.lit(num) * n1  # p·(n−1) scaled by denom → integer t
+
+    def lo(num: int):
+        return F.expr(f"({num} * (__n - 1)) div {denom}")
+
+    needed_cond = None
+    for num in numerators:
+        c = (rk0 == lo(num)) | (
+            (rk0 == lo(num) + 1) & (target(num) % denom != 0)
+        )
+        needed_cond = c if needed_cond is None else (needed_cond | c)
+    needed = joined.where(needed_cond)
+
+    aggs = [F.max("__n").alias("__n")]
+    for num in numerators:
+        aggs.append(
+            F.max(F.when(rk0 == lo(num), val)).alias(f"__lo{num}")
+        )
+        aggs.append(
+            F.max(F.when(rk0 == lo(num) + 1, val)).alias(f"__hi{num}")
+        )
+    res = needed.groupBy(*keys).agg(*aggs) if keys else needed.groupBy().agg(*aggs)
+
+    out_cols = [F.col(k) for k in keys] + [F.col("__n")]
+    for num in numerators:
+        frac = (target(num) % denom).cast("double") / F.lit(float(denom))
+        lo_v = F.col(f"__lo{num}")
+        hi_v = F.coalesce(F.col(f"__hi{num}"), lo_v)
+        out_cols.append((lo_v + (hi_v - lo_v) * frac).alias(f"{prefix}{num}"))
+    return res.select(*out_cols)

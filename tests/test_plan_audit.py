@@ -50,6 +50,39 @@ def test_bounded_global_window_is_clean(spark):
     assert "global-window" not in _flags(spark, df)
 
 
+_BUILD_LEFT_PLAN = """\
+== Physical Plan ==
+* Window (7)
++- * Sort (6)
+   +- * BroadcastHashJoin Inner BuildLeft (5)
+      :- BroadcastExchange (2)
+      :  +- Scan parquet  (1)
+      +- Exchange (4)
+         +- Scan parquet  (3)
+
+(4) Exchange
+Arguments: {ARGS}, ENSURE_REQUIREMENTS, [plan_id=42]
+"""
+
+
+def test_build_left_probe_single_partition_is_flagged():
+    """The ADVICE false-negative shape: a BuildLeft join prints its
+    broadcast BUILD side first, so a first-child-only spine walk would
+    descend into the BroadcastExchange and miss the probe side's
+    SinglePartition exchange. The all-branch walk must flag it."""
+    from audit_plans import audit
+
+    plan = _BUILD_LEFT_PLAN.replace("{ARGS}", "SinglePartition")
+    assert "global-window" in audit("probe", plan)
+
+
+def test_build_left_probe_hash_partitioned_is_clean():
+    from audit_plans import audit
+
+    plan = _BUILD_LEFT_PLAN.replace("{ARGS}", "hashpartitioning(k#1, 32)")
+    assert "global-window" not in audit("probe", plan)
+
+
 def test_scalar_agg_branch_not_charged_to_partitioned_window(spark):
     """The qx49 shape: a partitioned window over data cross-joined with a
     broadcast 1-row aggregate (whose plan has its own SinglePartition

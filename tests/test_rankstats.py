@@ -1,0 +1,59 @@
+"""exact_percentiles_by_rank must reproduce Spark's exact ``percentile``
+aggregate bit-for-bit on dyadic probabilities over integer values — the
+whole point of the helper is swapping the O(group) multiset aggregate for
+the two-pass rank shape WITHOUT changing a single output bit.
+
+Covers: global + grouped, heavy ties, singleton and tiny groups, and the
+frac=0 edge where the target rank lands exactly on a row (no hi neighbor
+needed, and the hi row must not double-count).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
+
+
+def _reference(df, numerators, denom, keys=()):
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("__n")] + [
+        F.expr(f"percentile(v, {num}/{denom})").alias(f"p{num}")
+        for num in numerators
+    ]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.groupBy().agg(*aggs)
+
+
+def _rows(df, keys):
+    cols = sorted(df.columns)
+    return sorted(
+        [tuple(r[c] for c in cols) for r in df.collect()],
+        key=lambda t: tuple(str(x) for x in t),
+    )
+
+
+@pytest.mark.parametrize("denom,nums", [(2, [1]), (4, [1, 2, 3]), (8, list(range(1, 8)))])
+def test_global_matches_percentile(spark, denom, nums):
+    vals = [(i * 37) % 101 for i in range(1, 200)] + [50] * 40  # ties
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = exact_percentiles_by_rank(df, "v", nums, denom)
+    want = _reference(df, nums, denom)
+    assert _rows(got, ()) == _rows(want, ())
+
+
+def test_grouped_matches_percentile_incl_tiny_groups(spark):
+    rows = []
+    for g, n in [("a", 1), ("b", 2), ("c", 7), ("d", 500)]:
+        rows += [(g, (i * 13) % 97) for i in range(n)]
+    rows += [("c", 5)] * 6  # tie block inside a small group
+    df = spark.createDataFrame(rows, "k string, v long")
+    got = exact_percentiles_by_rank(df, "v", [1, 2, 3], 4, keys=["k"])
+    want = _reference(df, [1, 2, 3], 4, keys=["k"])
+    assert _rows(got, ["k"]) == _rows(want, ["k"])
+
+
+def test_frac_zero_lands_exactly_on_rank(spark):
+    # n = 9 → p=1/2 targets rank 4 exactly (frac 0): the lo row alone
+    # must carry weight 1 and the lo+1 row must not be double-counted.
+    df = spark.createDataFrame([(v,) for v in [3, 1, 4, 1, 5, 9, 2, 6, 8]], "v long")
+    got = exact_percentiles_by_rank(df, "v", [1, 2, 3], 4)
+    want = _reference(df, [1, 2, 3], 4)
+    assert _rows(got, ()) == _rows(want, ())

@@ -96,34 +96,59 @@ def _has_unbounded_single_partition_window(plan: str) -> bool:
             cur = m.group(1)
         elif cur and ln.strip().startswith("Arguments:") and cur not in args:
             args[cur] = ln.strip()
-    # tree section: ordered (name, id, depth)
+    # tree section: ordered (name, id, depth). The node NAME is the first
+    # word after the tree-drawing prefix (a join line reads
+    # "+- * BroadcastHashJoin Inner BuildLeft (5)" — taking the last word
+    # would misname the node AND misplace its depth at the last word's
+    # column, breaking every subtree walk under a binary node); depth is
+    # the structural prefix length, which steps uniformly per level.
     nodes = []
     for ln in lines:
-        m = re.search(r"(\w[\w]*) \((\d+)\)\s*$", ln)
+        m = re.match(
+            r"^([ :+\-|]*)(\* )?(\w+)([^()]*)\((\d+)\)\s*$", ln
+        )
         if not m:
             continue
-        nodes.append((m.group(1), m.group(2), ln.index(m.group(1))))
-    for i, (name, _nid, depth) in enumerate(nodes):
+        nodes.append((m.group(3), m.group(5), len(m.group(1))))
+    def subtree_end(i: int) -> int:
+        d = nodes[i][2]
+        j = i + 1
+        while j < len(nodes) and nodes[j][2] > d:
+            j += 1
+        return j
+
+    def direct_children(i: int) -> list[int]:
+        end = subtree_end(i)
+        if i + 1 >= end:
+            return []
+        child_depth = min(nodes[j][2] for j in range(i + 1, end))
+        return [j for j in range(i + 1, end) if nodes[j][2] == child_depth]
+
+    def branch_feeds_single(i: int) -> bool:
+        """Does the window-input branch rooted at nodes[i] funnel
+        unbounded rows through a SinglePartition exchange?
+
+        Walks EVERY data branch (a join's streamed AND build-probe
+        sides, every union input) rather than only the first-printed
+        child — a BuildLeft BroadcastHashJoin prints the build side
+        first, so a first-child-only spine walk can descend the wrong
+        branch and miss the smell. BroadcastExchange terminates a
+        branch (build sides legitimately single-partition); the first
+        shuffle Exchange on a branch decides that branch's
+        partitioning; Limit/TakeOrdered bounds the branch."""
+        name, nid, _d = nodes[i]
+        if name in _BOUNDING:
+            return False
+        if name == "BroadcastExchange":
+            return False
+        if name in ("Exchange", "ReusedExchange"):
+            return "SinglePartition" in args.get(nid, "")
+        return any(branch_feeds_single(c) for c in direct_children(i))
+
+    for i, (name, _nid, _depth) in enumerate(nodes):
         if name != "Window":
             continue
-        # Walk ONLY the windowed-data input spine (pre-order: a node's
-        # first child is the next line with greater depth). Side branches
-        # — broadcast build sides, scalar-aggregate subqueries — funnel
-        # through their own SinglePartition exchanges legitimately (a
-        # 1-row count agg IS single-partition) and must not be charged
-        # to the window; only the window's own input sorting in one task
-        # is the smell.
-        bounded, single = False, False
-        cur = i
-        while cur + 1 < len(nodes) and nodes[cur + 1][2] > nodes[cur][2]:
-            cname, cid, _cd = nodes[cur + 1]
-            if cname in _BOUNDING:
-                bounded = True
-            if cname == "Exchange":
-                single = "SinglePartition" in args.get(cid, "")
-                break  # first exchange on the spine decides partitioning
-            cur += 1
-        if single and not bounded:
+        if any(branch_feeds_single(c) for c in direct_children(i)):
             return True
     return False
 
