@@ -516,8 +516,18 @@ KMV_K = 64
 # 13 hex chars of md5 = 52 uniform bits; (K-1) * 2^52 stays < 2^63 so the
 # integer-division estimate never overflows BIGINT in either engine.
 KMV_SPACE = 1 << 52
-_KMV_HASH = "cast(conv(substr(md5(cast(user_id as string)),1,13),16,10) as bigint)"
-_KMV_HASH_DUCK = "('0x' || substr(md5(user_id::VARCHAR), 1, 13))::BIGINT"
+def kmv_hash_spark(col: str) -> str:
+    """52-bit md5-prefix hash of a column, Spark SQL (engine-portable)."""
+    return f"cast(conv(substr(md5(cast({col} as string)),1,13),16,10) as bigint)"
+
+
+def kmv_hash_duck(col: str) -> str:
+    """The identical hash in DuckDB SQL (md5 text matches across engines)."""
+    return f"('0x' || substr(md5({col}::VARCHAR), 1, 13))::BIGINT"
+
+
+_KMV_HASH = kmv_hash_spark("user_id")
+_KMV_HASH_DUCK = kmv_hash_duck("user_id")
 
 
 def _kmv_oracle() -> str:
@@ -634,6 +644,50 @@ def kmv_estimates(sketches: DataFrame) -> DataFrame:
         .agg(_bottom_k_set().alias("kmins"))
     )
     return per_type.unionByName(estimate(merged, F.lit("ALL")))
+
+
+def kmv_grouped_estimate(
+    df: DataFrame, group_col: str, key_col: str, out_name: str
+) -> DataFrame:
+    """(group, estimate) KMV approx-distinct of ``key_col`` per group —
+    the portable, hash-gateable substitute for ``approx_count_distinct``
+    (whose HLL++ registers are engine-private). Same two-level bottom-K
+    shape as qx19: hashes partial-aggregate inside (group, hash mod 16)
+    subgroups first, so no single aggregation state exceeds K values per
+    bucket regardless of group size. Identical hv never spans buckets
+    (the bucket IS hv mod 16), so the flattened merge needs no dedup."""
+    h = df.select(group_col, F.expr(kmv_hash_spark(key_col)).alias("hv"))
+    l1 = h.groupBy(group_col, F.pmod("hv", F.lit(16)).alias("bucket")).agg(
+        _bottom_k_set().alias("mins")
+    )
+    sk = l1.groupBy(group_col).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K)
+        .alias("kmins")
+    )
+    n = F.size("kmins")
+    est = F.when(n < KMV_K, n.cast("bigint")).otherwise(
+        F.expr(
+            f"{KMV_K - 1} * cast({KMV_SPACE} as bigint)"
+            f" div element_at(kmins, {KMV_K})"
+        )
+    )
+    return sk.select(group_col, est.cast("bigint").alias(out_name))
+
+
+def kmv_grouped_oracle_cte(group_col: str, key_col: str, table: str) -> str:
+    """DuckDB SELECT computing the same grouped KMV estimate."""
+    est = (
+        f"CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*) "
+        f"ELSE ({KMV_K - 1} * {KMV_SPACE}::BIGINT) "
+        f"// MAX(CASE WHEN rk = {KMV_K} THEN hv END) END"
+    )
+    return f"""
+    SELECT {group_col}, CAST({est} AS BIGINT) AS est FROM (
+        SELECT {group_col}, hv,
+               ROW_NUMBER() OVER (PARTITION BY {group_col} ORDER BY hv) AS rk
+        FROM (SELECT DISTINCT {group_col}, {kmv_hash_duck(key_col)} AS hv
+              FROM {table}))
+    GROUP BY {group_col}"""
 
 
 # ---------------------------------------------------------------------------

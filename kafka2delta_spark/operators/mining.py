@@ -144,6 +144,68 @@ def _triangle_oracle() -> str:
     """
 
 
+def node_degrees(e: DataFrame) -> DataFrame:
+    """(node, degree) from a canonical (a < b) undirected edge list."""
+    und = e.select(F.col("a").alias("node")).unionByName(
+        e.select(F.col("b").alias("node"))
+    )
+    return und.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )
+
+
+def orient_by_degree(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """Direct each undirected edge from its lower-(degree, id) endpoint
+    to the higher one: (src, dst, src_deg→, dst_deg) with
+    (deg(src), src) < (deg(dst), dst) under the total order.
+
+    This is the standard wedge-join skew guard (Suri & Vassilvitskii,
+    "Counting Triangles and the Curse of the Last Reducer", WWW 2011):
+    out-degree under this orientation is O(sqrt(m)) for ANY graph, so
+    per-source wedge counts — the quadratic term — are bounded by the
+    graph itself, not by any upstream cap. A hub of degree d contributes
+    ZERO wedges (every edge points INTO it)."""
+    da = deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b"))
+    j = e.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    return j.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+            "dst_deg"
+        ),
+    )
+
+
+def triangle_counts(e: DataFrame, deg: DataFrame) -> DataFrame:
+    """(node, n_tri) per-vertex triangle counts via degree-ordered wedge
+    enumeration. Each triangle has a unique minimal-(degree, id) vertex;
+    both its triangle edges point out of that vertex, and the closing
+    edge's orientation between the two out-neighbors follows the same
+    total order — so the wedge (u→v, u→w with k(v) < k(w)) closed by the
+    directed edge (v→w) produces every triangle exactly once."""
+    d = orient_by_degree(e, deg)
+    w1 = d.select("src", F.col("dst").alias("v"), F.col("dst_deg").alias("deg_v"))
+    w2 = d.select("src", F.col("dst").alias("w"), F.col("dst_deg").alias("deg_w"))
+    v_first = (F.col("deg_v") < F.col("deg_w")) | (
+        (F.col("deg_v") == F.col("deg_w")) & (F.col("v") < F.col("w"))
+    )
+    wedges = w1.join(w2, "src").where(v_first)
+    closing = d.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedges.join(closing, ["v", "w"])
+    tri_nodes = (
+        tri.select(F.col("src").alias("node"))
+        .unionByName(tri.select(F.col("v").alias("node")))
+        .unionByName(tri.select(F.col("w").alias("node")))
+    )
+    return tri_nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tri")
+    )
+
+
 @register("qx37_neardup_triangles", oracle=_triangle_oracle())
 def qx37_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document triangle count and local clustering coefficient over
@@ -153,41 +215,24 @@ def qx37_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     incidentally similar to many others (transitive dedup would
     over-delete).
 
-    Plan: ordered-edge triangle enumeration — edges are canonical
-    (doc_a < doc_b), so each triangle {{x<y<z}} is produced exactly once
-    by joining (x,y)⋈(y,z) on the shared middle vertex and closing with
-    an equi-join against (x,z); no orientation dedup pass needed. The
-    edge list is the SAME per-session checkpointed artifact q98/qx06/
-    qx22/qx34 consume (near-dup pairs — tiny relative to the corpus), so
-    the joins broadcast here. At 100 TB the same plan shuffles on the
-    join vertex; the standard skew guard (orient edges from
-    lower-degree to higher-degree endpoint before the wedge join, which
-    bounds wedge counts by sqrt-degree) is noted rather than applied
-    because near-dup graphs cap degree by construction
-    (SHINGLE_DF_CAP bounds how many docs can share a shingle)."""
+    Plan: degree-ordered wedge enumeration (``triangle_counts``) — edges
+    are oriented from the lower-(degree, id) endpoint before the wedge
+    join, so per-source wedge expansion is O(sqrt(m))-bounded by the
+    graph structure itself. This replaces the earlier id-ordered
+    enumeration, whose safety silently depended on SHINGLE_DF_CAP (a
+    constant in functions/dedup.py) keeping hub degrees low: a hub doc
+    with a small id would have expanded C(deg, 2) wedges. The edge list
+    is the SAME per-session checkpointed artifact q98/qx06/qx22/qx34
+    consume (near-dup pairs — tiny relative to the corpus), so the
+    joins broadcast here; at 100 TB the same plan shuffles on the wedge
+    source vertex with the sqrt(m) bound intact."""
     from kafka2delta_spark.functions.dedup import _jaccard_edges
 
     e = _jaccard_edges(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
-    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    e3 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    tri_nodes = (
-        tri.select(F.col("x").alias("node"))
-        .unionByName(tri.select(F.col("y").alias("node")))
-        .unionByName(tri.select(F.col("z").alias("node")))
-    )
-    tri_n = tri_nodes.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_tri")
-    )
-    und = e.select(F.col("a").alias("node")).unionByName(
-        e.select(F.col("b").alias("node"))
-    )
-    deg = und.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("degree")
-    )
+    deg = node_degrees(e)
+    tri_n = triangle_counts(e, deg)
     return (
         deg.join(tri_n, "node", "left")
         .select(

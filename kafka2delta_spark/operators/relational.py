@@ -428,8 +428,8 @@ def q25_set_ops_active_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q26_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct aggregation (expands to a two-phase agg). The
-    approximate variant (HLL++) is q27 — rows-only checked since HLL
-    estimates differ across engines by design."""
+    approximate variant is q27 — a portable KMV sketch with a full
+    value-hash oracle (HLL estimates would differ across engines)."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.count_distinct(F.col("o_custkey")).alias("n_custs"),
@@ -437,12 +437,39 @@ def q26_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q27_approx_distinct")  # no oracle: HLL sketches are engine-specific
+def _q27_oracle() -> str:
+    from kafka2delta_spark.operators.advanced import kmv_grouped_oracle_cte
+
+    parts = kmv_grouped_oracle_cte("l_returnflag", "l_partkey", "lineitem")
+    orders = kmv_grouped_oracle_cte("l_returnflag", "l_orderkey", "lineitem")
+    return f"""
+    WITH ep AS ({parts}), eo AS ({orders})
+    SELECT ep.l_returnflag,
+           ep.est AS approx_parts,
+           eo.est AS approx_orders
+    FROM ep JOIN eo USING (l_returnflag)
+    """
+
+
+@register("q27_approx_distinct", oracle=_q27_oracle())
 def q27_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the 100 TB path for distinct
-    counting — sketch merge instead of key shuffle. Rows-only check."""
+    """Approx distinct at scale — sketch merge instead of key shuffle.
+    Implemented with the portable KMV (k-minimum-values) sketch rather
+    than ``approx_count_distinct``: Spark's HLL++ registers are
+    engine-private, so an HLL answer can only ever be rows-only checked,
+    while the KMV estimate (qx19, Bar-Yossef et al. 2002) is integer
+    arithmetic over md5 prefixes — bit-identical on any engine, so this
+    query carries a full value-hash oracle. Same mergeability story as
+    HLL: per-partition bottom-K partials combine associatively (see
+    ``kmv_merge``); state is K values per (group, bucket) regardless of
+    data size. HLL remains available via ``approx_count_distinct`` when
+    portability doesn't matter; a cross-engine pipeline standardizes on
+    the sketch both ends can replay."""
+    from kafka2delta_spark.operators.advanced import kmv_grouped_estimate
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.01).alias("approx_parts"),
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    parts = kmv_grouped_estimate(li, "l_returnflag", "l_partkey", "approx_parts")
+    orders = kmv_grouped_estimate(
+        li, "l_returnflag", "l_orderkey", "approx_orders"
     )
+    return parts.join(F.broadcast(orders), "l_returnflag")
