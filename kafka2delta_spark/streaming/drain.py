@@ -115,15 +115,23 @@ def drain_to_memory(
     emitted in the batch that finds it) it is one full state-store
     commit round bought for nothing.
 
-    Measured drain cost anatomy (sf0.1, local[32], warm, n=3 medians):
-    stateless passthrough = 1.0 s — query start/stop + 2 data triggers'
-    planning and offset/commit-log writes; this is the floor any drain
-    pays. Stateful adds per-trigger state-store commit x partitions and
-    (for Python ops) Arrow worker round-trips: q56 inner join 2.5 s,
-    q58 outer 2.5 s, q57 applyInPandasWithState 3.9 s. Checkpoints live
-    on tmpfs (see _scratch_base); the dominant remaining term is
-    per-trigger fixed cost, which scales with trigger count, not data —
-    at real scale the same queries amortize it over GB-sized batches."""
+    Measured drain cost anatomy (sf0.1, local[32], warm, n=3 medians,
+    round 5): stateless passthrough = 0.77 s single-trigger / 0.99 s
+    two-trigger — query start/stop + per-trigger planning and
+    offset/commit-log writes; this is the floor any registry drain pays,
+    and 13 streaming queries x ~0.8 s = ~10 s of the block is therefore
+    irreducible without merging queries. Per-trigger cost is ~0.2 s, so
+    the round-5 move of q56/q58/qx08/qx12 to single-data-trigger (their
+    cross-batch behavior is covered by the maintenance family's ledger
+    kill/resume tests) plus no-data-batch trims on q53/q55 cut the block
+    27.7 -> 22.5 s. What remains above the floor is real state work:
+    q57 +3.0 s (applyInPandasWithState Arrow round-trips x 3 triggers x
+    16 partitions — partition sweep 8/16/24 confirms 16 optimal), qx46
+    +1.8 s and qx31 +1.2 s (2-batch ledger maintenance, load-bearing),
+    q58/qx08 +1.3 s each (4 state stores per partition; sweep confirms
+    2 partitions optimal). Checkpoints live on tmpfs (_scratch_base);
+    at real scale the same queries amortize the per-trigger cost over
+    GB-sized batches."""
     spark = df.sparkSession
     name = f"strm_{uuid.uuid4().hex[:8]}"
     with drain_shuffle_partitions(spark, shuffle_partitions):

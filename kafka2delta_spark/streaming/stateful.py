@@ -108,14 +108,23 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
     return stream_dir
 
 
-def _open_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _open_stream(
+    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = 1
+) -> DataFrame:
+    """Events file-source stream over the 2-file time-ordered split.
+
+    ``files_per_trigger=1`` (default) forces one micro-batch per file so
+    state genuinely crosses a batch boundary; ``None`` lets the
+    availableNow drain take both files in ONE data trigger — per-trigger
+    planning + state-commit cost is the dominant drain term, so queries
+    whose cross-batch behavior is already covered elsewhere (kill/resume
+    property tests, the maintenance family) drop a full trigger."""
     batch = load_table(spark, sf_dir, "events")
     d = _events_multibatch_dir(spark, sf_dir)
-    return (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(d)
-    )
+    reader = spark.readStream.schema(batch.schema)
+    if files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", files_per_trigger)
+    return reader.parquet(d)
 
 
 @register(
@@ -137,7 +146,7 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     state at any scale. Inner-join matches emit eagerly, so with the file
     fully processed the append-mode result equals the batch interval join
     — hence SQL-oracle-checkable."""
-    ev = _open_stream(spark, sf_dir)
+    ev = _open_stream(spark, sf_dir, files_per_trigger=None)
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -198,7 +207,7 @@ def q58_stream_stream_left_outer_join(
     are dropped from the result afterwards. Same bounded-state posture as
     q56: eviction is what MAKES the outer rows emit, so state is bounded
     by construction."""
-    ev = _open_stream(spark, sf_dir)
+    ev = _open_stream(spark, sf_dir, files_per_trigger=None)
     purchases = (
         ev.filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(
@@ -371,7 +380,7 @@ def qx08_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final unmatched rows on BOTH sides flush in the no-data
     batch. Completes the streaming join matrix: inner (q56), left outer
     (q58), full outer (here)."""
-    ev = _open_stream(spark, sf_dir)
+    ev = _open_stream(spark, sf_dir, files_per_trigger=None)
     purchases = (
         ev.filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(
@@ -424,7 +433,7 @@ def qx12_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     eagerly and append mode equals the batch join. At 100 TB the static
     dim is a broadcast or a bucketed storage-side join; the stream never
     shuffles for the join when the dim broadcasts."""
-    ev = _open_stream(spark, sf_dir).filter(
+    ev = _open_stream(spark, sf_dir, files_per_trigger=None).filter(
         F.col("user_id") != SENTINEL_USER
     )
     dim = load_table(spark, sf_dir, "customer").select(

@@ -149,7 +149,10 @@ def q53_stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "event_type", "n")
     )
-    return spark.table(drain_to_memory(agg, "complete"))
+    # complete mode re-emits the whole result every data trigger — the
+    # trailing no-data batch (watermark eviction bookkeeping) adds no
+    # output rows, only one more state-commit round: skip it
+    return spark.table(drain_to_memory(agg, "complete", no_data_batches=False))
 
 
 @register(
@@ -183,5 +186,7 @@ def q55_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )
-    name = drain_to_memory(deduped, "append")
+    # dedup emits each first-seen row EAGERLY in its data batch; the
+    # trailing no-data batch only evicts expired dedup state — no output
+    name = drain_to_memory(deduped, "append", no_data_batches=False)
     return spark.table(name).select("event_id", "user_id", "event_type")
