@@ -107,6 +107,53 @@ def merge_cdc_batch(
     )
 
 
+def merge_cdc_batch_evolving(
+    state_df: DataFrame | None,
+    changes_df: DataFrame,
+    key_cols: list[str],
+    lsn_col: str = LSN_COL,
+    deleted_col: str = DELETED_COL,
+) -> DataFrame:
+    """Schema-evolving CDC merge — Delta ``mergeSchema`` / Debezium
+    ALTER-TABLE parity.
+
+    When the upstream table gains a column mid-stream, the change set's
+    schema widens past the state's (or, on replay against a newer store,
+    narrows below it). Delta MERGE with ``mergeSchema=true`` resolves this
+    by unioning the schemas and null-filling the missing side; this is the
+    engine-neutral equivalent: each side is padded with NULL-typed columns
+    for the other side's extras (state column order first, new change
+    columns appended — the Delta column-ordering rule), then the standard
+    LSN-guarded merge applies. Rows the change set never touches keep NULL
+    in the new column — exactly the semantics a backfilling reader must
+    expect after ADD COLUMN.
+
+    Key, LSN and delete-flag columns must exist on the change side; a
+    NEW column may not be a key (Delta rejects that too)."""
+    if state_df is None:
+        return merge_cdc_batch(None, changes_df, key_cols, lsn_col, deleted_col)
+    state_cols = list(state_df.columns)
+    change_cols = [c for c in changes_df.columns if c != deleted_col]
+    missing_in_state = [c for c in change_cols if c not in state_cols]
+    missing_in_changes = [c for c in state_cols if c not in changes_df.columns]
+    for c in missing_in_state:
+        state_df = state_df.withColumn(
+            c, F.lit(None).cast(changes_df.schema[c].dataType)
+        )
+    for c in missing_in_changes:
+        changes_df = changes_df.withColumn(
+            c, F.lit(None).cast(state_df.schema[c].dataType)
+        )
+    ordered = state_cols + missing_in_state
+    return merge_cdc_batch(
+        state_df.select(*ordered),
+        changes_df.select(*ordered, deleted_col),
+        key_cols,
+        lsn_col,
+        deleted_col,
+    )
+
+
 def apply_cdc_delta(
     spark,
     target_table_or_path: str,

@@ -240,11 +240,12 @@ QW_PUNCT_RATIO = -8_000_000  # -8.0 * punctuation ratio
 QW_LONG_DOC = 500_000  # +0.5 if len >= 500 chars
 
 
-@register(
-    "q79_quality_model_score",
-    oracle=rf"""
+#: DuckDB CTE chain producing (doc_id, source, logit_micro) — the shared
+#: feature+score spec for q79 (global keep rule) and qx56 (per-source
+#: adaptive cutoff).
+_QUALITY_LOGIT_SQL = rf"""
     WITH feats AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                length(text) AS n_chars,
                len(regexp_split_to_array(text, '\s+')) AS n_toks,
                len(list_filter(regexp_split_to_array(lower(text), '\s+'),
@@ -255,7 +256,7 @@ QW_LONG_DOC = 500_000  # +0.5 if len >= 500 chars
                    AS n_punct
         FROM documents),
     scored AS (
-        SELECT doc_id,
+        SELECT doc_id, source,
                CAST({QW_BIAS}
                     + {QW_AVG_TOK_LEN} * (n_chars // n_toks)
                     + CAST(FLOOR({QW_STOP_RATIO} * n_stop / n_toks) AS BIGINT)
@@ -263,6 +264,40 @@ QW_LONG_DOC = 500_000  # +0.5 if len >= 500 chars
                     + CASE WHEN n_chars >= 500 THEN {QW_LONG_DOC} ELSE 0 END
                  AS BIGINT) AS logit_micro
         FROM feats WHERE n_toks > 0 AND n_chars > 0)
+"""
+
+
+def quality_logits(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, logit_micro) — the fixed-weight linear quality
+    model as per-row native expressions (the Spark twin of
+    ``_QUALITY_LOGIT_SQL``)."""
+    toks = F.split(F.col("text"), r"\s+")
+    lower_toks = F.split(F.lower(F.col("text")), r"\s+")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_chars = F.length("text").cast("bigint")
+    n_toks = F.size(toks).cast("bigint")
+    n_stop = F.size(
+        F.filter(lower_toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("bigint")
+    n_punct = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    ).cast("bigint")
+    logit = (
+        F.lit(QW_BIAS).cast("bigint")
+        + F.lit(QW_AVG_TOK_LEN) * F.floor(n_chars / n_toks).cast("bigint")
+        + F.floor(F.lit(QW_STOP_RATIO) * n_stop / n_toks).cast("bigint")
+        + F.floor(F.lit(QW_PUNCT_RATIO) * n_punct / n_chars).cast("bigint")
+        + F.when(n_chars >= 500, F.lit(QW_LONG_DOC)).otherwise(0)
+    )
+    return docs.filter((F.size(toks) > 0) & (F.length("text") > 0)).select(
+        "doc_id", "source", logit.cast("bigint").alias("logit_micro")
+    )
+
+
+@register(
+    "q79_quality_model_score",
+    oracle=_QUALITY_LOGIT_SQL
+    + """
     SELECT doc_id, logit_micro, logit_micro > 0 AS keep
     FROM scored
     """,
@@ -444,3 +479,68 @@ def qx42_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+@register(
+    "qx56_per_source_quality_cutoff",
+    oracle=_QUALITY_LOGIT_SQL
+    + """
+    , cut AS (
+        SELECT source,
+               COUNT(*) AS n_docs,
+               quantile_cont(logit_micro, 0.25) AS cutoff
+        FROM scored GROUP BY source)
+    SELECT s.source,
+           CAST(c.n_docs AS BIGINT) AS n_docs,
+           c.cutoff AS cutoff_micro,
+           CAST(SUM(CASE WHEN s.logit_micro >= c.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN s.logit_micro >= c.cutoff THEN 1 ELSE 0 END)
+                * 1000000 // c.n_docs AS BIGINT) AS kept_e6
+    FROM scored s JOIN cut c USING (source)
+    GROUP BY s.source, c.n_docs, c.cutoff
+    """,
+)
+def qx56_per_source_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality floor: instead of one global logit
+    threshold (q79's keep rule — which can wipe out an entire
+    low-register source and silently skew the mixture), each source keeps
+    its own top three quarters: cutoff = that source's exact P25 logit,
+    keep = logit >= cutoff. The curation pattern behind per-domain
+    retention quotas in corpus construction.
+
+    Plan: the logit is a per-row codegen mapper (``quality_logits``);
+    the per-source cutoff comes from ``exact_percentiles_by_rank``
+    (operators/rankstats.py — two-pass range-partitioned rank, NO
+    per-group value multiset even for a source holding half the corpus);
+    cutoffs broadcast back (one row per source) and one hash-agg counts
+    the keeps. Exactness: dyadic 1/4 over integer micro-logits
+    interpolates to exact binary doubles (the qx30 argument), and the
+    truncating-div kept ratio is integer."""
+    from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_logits(docs)
+    cut = exact_percentiles_by_rank(
+        scored, "logit_micro", [1], 4, keys=["source"], prefix="c"
+    ).select(
+        "source",
+        F.col("__n").alias("n_docs"),
+        F.col("c1").alias("cutoff_micro"),
+    )
+    kept = F.sum(
+        (F.col("logit_micro") >= F.col("cutoff_micro")).cast("int")
+    ).cast("bigint")
+    return (
+        scored.join(F.broadcast(cut), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("cutoff_micro").alias("cutoff_micro"),
+            kept.alias("n_kept"),
+            F.expr(
+                "cast(sum(cast(logit_micro >= cutoff_micro as int))"
+                " * 1000000 div max(n_docs) as bigint)"
+            ).alias("kept_e6"),
+        )
+    )

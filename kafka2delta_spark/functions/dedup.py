@@ -754,15 +754,19 @@ def connected_components_twophase(
 _EDGE_CACHE: dict = {}
 
 
-def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-checkpointed q88 output (doc_a, doc_b, jaccard) — ONE
+    materialized pair table feeds every similarity-graph consumer."""
     key = (id(spark), sf_dir)
     if key not in _EDGE_CACHE:
-        _EDGE_CACHE[key] = (
-            q88_jaccard_similar_pairs(spark, sf_dir)
-            .select("doc_a", "doc_b")
-            .localCheckpoint(eager=True)
-        )
+        _EDGE_CACHE[key] = q88_jaccard_similar_pairs(
+            spark, sf_dir
+        ).localCheckpoint(eager=True)
     return _EDGE_CACHE[key]
+
+
+def _jaccard_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
 
 
 @register(
@@ -1501,3 +1505,73 @@ def qx34_source_coduplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.groupBy("source_x", "source_y").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
     ).withColumn("within_source", F.col("source_x") == F.col("source_y"))
+
+
+# ---------------------------------------------------------------------------
+# qx54: edit-distance verification of near-dup candidates — the character-
+# level second opinion on the shingle-level pairs. Classic fuzzy-matching
+# primitive (Levenshtein 1966); candidate generation stays bucketed (the
+# shared Jaccard edge list), never all-pairs — edit distance is O(len^2)
+# per pair, so the cap on WHICH pairs get it is the entire scale story.
+# ---------------------------------------------------------------------------
+
+EDIT_PREFIX_CHARS = 80
+EDIT_NEAR_IDENTICAL = 8
+
+
+@register(
+    "qx54_editdist_pair_verify",
+    oracle=f"""
+    WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ({{jp}}) jp),
+    p AS (
+        SELECT pr.doc_a, pr.doc_b, pr.jaccard,
+               levenshtein(substr(lower(da.text), 1, {EDIT_PREFIX_CHARS}),
+                           substr(lower(db.text), 1, {EDIT_PREFIX_CHARS}))
+                   AS edit_dist
+        FROM pairs pr
+        JOIN documents da ON da.doc_id = pr.doc_a
+        JOIN documents db ON db.doc_id = pr.doc_b)
+    SELECT doc_a, doc_b, jaccard,
+           CAST(edit_dist AS BIGINT) AS edit_dist,
+           CASE WHEN edit_dist <= {EDIT_NEAR_IDENTICAL}
+                THEN 'near_identical' ELSE 'paraphrase' END AS verdict
+    FROM p
+    """.replace("{jp}", _JACCARD_PAIRS_SQL),
+)
+def qx54_editdist_pair_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level verification of shingle-level near-dup candidates:
+    Levenshtein distance over the lowercased {80}-char prefix splits each
+    candidate pair into near_identical (template copies — byte-level
+    edits only) vs paraphrase (same content, different wording) — the
+    policy fork in a dedup pass (drop the former, keep-and-attribute the
+    latter).
+
+    Plan + scale: edit distance is O(len_a * len_b) PER PAIR, so the
+    operator's cost is governed entirely by candidate generation — here
+    the session-checkpointed Jaccard edge list (bucketed, never
+    all-pairs), and the prefix cap fixes per-pair cost at {80}^2 char
+    ops. The doc texts join onto the (tiny) pair list by id — two
+    data-sized shuffles bounded by the edge count, and both engines'
+    ``levenshtein`` is the classic integer DP, so verdicts hash-match
+    exactly."""
+    edges = _jaccard_pairs(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, EDIT_PREFIX_CHARS).alias("pfx"),
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb"))
+    dist = F.levenshtein("pa", "pb")
+    return (
+        edges.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            dist.cast("bigint").alias("edit_dist"),
+            F.when(dist <= EDIT_NEAR_IDENTICAL, F.lit("near_identical"))
+            .otherwise(F.lit("paraphrase"))
+            .alias("verdict"),
+        )
+    )

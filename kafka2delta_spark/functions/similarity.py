@@ -784,3 +784,147 @@ def qx51_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx57: top principal component of the embedding cloud via MATRIX-FREE
+# power iteration in exact fixed-point arithmetic. Public algorithm: power
+# iteration (von Mises & Pollaczek-Geiringer 1929); the matrix-free
+# formulation A.v = n*X'(Xv) - Sx*(1'Xv) is the standard out-of-core PCA
+# trick — the D x D scatter matrix is NEVER materialized, each iteration
+# is one pass over the data, which is the only shape that works when the
+# data is 100 TB and D is large.
+# ---------------------------------------------------------------------------
+
+PCA_D = 64       # embedding dimensionality of the test tables
+PCA_ITERS = 3    # fixed iteration count -> deterministic output
+PCA_VSCALE = 1_000_000  # eigenvector renormalized to max |v_i| = 1e6
+
+
+def _pca_oracle() -> str:
+    parts = [
+        f"""
+    WITH x AS (
+        SELECT vec_id,
+               [CAST(FLOOR(embedding[k] * 1000) AS BIGINT)
+                for k in range(1, {PCA_D + 1})] AS xs
+        FROM embeddings),
+    ex AS (
+        SELECT vec_id, g.i - 1 AS dim, xs[g.i] AS xi
+        FROM x, (SELECT unnest(generate_series(1, {PCA_D})) AS i) g),
+    nn AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n FROM x),
+    sx AS (SELECT dim, CAST(SUM(xi) AS HUGEINT) AS sx FROM ex GROUP BY dim),
+    sxx AS (SELECT dim, CAST(SUM(xi * xi) AS HUGEINT) AS sxx
+            FROM ex GROUP BY dim),
+    v0 AS (SELECT dim, CAST({PCA_VSCALE} AS HUGEINT) AS vj FROM sx)"""
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        parts.append(
+            f""",
+    s{t} AS (SELECT e.vec_id, SUM(CAST(e.xi AS HUGEINT) * v.vj) AS s
+             FROM ex e JOIN v{t - 1} v USING (dim) GROUP BY e.vec_id),
+    ss{t} AS (SELECT SUM(s) AS ss FROM s{t}),
+    w{t} AS (SELECT e.dim,
+                    (SELECT n FROM nn) * SUM(CAST(e.xi AS HUGEINT) * s.s)
+                    - sx.sx * (SELECT ss FROM ss{t}) AS w
+             FROM ex e JOIN s{t} s USING (vec_id) JOIN sx USING (dim)
+             GROUP BY e.dim, sx.sx),
+    m{t} AS (SELECT MAX(ABS(w)) AS m FROM w{t}),
+    v{t} AS (SELECT dim, CAST(w * {PCA_VSCALE} // (SELECT m FROM m{t})
+                              AS HUGEINT) AS vj
+             FROM w{t})"""
+        )
+    parts.append(
+        f"""
+    SELECT v.dim AS dim,
+           CAST(v.vj AS BIGINT) AS v_e6,
+           CAST(nn.n * sxx.sxx - sx.sx * sx.sx AS BIGINT) AS var_num
+    FROM v{PCA_ITERS} v
+    JOIN sx USING (dim) JOIN sxx USING (dim) CROSS JOIN nn"""
+    )
+    return "".join(parts)
+
+
+@register("qx57_embedding_pca_power", oracle=_pca_oracle())
+def qx57_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding cloud (the direction ANN
+    partitioners, whitening passes and dead-dimension analyses all need
+    first), via {3} rounds of MATRIX-FREE power iteration: each round is
+    ``w = n*X'(X v) - Sx*(1'X v)`` — two keyed hash-aggs over the
+    exploded (vec, dim, value) rows — followed by an integer
+    renormalization to max |v_i| = 1e6. The D x D scatter matrix is never
+    materialized; per-round state is one 64-row vector. That is the 100 TB
+    shape: iterations stream over the data, the driver never holds more
+    than D values, and the per-round vector is checkpointed
+    (metadata-sized) so lineage stays flat.
+
+    Exactness: coordinates quantize to milli-units; every sum runs in
+    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact integers — and
+    the renormalizing division truncates toward zero on both engines
+    (verified: -7 div 2 == -7 // 2 == -3), so after any fixed number of
+    rounds the vector is bit-identical across engines. Deterministic
+    start v0 = all-ones makes the (sign-arbitrary) eigenvector
+    orientation reproducible. ``var_num`` = n*Sxx - Sx^2 is the exact
+    per-dimension variance numerator (the qx41 statistic) for scale
+    context."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda e: F.floor(e * 1000).cast("bigint")
+        ).alias("xs"),
+    )
+    ex = x.select("vec_id", F.posexplode("xs").alias("dim", "xi"))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    nn = x.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
+    sx = ex.groupBy("dim").agg(F.sum(dec("xi")).alias("sx"))
+    sxx = ex.groupBy("dim").agg(
+        F.sum(dec("xi") * dec("xi")).alias("sxx")
+    )
+    v = sx.select(
+        "dim", F.lit(PCA_VSCALE).cast("decimal(38,0)").alias("vj")
+    ).localCheckpoint(eager=True)
+    for _ in range(PCA_ITERS):
+        s = (
+            ex.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.sum(dec("xi") * F.col("vj")).alias("s"))
+        )
+        ss = s.agg(F.sum("s").alias("ss"))
+        w = (
+            ex.join(s, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(dec("xi") * F.col("s")).alias("xts"))
+            .join(F.broadcast(sx), "dim")
+            .crossJoin(F.broadcast(nn))
+            .crossJoin(F.broadcast(ss))
+            .select(
+                "dim",
+                (F.col("n") * F.col("xts") - F.col("sx") * F.col("ss")).alias(
+                    "w"
+                ),
+            )
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                "dim",
+                F.expr(f"cast(w * {PCA_VSCALE} div m as decimal(38,0))").alias(
+                    "vj"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        v.join(F.broadcast(sx), "dim")
+        .join(F.broadcast(sxx), "dim")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "dim",
+            F.col("vj").cast("bigint").alias("v_e6"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            .cast("bigint")
+            .alias("var_num"),
+        )
+    )

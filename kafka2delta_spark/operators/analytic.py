@@ -1569,3 +1569,100 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "median_v1000", "mad_v1000", "n_beyond_3mad"
         )
     )
+
+
+@register(
+    "qx53_weighted_median_by_rank",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+               CAST(l_quantity AS BIGINT) AS w
+        FROM lineitem),
+    c AS (
+        SELECT flag, cents, w,
+               SUM(w) OVER (PARTITION BY flag ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cumw
+        FROM v),
+    t AS (SELECT flag, SUM(w) AS tw, COUNT(*) AS n FROM v GROUP BY flag)
+    SELECT c.flag AS l_returnflag,
+           CAST(t.n AS BIGINT)  AS n,
+           CAST(t.tw AS BIGINT) AS total_qty,
+           CAST(MIN(CASE WHEN 2 * c.cumw >= t.tw THEN c.cents END) AS BIGINT)
+               AS wmedian_cents
+    FROM c JOIN t USING (flag)
+    GROUP BY c.flag, t.n, t.tw
+    """,
+)
+def qx53_weighted_median_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted median (price in cents weighted by quantity, per return
+    flag) — the robust 'typical unit price' statistic — computed with the
+    two-pass range-partitioned rank shape so NO per-group value multiset
+    ever sits in an aggregate buffer: the weighted analogue of
+    ``exact_percentiles_by_rank`` (rankstats.py), with cumulative WEIGHT
+    standing in for rank. Lower weighted median: the smallest value whose
+    cumulative weight reaches half the group total (2*cumw >= W in exact
+    integers — no halving rounding).
+
+    Plan: range-partition on (flag, cents) → running weight sum inside
+    each (partition, flag) slice (a LOCAL window — partitions are range
+    slices, never one task) → per-slice weight totals (metadata-sized)
+    → broadcast prefix offsets lift local sums to global cumulative
+    weight → one hash-agg takes MIN(value at crossing). Tie-insensitive:
+    equal values share a cents key, and the crossing MIN lands on the
+    tie block's value under any intra-tie order. Scales like q33: the
+    only data-sized shuffles are the range exchange and the final
+    hash-agg; the oracle's single-window form is the semantics spec,
+    not the plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("w"),
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    ranked = (
+        v.repartitionByRange(n_parts, "flag", "cents")
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__cumw_local",
+            F.sum("w").over(
+                W.partitionBy("__pid", "flag")
+                .orderBy("cents")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            ),
+        )
+    )
+    counts = ranked.groupBy("__pid", "flag").agg(F.sum("w").alias("__wsum"))
+    prior = counts.select(
+        F.col("__pid").alias("__pid2"),
+        F.col("flag").alias("__flag2"),
+        F.col("__wsum").alias("__wsum2"),
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior),
+            (F.col("__pid2") < F.col("__pid"))
+            & (F.col("__flag2") == F.col("flag")),
+            "left",
+        )
+        .groupBy("__pid", "flag")
+        .agg(F.coalesce(F.sum("__wsum2"), F.lit(0)).alias("__off"))
+    )
+    totals = v.groupBy("flag").agg(
+        F.sum("w").cast("bigint").alias("__tw"),
+        F.count(F.lit(1)).cast("bigint").alias("__n"),
+    )
+    cumw = F.col("__off") + F.col("__cumw_local")
+    return (
+        ranked.join(F.broadcast(offsets), ["__pid", "flag"])
+        .join(F.broadcast(totals), "flag")
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.max("__n").alias("n"),
+            F.max("__tw").alias("total_qty"),
+            F.min(F.when(2 * cumw >= F.col("__tw"), F.col("cents")))
+            .cast("bigint")
+            .alias("wmedian_cents"),
+        )
+    )

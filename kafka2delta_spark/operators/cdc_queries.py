@@ -168,3 +168,77 @@ def qx16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "*", F.col("valid_to_us").isNull().alias("is_current")
     )
+
+
+@register(
+    "qx55_schema_evolution_merge",
+    oracle=f"""
+    WITH state AS (
+        SELECT user_id, event_id, event_type FROM events
+        WHERE ts <= TIMESTAMP '{SPLIT_TS}'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) = 1),
+    chg AS (
+        SELECT user_id, event_id, event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
+               CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
+                   AS __deleted
+        FROM events
+        WHERE ts > TIMESTAMP '{SPLIT_TS}'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) = 1),
+    win AS (
+        SELECT COALESCE(s.user_id, c.user_id) AS user_id,
+               c.user_id IS NOT NULL
+                 AND (s.user_id IS NULL OR c.event_id > s.event_id) AS c_wins,
+               s.event_id AS s_eid, s.event_type AS s_et,
+               c.event_id AS c_eid, c.event_type AS c_et, c.v1000,
+               COALESCE(c.__deleted = 'true', FALSE) AS is_del,
+               s.user_id IS NOT NULL AS has_s
+        FROM state s FULL OUTER JOIN chg c ON s.user_id = c.user_id)
+    SELECT user_id,
+           CASE WHEN c_wins THEN c_eid ELSE s_eid END AS event_id,
+           CASE WHEN c_wins THEN c_et  ELSE s_et  END AS event_type,
+           CASE WHEN c_wins THEN v1000 END            AS v1000
+    FROM win
+    WHERE NOT (is_del AND c_wins) AND (has_s OR NOT is_del)
+    """,
+)
+def qx55_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolving CDC merge (Delta ``mergeSchema`` / Debezium
+    ALTER-TABLE-ADD-COLUMN parity): the pre-split state has columns
+    (user_id, event_id, event_type); the post-split change set arrives
+    with a NEW ``v1000`` column. ``merge_cdc_batch_evolving`` unions the
+    schemas (state rows null-fill the new column), then applies the
+    standard LSN-guarded upsert/delete merge — so keys whose newest row
+    predates the column addition read NULL, keys updated after it carry
+    the value, and stale/deleted keys behave exactly as in q71. This is
+    the schema-drift scenario the reference handles by restarting with a
+    new schema pair (SURVEY §2.1 P4); here it is one in-plan merge.
+
+    Plan: identical shuffle profile to q71 (latest-per-key hash-aggs,
+    one full-outer merge join on the key); the evolution step is pure
+    projection — no extra scan, no shuffle."""
+    from kafka2delta_spark.cdc.merge import merge_cdc_batch_evolving
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    state = latest_per_key(
+        ev.filter(F.col("ts") <= split), ["user_id"], "event_id"
+    ).select("user_id", "event_id", "event_type")
+    changes = latest_per_key(
+        ev.filter(F.col("ts") > split), ["user_id"], "event_id"
+    ).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        F.when(F.col("event_type") == "error", "true")
+        .otherwise("false")
+        .alias("__deleted"),
+    )
+    return merge_cdc_batch_evolving(
+        state, changes, ["user_id"], lsn_col="event_id"
+    )
