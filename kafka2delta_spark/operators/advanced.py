@@ -1157,3 +1157,109 @@ def qx52_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
             "balance_e6"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx59: rolling-window distinct users via KMV sketch MERGE — the
+# sliding-window COUNT(DISTINCT) problem solved the only way it scales:
+# one mergeable sketch per tumbling window, rolling estimates from
+# merging the last W sketches — raw keys are never recounted per window.
+# ---------------------------------------------------------------------------
+
+ROLL_WINDOWS = 3  # rolling span in hours (current + 2 prior)
+
+
+def _qx59_oracle() -> str:
+    est = (
+        f"CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*) "
+        f"ELSE ({KMV_K - 1} * {KMV_SPACE}::BIGINT) "
+        f"// MAX(CASE WHEN rk = {KMV_K} THEN hv END) END"
+    )
+    return f"""
+    WITH h AS (
+        SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour,
+               {kmv_hash_duck('user_id')} AS hv
+        FROM events),
+    r AS (SELECT hour, hv,
+                 ROW_NUMBER() OVER (PARTITION BY hour ORDER BY hv) AS rk
+          FROM h),
+    sk AS (SELECT hour, hv, rk FROM r WHERE rk <= {KMV_K}),
+    per_hour AS (
+        SELECT hour, CAST({est} AS BIGINT) AS est_1h
+        FROM sk GROUP BY hour),
+    hours AS (SELECT DISTINCT hour FROM sk),
+    roll_h AS (
+        SELECT DISTINCT w.hour, s.hv
+        FROM hours w JOIN sk s
+          ON s.hour BETWEEN w.hour - {ROLL_WINDOWS - 1} AND w.hour),
+    roll_r AS (
+        SELECT hour, hv,
+               ROW_NUMBER() OVER (PARTITION BY hour ORDER BY hv) AS rk
+        FROM roll_h),
+    rolling AS (
+        SELECT hour, CAST({est} AS BIGINT) AS est_roll
+        FROM roll_r WHERE rk <= {KMV_K} GROUP BY hour)
+    SELECT p.hour AS hour, p.est_1h AS est_1h, r.est_roll AS est_roll_3h
+    FROM per_hour p JOIN rolling r USING (hour)
+    """
+
+
+@register("qx59_rolling_kmv_distinct", oracle=_qx59_oracle())
+def qx59_rolling_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour AND per rolling 3-hour span, both from KMV
+    sketches: the per-hour sketch is a bottom-K over 52-bit hashes (K
+    values of state per hour, whatever the traffic), and the rolling
+    estimate MERGES the last {3} hourly sketches — set-union + re-rank,
+    the associative/idempotent merge qx19 proves — instead of recounting
+    raw keys per overlapping window. That replaces the classic
+    O(span x traffic) sliding COUNT(DISTINCT) with O(span x K) per
+    window; at 100 TB the hourly sketches are a tiny materialized table
+    any rolling span can be served from.
+
+    Plan: one distinct (hour, hash) shuffle builds all hourly sketches;
+    the rolling merge joins each hour to its {3}-hour sketch slice
+    (sketch rows only — bounded by hours x K) and re-ranks. Integer
+    arithmetic end-to-end, so estimates hash-match the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.select(
+        F.expr("unix_micros(ts) div 3600000000").alias("hour"),
+        F.expr(kmv_hash_spark("user_id")).alias("hv"),
+    )
+    sk = (
+        h.groupBy("hour", F.pmod("hv", F.lit(16)).alias("bucket"))
+        .agg(_bottom_k_set().alias("mins"))
+        .groupBy("hour")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+            ).alias("kmins")
+        )
+    )
+
+    def estimate(df: DataFrame, out: str) -> DataFrame:
+        n = F.size("kmins")
+        est = F.when(n < KMV_K, n.cast("bigint")).otherwise(
+            F.expr(
+                f"{KMV_K - 1} * cast({KMV_SPACE} as bigint)"
+                f" div element_at(kmins, {KMV_K})"
+            )
+        )
+        return df.select("hour", est.cast("bigint").alias(out))
+
+    per_hour = estimate(sk, "est_1h")
+    slices = sk.select(F.col("hour").alias("src_hour"), "kmins")
+    rolled = (
+        sk.select("hour")
+        .join(
+            slices,
+            F.col("src_hour").between(
+                F.col("hour") - (ROLL_WINDOWS - 1), F.col("hour")
+            ),
+        )
+        .select("hour", F.explode("kmins").alias("hv"))
+        .distinct()
+        .groupBy("hour")
+        .agg(_bottom_k_set().alias("kmins"))
+    )
+    rolling = estimate(rolled, "est_roll_3h")
+    return per_hour.join(rolling, "hour")

@@ -530,3 +530,119 @@ def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     return store.read().filter(F.col("kind") == "anom").select(
         "user_id", "event_id", "v1000", "n_window", "dev_num", "direction"
     )
+
+
+@register(
+    "qx58_ivm_retraction_agg",
+    oracle="""
+    WITH state AS (
+        SELECT user_id, event_id, event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) = 1),
+    chg AS (
+        SELECT user_id, event_id, event_type,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
+               event_type = 'error' AS is_del
+        FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) = 1),
+    merged AS (
+        SELECT CASE WHEN c.user_id IS NOT NULL
+                     AND (s.user_id IS NULL OR c.event_id > s.event_id)
+                    THEN c.event_type ELSE s.event_type END AS event_type,
+               CASE WHEN c.user_id IS NOT NULL
+                     AND (s.user_id IS NULL OR c.event_id > s.event_id)
+                    THEN c.v1000 ELSE s.v1000 END AS v1000,
+               c.user_id IS NOT NULL
+                 AND (s.user_id IS NULL OR c.event_id > s.event_id)
+                 AND c.is_del AS drop_row,
+               s.user_id IS NULL AND c.is_del AS never_row
+        FROM state s FULL OUTER JOIN chg c ON s.user_id = c.user_id)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT)    AS n_users,
+           CAST(SUM(v1000) AS BIGINT)  AS v1000_sum
+    FROM merged WHERE NOT drop_row AND NOT never_row
+    GROUP BY event_type
+    """,
+)
+def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance WITH RETRACTIONS — the differential
+    step q49's insert-only rollup cannot express: the maintained view is
+    an aggregate over the latest-per-user STATE table (not the event
+    log), so an upsert that moves a user from type A to type B must
+    subtract the user's old contribution from A and add the new one to B,
+    and a delete must only retract. The aggregate is updated from the
+    (old state ⟗ change set) join alone — the merged state table is
+    NEVER rescanned, which is the entire point of IVM at 100 TB: per
+    batch cost tracks the change set, not the view's base.
+
+    Plan: two latest-per-key hash-aggs (the q71 inputs), one full-outer
+    key join sized by |state keys ∪ change keys| touched (partition-
+    pruned in the store path), a delta union (≤ 2 rows per change), and
+    a fold into the prior aggregate — additive, so the same shape runs
+    under the q49 batch-id ledger for replay idempotence. The oracle
+    aggregates the directly-merged state: incremental result must equal
+    it bit-for-bit."""
+    from kafka2delta_spark.cdc.dedup import latest_per_key
+    from kafka2delta_spark.operators.cdc_queries import SPLIT_TS
+    from kafka2delta_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        "ts",
+    )
+    split = F.lit(SPLIT_TS).cast("timestamp")
+    state0 = latest_per_key(
+        ev.filter(F.col("ts") <= split), ["user_id"], "event_id"
+    ).select("user_id", "event_id", "event_type", "v1000")
+    chg = latest_per_key(
+        ev.filter(F.col("ts") > split), ["user_id"], "event_id"
+    ).select(
+        "user_id",
+        F.col("event_id").alias("c_eid"),
+        F.col("event_type").alias("c_type"),
+        F.col("v1000").alias("c_v"),
+        (F.col("event_type") == "error").alias("is_del"),
+    )
+    # prior aggregate: the maintained view before this batch
+    agg0 = state0.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("v1000").cast("bigint").alias("v1000_sum"),
+    )
+    j = state0.join(chg, "user_id", "full_outer")
+    c_wins = F.col("c_eid").isNotNull() & (
+        F.col("event_id").isNull() | (F.col("c_eid") > F.col("event_id"))
+    )
+    retract = j.where(c_wins & F.col("event_id").isNotNull()).select(
+        F.col("event_type"),
+        F.lit(-1).cast("bigint").alias("dn"),
+        (-F.col("v1000")).alias("dv"),
+    )
+    add = j.where(c_wins & ~F.col("is_del")).select(
+        F.col("c_type").alias("event_type"),
+        F.lit(1).cast("bigint").alias("dn"),
+        F.col("c_v").alias("dv"),
+    )
+    deltas = (
+        retract.unionByName(add)
+        .groupBy("event_type")
+        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+    )
+    return (
+        agg0.join(deltas, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce("n_users", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).cast("bigint").alias("n_users"),
+            (
+                F.coalesce("v1000_sum", F.lit(0)) + F.coalesce("dv", F.lit(0))
+            ).cast("bigint").alias("v1000_sum"),
+        )
+        .where(F.col("n_users") > 0)
+    )
