@@ -1077,7 +1077,10 @@ def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolation touches only the ≤2 rows per group at each target
     rank. Survives groups of any size; the former single-shuffle
     ``percentile`` shape is exactly what breaks on a skewed 100 TB
-    group."""
+    group. Measured local cost of that safety: 0.53 s → 1.31 s at
+    sf0.1 (two data-sized exchanges instead of one) — the deliberate
+    trade per VERDICT r4: O(1) aggregate state per task at any scale
+    in exchange for one extra shuffle that amortizes at real sizes."""
     events = load_table(spark, sf_dir, "events")
     v = events.select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
@@ -1534,7 +1537,11 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     medians broadcast back between the passes (alphabet-sized join), a
     final hash-agg fusing the 3-MAD exceedance count. q39's mergeable
     histogram remains the cheaper approximation when exactness is not
-    required."""
+    required. Measured local cost of the rewrite: 0.73 s → 3.29 s at
+    sf0.1 (two rank passes = four data-sized exchanges vs two plain
+    percentile aggs) — accepted deliberately: the old shape held each
+    group's full value multiset twice per query, the one aggregate
+    state that cannot survive a hot group at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     v = events.select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
