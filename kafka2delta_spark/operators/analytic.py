@@ -1549,9 +1549,16 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     med = exact_percentiles_by_rank(
         v, "v1000", [1], 2, keys=["event_type"], prefix="m"
     ).select("event_type", F.col("m1").alias("med"))
-    dev = v.join(F.broadcast(med), "event_type").select(
-        "event_type", "v1000", "med",
-        F.abs(F.col("v1000") - F.col("med")).alias("adev"),
+    # dev feeds BOTH the MAD rank pass and the exceedance agg — persist
+    # the one full-width projection so the source scan + median join run
+    # once, not three times (measured ~1 s at sf0.1)
+    dev = (
+        v.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", "v1000", "med",
+            F.abs(F.col("v1000") - F.col("med")).alias("adev"),
+        )
+        .localCheckpoint(eager=False)
     )
     mad_q = exact_percentiles_by_rank(
         dev, "adev", [1], 2, keys=["event_type"], prefix="m"

@@ -32,6 +32,12 @@ STRESSED = [
     "qx30_exact_grouped_quantiles",
     "qx38_rolling_zscore_anomalies",
     "qx44_join_key_skew_profile",
+    # round 5: the id-based rank machinery (rankstats) on its global
+    # (qx52, 16x events) and weighted (qx53, 8x lineitem) forms — the
+    # monotonically_increasing_id run-start arithmetic must hold when
+    # range partitions carry 10x the rows and replica values interleave
+    "qx52_range_partition_planner",
+    "qx53_weighted_median_by_rank",
 ]
 
 
