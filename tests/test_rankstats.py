@@ -57,3 +57,53 @@ def test_frac_zero_lands_exactly_on_rank(spark):
     got = exact_percentiles_by_rank(df, "v", [1, 2, 3], 4)
     want = _reference(df, [1, 2, 3], 4)
     assert _rows(got, ()) == _rows(want, ())
+
+
+# Property: on random grouped integer multisets with random dyadic
+# probabilities, the rank-statistics plan must agree with a pure-Python
+# type-7 interpolation oracle (same definition percentile()/quantile_cont
+# implement) — including duplicate-heavy and constant-valued groups.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _type7(vals, num, denom):
+    s = sorted(vals)
+    t = num * (len(s) - 1)
+    lo, rem = divmod(t, denom)
+    lo_v = float(s[lo])
+    hi_v = float(s[lo + 1]) if rem else lo_v
+    return lo_v + (hi_v - lo_v) * (rem / denom)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(-50, 50)),
+        min_size=1,
+        max_size=120,
+    ),
+    denom_pow=st.integers(1, 3),
+)
+def test_matches_python_type7_oracle(spark, data, denom_pow):
+    denom = 2 ** denom_pow
+    nums = list(range(1, denom))
+    df = spark.createDataFrame(data, "k string, v long")
+    got = {
+        r["k"]: [r[f"p{num}"] for num in nums]
+        for r in exact_percentiles_by_rank(
+            df, "v", nums, denom, keys=["k"]
+        ).collect()
+    }
+    by_key = {}
+    for k, v in data:
+        by_key.setdefault(k, []).append(v)
+    want = {
+        k: [_type7(vals, num, denom) for num in nums]
+        for k, vals in by_key.items()
+    }
+    assert got == want
