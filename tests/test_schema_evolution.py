@@ -80,3 +80,43 @@ def test_new_column_type_preserved(spark):
     merged = merge_cdc_batch_evolving(state, changes, ["id"], lsn_col="lsn")
     assert dict(merged.dtypes)["score"] == "double"
     assert merged.collect()[0]["score"] == 1.5
+
+
+def test_store_full_rewrite_path_with_evolution(spark, tmp_path):
+    """End-to-end through ParquetStateStore: the partition-selective merge
+    REFUSES a schema-changing batch (returns False), and the documented
+    fallback — read → merge_cdc_batch_evolving → overwrite — commits a
+    new version whose schema is the union, with prior rows null-filled
+    and time travel back to the pre-evolution snapshot intact."""
+    from kafka2delta_spark.state.store import ParquetStateStore
+
+    store = ParquetStateStore(
+        spark, str(tmp_path / "state"), partition_cols=["bucket"]
+    )
+    v1 = _df(
+        spark,
+        [(1, 0, 10, "a"), (2, 1, 20, "b")],
+        "id long, bucket int, lsn long, v string",
+    )
+    store.overwrite(v1)
+    changes = _df(
+        spark,
+        [(2, 1, 21, "b2", 7, "false"), (3, 0, 5, "c", 9, "false")],
+        "id long, bucket int, lsn long, v string, extra long, __deleted string",
+    )
+    # selective merge must bail on the widened schema
+    assert (
+        store.merge(changes, ["id"], lsn_col="lsn", deleted_col="__deleted")
+        is False
+    )
+    merged = merge_cdc_batch_evolving(
+        store.read(), changes, ["id"], lsn_col="lsn"
+    )
+    store.overwrite(merged)
+    out = {
+        r["id"]: (r["v"], r["extra"]) for r in store.read().collect()
+    }
+    assert out == {1: ("a", None), 2: ("b2", 7), 3: ("c", 9)}
+    # pre-evolution snapshot still readable (no `extra` column)
+    old_cols = store.read(version=store.history()[0]).columns
+    assert "extra" not in old_cols and len(store.history()) == 2
