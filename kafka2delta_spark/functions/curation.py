@@ -544,3 +544,87 @@ def qx56_per_source_quality_cutoff(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("kept_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx63: chi-square independence audit of the source × lang contingency
+# table — the dataset-bias check run before mixing corpora: a large
+# statistic means language composition differs materially by source, so
+# per-source sampling rates will shift the language mixture. Exact
+# fixed-point arithmetic (the classic X² = Σ (o·N − r·c)² / (N·r·c) form
+# cleared of fractions) so the oracle hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+#: fixed-point scale for per-cell X² contributions (1e4 = 4 decimals).
+#: Overflow bound: |o·N − r·c| <= N², so the decimal(38) numerator
+#: (o·N − r·c)² · 1e4 requires N <= ~5·10^8 documents per audited
+#: partition — beyond that, audit per corpus shard and sum the shards
+#: (the statistic is additive over disjoint row groups of the table).
+CHI2_SCALE = 10_000
+
+
+@register(
+    "qx63_chi2_source_lang",
+    oracle=f"""
+    WITH o AS (
+        SELECT source, lang, COUNT(*) AS o
+        FROM documents GROUP BY source, lang),
+    r AS (SELECT source, SUM(o) AS r FROM o GROUP BY source),
+    c AS (SELECT lang, SUM(o) AS c FROM o GROUP BY lang),
+    n AS (SELECT SUM(o) AS n FROM o),
+    x AS (
+        SELECT o.source, o.lang, o.o, r.r, c.c, n.n,
+               (o.o::HUGEINT * n.n - r.r::HUGEINT * c.c) AS d
+        FROM o JOIN r USING (source) JOIN c USING (lang) CROSS JOIN n)
+    SELECT source, lang,
+           CAST(o AS BIGINT) AS o,
+           CAST(r AS BIGINT) AS row_total,
+           CAST(c AS BIGINT) AS col_total,
+           CAST((r::HUGEINT * c) // n AS BIGINT)            AS expected,
+           CAST((d * d * {CHI2_SCALE}) // (n::HUGEINT * r * c) AS BIGINT)
+               AS chi2_contrib_e4
+    FROM x
+    """,
+)
+def qx63_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square decomposition of the source × lang table:
+    observed count, marginals, integer expected count, and the cell's
+    X² contribution at 1e4 fixed point — summing ``chi2_contrib_e4``
+    gives the full statistic; the per-cell rows show WHERE the dependence
+    lives (which source skews which language).
+
+    All arithmetic is integer: contributions are
+    (o·N − r·c)²·SCALE div (N·r·c), carried in decimal(38)/HUGEINT so
+    both engines truncate identically (div and // both round toward
+    zero — the qx29-verified identity).
+
+    Plan: one hash-agg over (source, lang) — every downstream input
+    (marginals, N) derives from those few-hundred cells, so after the
+    first map-side-combined shuffle the query is metadata-sized at any
+    corpus scale. Marginal joins broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    o = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    r = o.groupBy("source").agg(F.sum("o").alias("r"))
+    c = o.groupBy("lang").agg(F.sum("o").alias("c"))
+    n = o.agg(F.sum("o").alias("n"))
+    dec = lambda col: F.col(col).cast("decimal(38,0)")  # noqa: E731
+    x = (
+        o.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(n))
+        .withColumn("d", dec("o") * dec("n") - dec("r") * dec("c"))
+    )
+    return x.select(
+        "source",
+        "lang",
+        F.col("o").cast("bigint").alias("o"),
+        F.col("r").cast("bigint").alias("row_total"),
+        F.col("c").cast("bigint").alias("col_total"),
+        F.expr("cast((cast(r as decimal(38,0)) * c) div n as bigint)").alias(
+            "expected"
+        ),
+        F.expr(
+            f"cast((d * d * {CHI2_SCALE})"
+            " div (cast(n as decimal(38,0)) * r * c) as bigint)"
+        ).alias("chi2_contrib_e4"),
+    )

@@ -1575,3 +1575,153 @@ def qx54_editdist_pair_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx60: EXACT set-similarity self-join via prefix filtering (PPJoin-style;
+# Chaudhuri et al. "A Primitive Operator for Similarity Joins", ICDE 2006;
+# Xiao et al. "Efficient Similarity Joins for Near Duplicate Detection",
+# WWW 2008). The guaranteed-complete alternative to MinHash-LSH (q86/qx04,
+# which trade false negatives for speed): two documents with word-Jaccard
+# >= t MUST share a token inside both of their df-rarest prefixes, so the
+# candidate join touches only prefix tokens — no all-pairs expansion, no
+# probabilistic recall.
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold in thousandths (500 = 0.5). Integer comparisons only:
+#: J >= t  <=>  1000 * |A∩B| >= PPJOIN_T_E3 * |A∪B|.
+PPJOIN_T_E3 = 500
+
+
+@register(
+    "qx60_prefix_filter_jaccard_join",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh AS (
+        SELECT doc_id, {shingles_sql()} AS shs FROM t WHERE len(toks) >= 3),
+    s AS (SELECT doc_id, len(shs) AS sz FROM sh),
+    tok AS (SELECT doc_id, unnest(shs) AS tok FROM sh),
+    pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    j AS (
+        SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS un
+        FROM pair
+        JOIN s sa ON sa.doc_id = doc_a
+        JOIN s sb ON sb.doc_id = doc_b)
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS inter_sz,
+           CAST(un AS BIGINT)    AS union_sz,
+           ROUND(inter * 1.0 / un, 4) AS jaccard
+    FROM j WHERE 1000 * inter >= {PPJOIN_T_E3} * un
+    """,
+)
+def qx60_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with trigram-shingle Jaccard >= 0.5, found by
+    prefix filtering — EXACT (the oracle is the brute-force all-pairs
+    join; the Spark side must reproduce it from candidates only). The
+    guaranteed-complete counterpart to q88: q88 bounds its candidate join
+    by dropping shingles with df > SHINGLE_DF_CAP (stop phrases) — a
+    recall trade; qx60 drops nothing and still never goes all-pairs.
+    (Shingle sets, not word sets: this corpus is template-generated, so
+    word-level Jaccard >= 0.5 holds for ~70% of ALL pairs — word sets
+    separate nothing; shingle Jaccard >= 0.5 is the near-dup signal.)
+
+    Prefix theorem: order each doc's tokens globally by (document
+    frequency, token); if J(A,B) >= t then |A∩B| >= t·max(|A|,|B|), so
+    the intersection cannot hide entirely inside the ceil(t·|A|)-1 tail —
+    at least one common token sits within the first
+    |A| - ceil(t·|A|) + 1 tokens of BOTH docs. Candidates are therefore
+    the prefix⋈prefix equi-join on token, plus the length filter
+    t·|A| <= |B| <= |A|/t (sizes outside that band cannot reach t).
+
+    Plan: shingle rows come from the shared ``shingle_rows`` (lead-window
+    codegen path) and are computed ONCE; df via one hash-agg; per-doc
+    rarest-first positions via a doc-partitioned window (window input is
+    doc-size-bounded). The candidate join shuffles ONLY prefix shingles —
+    and the rarest-first order makes those exactly the shingles with the
+    smallest df, so bucket widths (the quantity LSH must cap with
+    SHINGLE_DF_CAP) are minimized by construction. Verification is
+    PPJoin's inverted-list step restricted to candidate documents: a
+    broadcast semi-join keeps only candidate docs' shingle rows, whose
+    self-join yields exact intersection counts — candidate-doc-sized,
+    never a second corpus-wide shuffle. At 100 TB the prefix join is the
+    only data-sized exchange; everything after is candidate-sized.
+    """
+    from pyspark.sql.window import Window as W
+
+    # (doc_id, shingle) distinct — localCheckpoint so the explode+distinct
+    # pipeline runs once even though both the ranking and the verify
+    # branches consume it (same materialize-the-shared-spine move as
+    # _shingle_pair_stats)
+    sh = shingle_rows(spark, sf_dir).localCheckpoint()
+    w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
+    part = W.partitionBy("doc_id")
+    ranked = (
+        sh.join(sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")), "shingle")
+        .select(
+            "doc_id",
+            "shingle",
+            "df",
+            F.count(F.lit(1)).over(part).alias("sz"),
+            F.row_number().over(w).alias("pos"),
+        )
+    )
+    # prefix length |d| - ceil(t*|d|) + 1, ceil in pure integers
+    plen = F.col("sz") - F.expr(
+        f"cast(({PPJOIN_T_E3} * sz + 999) div 1000 as int)"
+    ) + F.lit(1)
+    prefix = ranked.filter(F.col("pos") <= plen).select("doc_id", "sz", "shingle")
+    pa = prefix.select(
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"), "shingle"
+    )
+    pb = prefix.select(
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"), "shingle"
+    )
+    cand = (
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(1000) * F.col("szb") >= F.lit(PPJOIN_T_E3) * F.col("sza"))
+            & (F.lit(1000) * F.col("sza") >= F.lit(PPJOIN_T_E3) * F.col("szb"))
+        )
+        .select("doc_a", "doc_b", "sza", "szb")
+        .distinct()
+    )
+    # verify via inverted lists restricted to candidate docs: shingle rows
+    # of candidate docs only (semi-join), self-joined on shingle, then
+    # inner-joined back to the candidate pair set for intersection counts
+    cdocs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select("doc_b"))
+        .distinct()
+    )
+    vt = sh.join(F.broadcast(cdocs), "doc_id", "left_semi")
+    va = vt.select(F.col("doc_id").alias("doc_a"), "shingle")
+    vb = vt.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        va.join(vb, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter_sz"))
+    )
+    un = F.col("sza") + F.col("szb") - F.col("inter_sz")
+    return (
+        cand.join(inter, ["doc_a", "doc_b"])
+        .withColumn("inter_sz", F.col("inter_sz").cast("bigint"))
+        .withColumn("union_sz", un.cast("bigint"))
+        .filter(
+            F.lit(1000) * F.col("inter_sz")
+            >= F.lit(PPJOIN_T_E3) * F.col("union_sz")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "inter_sz",
+            "union_sz",
+            F.round(F.col("inter_sz") / F.col("union_sz"), 4).alias("jaccard"),
+        )
+    )

@@ -928,3 +928,102 @@ def qx57_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("var_num"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx65: per-label centroid drift — how far each label's embedding centroid
+# points away from the global centroid. The clustering-QA / dataset-shift
+# check run on embedding corpora: a label whose centroid is nearly
+# orthogonal to the global mean is a candidate mislabeled or off-
+# distribution slice. Cosine of the centroid equals cosine of the SUM
+# vector (scale invariance), so no division ever happens in the exact
+# part: per-dim integer sums, decimal(38) dot products, and one final
+# IEEE sqrt/divide that both engines round identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx65_centroid_drift",
+    oracle=f"""
+    WITH x AS (
+        SELECT label,
+               unnest([{{'dim': i,
+                         'v': CAST(FLOOR(embedding[i]::DOUBLE
+                                         * {DIMSTAT_SCALE}) AS BIGINT)}}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM embeddings),
+    f AS (SELECT label, u.dim AS dim, u.v AS v FROM x),
+    s AS (SELECT label, dim, SUM(v)::HUGEINT AS s FROM f GROUP BY label, dim),
+    g AS (SELECT dim, SUM(s)::HUGEINT AS gs FROM s GROUP BY dim),
+    d AS (
+        SELECT label,
+               SUM(s * gs)::HUGEINT AS dot,
+               SUM(s * s)::HUGEINT  AS na
+        FROM s JOIN g USING (dim) GROUP BY label),
+    ng AS (SELECT SUM(gs * gs)::HUGEINT AS ng FROM g),
+    n AS (SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label)
+    SELECT d.label,
+           CAST(n.n AS BIGINT) AS n,
+           d.dot::VARCHAR      AS dot_num,
+           ROUND(d.dot::DOUBLE / sqrt(d.na::DOUBLE * ng.ng::DOUBLE), 4)
+               AS cosine
+    FROM d JOIN n ON n.label = d.label CROSS JOIN ng
+    """,
+)
+def qx65_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n, exact integer dot numerator, cosine-to-global) for every
+    label's embedding centroid against the global centroid.
+
+    Exactness: sums and dot products are fixed-point integers in
+    decimal(38)/HUGEINT (order-free, hash-compared as strings); the final
+    cosine converts three EXACT integers to double and applies only IEEE
+    correctly-rounded ops (cast, multiply, sqrt, divide), so both engines
+    produce the identical double before the 4 dp round — the same
+    argument qx15 relies on.
+
+    Plan: posexplode → one (label, dim) hash-agg (map-side partials carry
+    64 cells per label); the global vector is the 64-row re-agg of those
+    sums, broadcast back. Nothing downstream of the first shuffle scales
+    with row count — per-label state is one 64-dim integer vector, the
+    shape that survives a 1000-executor 100 TB corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x") * DIMSTAT_SCALE).cast("bigint").alias("v"),
+    )
+    s = f.groupBy("label", "dim").agg(
+        F.sum("v").cast("decimal(38,0)").alias("s")
+    )
+    g = s.groupBy("dim").agg(F.sum("s").cast("decimal(38,0)").alias("gs"))
+    d = (
+        s.join(F.broadcast(g), "dim")
+        .groupBy("label")
+        .agg(
+            F.sum(F.col("s") * F.col("gs")).cast("decimal(38,0)").alias("dot"),
+            F.sum(F.col("s") * F.col("s")).cast("decimal(38,0)").alias("na"),
+        )
+    )
+    ng = g.agg(F.sum(F.col("gs") * F.col("gs")).cast("decimal(38,0)").alias("ng"))
+    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        d.join(n, "label")
+        .crossJoin(F.broadcast(ng))
+        .select(
+            "label",
+            "n",
+            F.col("dot").cast("string").alias("dot_num"),
+            F.round(
+                F.col("dot").cast("double")
+                / F.sqrt(
+                    F.col("na").cast("double") * F.col("ng").cast("double")
+                ),
+                4,
+            ).alias("cosine"),
+        )
+    )

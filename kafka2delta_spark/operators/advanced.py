@@ -1263,3 +1263,265 @@ def qx59_rolling_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rolling = estimate(rolled, "est_roll_3h")
     return per_hour.join(rolling, "hour")
+
+
+# ---------------------------------------------------------------------------
+# qx61: sketch-based set-overlap estimation between event types — the
+# join-cardinality / audience-overlap planner primitive. KMV sketches are
+# mergeable (qx19), so |A ∪ B| is estimated from the UNION of two bottom-K
+# sketches and |A ∩ B| follows by inclusion–exclusion — no raw-key shuffle
+# between the two sides, ever. Beyer et al., "On Synopses for Distinct-
+# Value Estimation Under Multiset Operations" (SIGMOD 2007).
+# ---------------------------------------------------------------------------
+
+
+def _qx61_oracle() -> str:
+    est_r = (
+        f"CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*) "
+        f"ELSE ({KMV_K - 1} * {KMV_SPACE}::BIGINT) "
+        f"// MAX(CASE WHEN rk = {KMV_K} THEN hv END) END"
+    )
+    return f"""
+    WITH h AS (SELECT DISTINCT event_type, {kmv_hash_duck('user_id')} AS hv
+               FROM events),
+    r AS (SELECT event_type, hv,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
+          FROM h),
+    sk AS (SELECT event_type, hv FROM r WHERE rk <= {KMV_K}),
+    est AS (SELECT event_type, CAST({est_r} AS BIGINT) AS est
+            FROM r GROUP BY event_type),
+    p AS (SELECT a.event_type AS ta, b.event_type AS tb
+          FROM est a JOIN est b ON a.event_type < b.event_type),
+    u AS (SELECT p.ta, p.tb, s.hv
+          FROM p JOIN sk s ON s.event_type IN (p.ta, p.tb)
+          GROUP BY p.ta, p.tb, s.hv),
+    ur AS (SELECT ta, tb, hv,
+                  ROW_NUMBER() OVER (PARTITION BY ta, tb ORDER BY hv) AS rk
+           FROM u),
+    ue AS (SELECT ta, tb, CAST({est_r} AS BIGINT) AS est_u
+           FROM ur GROUP BY ta, tb)
+    SELECT ue.ta AS type_a, ue.tb AS type_b,
+           ea.est AS est_a, eb.est AS est_b, ue.est_u AS est_union,
+           GREATEST(0, ea.est + eb.est - ue.est_u) AS est_inter
+    FROM ue
+    JOIN est ea ON ea.event_type = ue.ta
+    JOIN est eb ON eb.event_type = ue.tb
+    """
+
+
+@register("qx61_kmv_set_overlap", oracle=_qx61_oracle())
+def qx61_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct-user overlap for every pair of event types from
+    KMV sketches alone: est(|A|), est(|B|), est(|A∪B|) from the merged
+    bottom-K sketch, and est(|A∩B|) = max(0, est_a + est_b - est_union).
+    This is how a planner prices a join or an audience-overlap query
+    without touching raw keys — the sketches are the only thing shuffled.
+
+    All arithmetic is integer (52-bit md5-prefix hashes, integer-division
+    estimator), so the result hash-matches DuckDB bit-for-bit.
+
+    Plan: one pass builds per-type sketches (two-level bottom-K, qx19's
+    shape); the pairwise stage joins K-element arrays for n_types rows —
+    metadata-sized regardless of corpus scale, broadcast by AQE. The
+    union sketch is slice(sort(distinct(concat)), K): set union then
+    re-truncate, the lossless KMV merge."""
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_sketch_by_type(events)
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("kmins").alias("ka"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("kmins").alias("kb"))
+    merged = F.slice(
+        F.array_sort(F.array_distinct(F.concat("ka", "kb"))), 1, KMV_K
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b")).withColumn(
+        "ku", merged
+    )
+    est_a = F.expr(
+        f"case when size(ka) < {KMV_K} then cast(size(ka) as bigint) "
+        f"else {KMV_K - 1} * cast({KMV_SPACE} as bigint) div element_at(ka, {KMV_K}) end"
+    )
+    est_b = F.expr(
+        f"case when size(kb) < {KMV_K} then cast(size(kb) as bigint) "
+        f"else {KMV_K - 1} * cast({KMV_SPACE} as bigint) div element_at(kb, {KMV_K}) end"
+    )
+    est_u = F.expr(
+        f"case when size(ku) < {KMV_K} then cast(size(ku) as bigint) "
+        f"else {KMV_K - 1} * cast({KMV_SPACE} as bigint) div element_at(ku, {KMV_K}) end"
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (est_a + est_b - est_u).cast("bigint"),
+        ).alias("est_inter"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx62: grouped MODE — the ordered-set aggregate SQL engines expose as
+# mode() but leave tie-handling undefined; here the tiebreak is pinned
+# (highest count, then lexicographically smallest value) so the result is
+# deterministic and cross-engine identical.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx62_grouped_mode",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id, event_type),
+    r AS (
+        SELECT user_id, event_type, cnt,
+               SUM(cnt)  OVER (PARTITION BY user_id) AS n_events,
+               COUNT(*)  OVER (PARTITION BY user_id) AS n_types,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY cnt DESC, event_type ASC) AS rk
+        FROM c)
+    SELECT user_id, event_type AS mode_type,
+           CAST(cnt AS BIGINT)      AS mode_cnt,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_types AS BIGINT)  AS n_types
+    FROM r WHERE rk = 1
+    """,
+)
+def qx62_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type with a DETERMINISTIC tiebreak (max count,
+    then smallest type string), plus the user's total event and distinct
+    type counts — the profile row a personalization feature store keys on.
+
+    Plan: hash-agg to (user, type) counts first — the window then runs
+    over at most |users| × |types| rows, each partition bounded by the
+    type alphabet, never by event volume. One shuffle for the agg, one
+    for the user-partitioned window; the totals ride the same window
+    spec, avoiding a self-join back."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    part = W.partitionBy("user_id")
+    w = part.orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        c.select(
+            "user_id",
+            "event_type",
+            "cnt",
+            F.sum("cnt").over(part).alias("n_events"),
+            F.count(F.lit(1)).over(part).alias("n_types"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("mode_type"),
+            F.col("cnt").cast("bigint").alias("mode_cnt"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            F.col("n_types").cast("bigint").alias("n_types"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx64: CUSUM change-point detection over daily event volumes. The
+# textbook one-sided CUSUM recursion s_i = max(0, s_{i-1} + x_i - mu - k)
+# looks inherently sequential, but it has an exact window-function closed
+# form: with d_i = x_i - mu - k and prefix sums P_i, s_i = P_i - min(0,
+# min_{j<=i} P_j). (Page 1954's scheme; the prefix-min identity is the
+# standard parallel-scan reduction.) Everything is integer arithmetic.
+# ---------------------------------------------------------------------------
+
+#: slack, as a fraction of the mean (k = mean div CUSUM_SLACK_DIV): drifts
+#: smaller than ~5% of the baseline are absorbed, not accumulated.
+CUSUM_SLACK_DIV = 20
+
+
+@register(
+    "qx64_cusum_changepoints",
+    oracle=f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    m AS (
+        SELECT event_type, day, cnt,
+               SUM(cnt) OVER (PARTITION BY event_type)
+                 // COUNT(*) OVER (PARTITION BY event_type) AS mu
+        FROM daily),
+    d AS (
+        SELECT event_type, day, cnt, mu,
+               cnt - mu - mu // {CUSUM_SLACK_DIV} AS diff
+        FROM m),
+    p AS (
+        SELECT event_type, day, cnt, mu,
+               SUM(diff) OVER (PARTITION BY event_type ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS pf
+        FROM d),
+    s AS (
+        SELECT event_type, day, cnt, mu,
+               pf - LEAST(0, MIN(pf) OVER (PARTITION BY event_type
+                                           ORDER BY day
+                                           ROWS UNBOUNDED PRECEDING)) AS cusum
+        FROM p)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(cnt AS BIGINT)   AS cnt,
+           CAST(mu AS BIGINT)    AS mu,
+           CAST(cusum AS BIGINT) AS cusum,
+           CAST(CASE WHEN cusum > mu THEN 1 ELSE 0 END AS INT) AS alarm
+    FROM s
+    """,
+)
+def qx64_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type daily CUSUM drift statistic and alarm flags: the
+    monitoring primitive that catches a sustained upward shift in event
+    volume (ingest regression, bot surge) that per-day thresholds miss.
+    mu is the per-type mean daily count (integer division), slack
+    k = mu/{CUSUM_SLACK_DIV}, alarm when the accumulated excess exceeds mu.
+
+    The recursion s_i = max(0, s_(i-1) + cnt_i - mu - k) is rewritten to
+    its closed form s_i = P_i - min(0, min_(j<=i) P_j) over prefix sums
+    P — an ordinary cumulative window, so Spark parallelizes it instead
+    of running a sequential fold.
+
+    Plan: the only data-sized operation is the (type, day) hash-agg with
+    map-side partials; windows run over |types| × |days| pre-aggregated
+    rows — bounded by the calendar, not the corpus. All integers: the
+    oracle hash-matches exactly."""
+    from pyspark.sql.window import Window as W
+
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    part = W.partitionBy("event_type")
+    cum = part.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    m = daily.withColumn(
+        "mu",
+        F.expr(
+            "sum(cnt) over (partition by event_type)"
+            " div count(*) over (partition by event_type)"
+        ),
+    )
+    d = m.withColumn(
+        "diff", F.expr(f"cnt - mu - mu div {CUSUM_SLACK_DIV}")
+    )
+    p = d.withColumn("pf", F.sum("diff").over(cum))
+    s = p.withColumn(
+        "cusum",
+        F.col("pf") - F.least(F.lit(0).cast("bigint"), F.min("pf").over(cum)),
+    )
+    return s.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cnt").cast("bigint").alias("cnt"),
+        F.col("mu").cast("bigint").alias("mu"),
+        F.col("cusum").cast("bigint").alias("cusum"),
+        F.when(F.col("cusum") > F.col("mu"), F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("int")
+        .alias("alarm"),
+    )

@@ -1,0 +1,184 @@
+"""Invariant tests for the round-5 second batch of operators —
+properties the DuckDB oracle hash can't see:
+
+- qx60: prefix filtering finds EXACTLY the brute-force pair set (the
+  completeness theorem, verified against an all-pairs Spark computation).
+- qx61: KMV overlap estimates are exact below sketch capacity and obey
+  the deterministic union monotonicity.
+- qx62: the reported mode really is the argmax with the pinned tiebreak.
+- qx63: per-cell chi-square contributions sum to the float statistic.
+- qx64: the window-function closed form equals the sequential CUSUM
+  recursion replayed in Python.
+- qx65: the exact integer dot numerator matches a numpy recomputation.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_prefix_filter_matches_bruteforce(spark):
+    from kafka2delta_spark.functions.dedup import (
+        PPJOIN_T_E3,
+        qx60_prefix_filter_jaccard_join,
+    )
+
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter_sz"], r["union_sz"])
+        for r in qx60_prefix_filter_jaccard_join(spark, SF_DIR).collect()
+    }
+    # brute force: all-pairs over trigram-shingle sets via python
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {}
+    for r in docs:
+        w = r["text"].lower().split()
+        if len(w) >= 3:
+            toks[r["doc_id"]] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    want = {}
+    ids = sorted(toks)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            union = len(toks[a] | toks[b])
+            if 1000 * inter >= PPJOIN_T_E3 * union:
+                want[(a, b)] = (inter, union)
+    assert got == want, "prefix filtering must be exact (no false neg/pos)"
+    assert want, "test data should contain at least one near-dup pair"
+
+
+def test_kmv_overlap_exact_below_capacity(spark):
+    from kafka2delta_spark.operators.advanced import (
+        KMV_K,
+        qx61_kmv_set_overlap,
+    )
+
+    rows = qx61_kmv_set_overlap(spark, SF_DIR).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    users = defaultdict(set)
+    for r in ev:
+        users[r["event_type"]].add(r["user_id"])
+    for r in rows:
+        ua, ub = users[r["type_a"]], users[r["type_b"]]
+        # union monotonicity holds for the deterministic estimator
+        assert r["est_union"] >= max(r["est_a"], r["est_b"]) or (
+            len(ua | ub) >= KMV_K
+        )
+        assert r["est_union"] <= r["est_a"] + r["est_b"]
+        if len(ua | ub) < KMV_K:
+            # below capacity every sketch is exact, so overlap is exact
+            assert r["est_a"] == len(ua)
+            assert r["est_b"] == len(ub)
+            assert r["est_union"] == len(ua | ub)
+            assert r["est_inter"] == len(ua & ub)
+
+
+def test_grouped_mode_is_argmax_with_tiebreak(spark):
+    from kafka2delta_spark.operators.advanced import qx62_grouped_mode
+
+    rows = qx62_grouped_mode(spark, SF_DIR).collect()
+    ev = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .select("user_id", "event_type")
+        .collect()
+    )
+    counts = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        counts[r["user_id"]][r["event_type"]] += 1
+    assert len(rows) == len(counts), "one row per user"
+    for r in rows:
+        c = counts[r["user_id"]]
+        best = min(((-n, t) for t, n in c.items()))
+        assert (r["mode_type"], r["mode_cnt"]) == (best[1], -best[0])
+        assert r["n_events"] == sum(c.values())
+        assert r["n_types"] == len(c)
+
+
+def test_chi2_contributions_sum_to_statistic(spark):
+    from kafka2delta_spark.functions.curation import (
+        CHI2_SCALE,
+        qx63_chi2_source_lang,
+    )
+
+    rows = qx63_chi2_source_lang(spark, SF_DIR).collect()
+    n = sum(r["o"] for r in rows)
+    # marginals are consistent
+    by_src = defaultdict(int)
+    for r in rows:
+        by_src[r["source"]] += r["o"]
+    for r in rows:
+        assert by_src[r["source"]] == r["row_total"]
+    # fixed-point contributions track the float statistic
+    chi2_float = sum(
+        (r["o"] - r["row_total"] * r["col_total"] / n) ** 2
+        / (r["row_total"] * r["col_total"] / n)
+        for r in rows
+    )
+    chi2_fixed = sum(r["chi2_contrib_e4"] for r in rows) / CHI2_SCALE
+    # each cell truncates toward zero by < 1/CHI2_SCALE
+    assert chi2_float - len(rows) / CHI2_SCALE <= chi2_fixed <= chi2_float + 1e-9
+
+
+def test_cusum_closed_form_equals_recursion(spark):
+    from kafka2delta_spark.operators.advanced import (
+        CUSUM_SLACK_DIV,
+        qx64_cusum_changepoints,
+    )
+
+    rows = qx64_cusum_changepoints(spark, SF_DIR).collect()
+    series = defaultdict(list)
+    for r in rows:
+        series[r["event_type"]].append(r)
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["day"])
+        mu = rs[0]["mu"]
+        assert all(r["mu"] == mu for r in rs)
+        s = 0
+        for r in rs:
+            s = max(0, s + r["cnt"] - mu - mu // CUSUM_SLACK_DIV)
+            assert r["cusum"] == s, f"{et} {r['day']}: closed form != recursion"
+            assert r["alarm"] == (1 if s > mu else 0)
+
+
+def test_centroid_drift_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    from kafka2delta_spark.functions.similarity import (
+        DIMSTAT_SCALE,
+        qx65_centroid_drift,
+    )
+
+    rows = qx65_centroid_drift(spark, SF_DIR).collect()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label", "embedding")
+        .collect()
+    )
+    sums = defaultdict(lambda: None)
+    for r in emb:
+        v = np.floor(np.array(r["embedding"], dtype=np.float64) * DIMSTAT_SCALE)
+        v = v.astype(object)  # python ints: no int64 overflow in the dot
+        sums[r["label"]] = v if sums[r["label"]] is None else sums[r["label"]] + v
+    g = sum(sums.values())
+    for r in rows:
+        s = sums[r["label"]]
+        dot = int(np.dot(s, g))
+        assert int(r["dot_num"]) == dot
+        cos = dot / math.sqrt(float(np.dot(s, s)) * float(np.dot(g, g)))
+        assert abs(r["cosine"] - cos) < 5e-4
+        assert -1.0 <= r["cosine"] <= 1.0
