@@ -634,3 +634,156 @@ def qx27_corpus_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("cluster_id").cast("bigint").alias("n_clusters"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx67: temporal holdout split — the time-based evaluation split that
+# prevents future leakage (random splits let a model train on events
+# AFTER its test window). Cutoff = min_ts + 80% of the observed span,
+# computed in integer microseconds so both engines carve the identical
+# boundary; per-user train/test counts plus the cold-start flag (users
+# who appear ONLY in the holdout — the slice random splits silently
+# misrepresent).
+# ---------------------------------------------------------------------------
+
+#: holdout fraction in percent (the last 20% of the time span)
+HOLDOUT_PCT = 20
+
+
+@register(
+    "qx67_temporal_holdout_split",
+    oracle=f"""
+    WITH b AS (
+        SELECT epoch_us(MIN(ts)) AS mn, epoch_us(MAX(ts)) AS mx FROM events),
+    c AS (SELECT mn + (mx - mn) * {100 - HOLDOUT_PCT} // 100 AS cutoff FROM b),
+    s AS (
+        SELECT user_id,
+               SUM(CASE WHEN epoch_us(ts) < c.cutoff THEN 1 ELSE 0 END)
+                   AS n_train,
+               SUM(CASE WHEN epoch_us(ts) >= c.cutoff THEN 1 ELSE 0 END)
+                   AS n_test
+        FROM events CROSS JOIN c GROUP BY user_id)
+    SELECT user_id,
+           CAST(n_train AS BIGINT) AS n_train,
+           CAST(n_test AS BIGINT)  AS n_test,
+           CAST(CASE WHEN n_train = 0 AND n_test > 0 THEN 1 ELSE 0 END AS INT)
+               AS cold_start
+    FROM s
+    """,
+)
+def qx67_temporal_holdout_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user train/holdout event counts under an 80/20 time-span split
+    with the cold-start flag.
+
+    Plan: the cutoff is a 2-value global agg broadcast into a conditional
+    aggregate — one full scan, one hash-agg on user_id with map-side
+    partials, no window, no join shuffle (the cutoff side is a scalar).
+    Integer-microsecond arithmetic keeps the boundary bit-identical
+    across engines at any scale."""
+    events = load_table(spark, sf_dir, "events")
+    b = events.agg(
+        F.min(F.unix_micros("ts")).alias("mn"),
+        F.max(F.unix_micros("ts")).alias("mx"),
+    ).select(
+        F.expr(f"mn + (mx - mn) * {100 - HOLDOUT_PCT} div 100").alias("cutoff")
+    )
+    return (
+        events.crossJoin(F.broadcast(b))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.unix_micros("ts") < F.col("cutoff"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                F.when(F.unix_micros("ts") >= F.col("cutoff"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+        .select(
+            "user_id",
+            "n_train",
+            "n_test",
+            F.when((F.col("n_train") == 0) & (F.col("n_test") > 0), 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("cold_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx68: per-source dedup yield funnel — the curation dashboard number:
+# how many docs each source contributes, how many survive EXACT dedup
+# (distinct sorted-token-bag fingerprints, q85's key), and how many the
+# source KEEPS after global near-dup clustering under the min-id
+# canonical rule (docs that are their own cluster representative,
+# q98's clusters). Sources whose yield collapses between the stages are
+# template mills; sources that keep everything are genuinely diverse.
+# ---------------------------------------------------------------------------
+
+
+def _yield_funnel_oracle() -> str:
+    from kafka2delta_spark.functions.dedup import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL}) jp),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS root FROM documents
+        UNION
+        SELECT u.b AS node, r.root FROM reach r JOIN und u ON u.a = r.node),
+    cl AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    norm AS (
+        SELECT doc_id, source,
+               md5(array_to_string(list_sort(regexp_split_to_array(lower(text), '\\s+')), ' '))
+                   AS content_key
+        FROM documents)
+    SELECT n.source,
+           CAST(COUNT(*) AS BIGINT)                        AS n_docs,
+           CAST(COUNT(DISTINCT n.content_key) AS BIGINT)   AS n_exact_unique,
+           CAST(SUM(CASE WHEN c.cluster_id = n.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT)                                 AS n_canonical
+    FROM norm n JOIN cl c ON c.node = n.doc_id
+    GROUP BY n.source
+    """
+
+
+@register("qx68_dedup_yield_funnel", oracle=_yield_funnel_oracle())
+def qx68_dedup_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_exact_unique, n_canonical) — the dedup funnel
+    per source: raw volume, exact-dup survivors, near-dup canonical
+    survivors (cluster representative = min doc id, matching q98).
+
+    Plan: reuses q98's cluster assignment (which itself consumes the
+    session-checkpointed Jaccard edge list) joined to a 3-column
+    projection of documents; the funnel is then ONE hash-agg on source.
+    The exact-dedup stage shuffles 16-byte md5 keys, never text. All
+    counts integer-exact."""
+    from kafka2delta_spark.functions.dedup import q98_neardup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(
+        F.array_join(F.array_sort(F.split(F.lower(F.col("text")), r"\s+")), " ")
+    )
+    norm = docs.select("doc_id", "source", key.alias("content_key"))
+    cl = q98_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    return (
+        norm.join(cl, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("content_key").cast("bigint").alias(
+                "n_exact_unique"
+            ),
+            F.sum(
+                F.when(F.col("cluster_id") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_canonical"),
+        )
+    )

@@ -252,3 +252,118 @@ def qx37_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx66: k-core decomposition of the near-duplicate graph — the density
+# peel that separates template FAMILIES (every member supported by >= k
+# near-dup neighbors) from incidental pairwise matches. A curation pass
+# that collapses k-cores but keeps sub-core matches for human review
+# over-deletes far less than naive transitive dedup. Algorithm: Jacobi
+# (simultaneous-removal) peeling, Matula & Beck 1983 / the synchronous
+# variant used by distributed engines. The rounds are UNROLLED — the
+# defined semantics is "KCORE_ROUNDS simultaneous peels", identical in
+# both engines (tests assert the fixpoint is reached well before the
+# cap; each peel round removes at least one vertex until stable, and the
+# near-dup graph's components are SHINGLE_DF_CAP-bounded, so the cap is
+# generous).
+# ---------------------------------------------------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    from kafka2delta_spark.functions.dedup import _JACCARD_PAIRS_SQL
+
+    rounds = []
+    prev = "a0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        rounds.append(
+            f"""a{i} AS MATERIALIZED (
+        SELECT u.a AS node FROM und u
+        JOIN {prev} x ON x.node = u.a
+        JOIN {prev} y ON y.node = u.b
+        GROUP BY u.a HAVING COUNT(*) >= {KCORE_K})"""
+        )
+        prev = f"a{i}"
+    return f"""
+    WITH jp AS MATERIALIZED ({_JACCARD_PAIRS_SQL}),
+    und AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM jp
+            UNION ALL SELECT doc_b, doc_a FROM jp),
+    deg AS MATERIALIZED (SELECT a AS node, COUNT(*) AS deg_full FROM und GROUP BY a),
+    a0 AS MATERIALIZED (SELECT node FROM deg),
+    {",".join(rounds)},
+    core_deg AS (
+        SELECT u.a AS node, COUNT(*) AS deg_core FROM und u
+        JOIN {prev} x ON x.node = u.a
+        JOIN {prev} y ON y.node = u.b
+        GROUP BY u.a)
+    SELECT d.node AS doc_id,
+           CAST(CASE WHEN c.node IS NOT NULL THEN 1 ELSE 0 END AS INT)
+               AS in_core,
+           CAST(d.deg_full AS BIGINT) AS deg_full,
+           CAST(COALESCE(cd.deg_core, 0) AS BIGINT) AS deg_core
+    FROM deg d
+    LEFT JOIN {prev} c ON c.node = d.node
+    LEFT JOIN core_deg cd ON cd.node = d.node
+    """
+
+
+@register("qx66_kcore_decomposition", oracle=_kcore_oracle())
+def qx66_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core membership over the near-dup Jaccard graph: every
+    graph node with its full degree, whether it survives KCORE_ROUNDS
+    simultaneous peels of vertices with remaining degree < KCORE_K, and
+    its within-core degree.
+
+    Plan: consumes the SAME session-checkpointed edge list as
+    q98/qx06/qx22/qx37 (one materialization feeds every graph consumer).
+    Each peel round is one small-side hash semi-join of the edge list
+    against the surviving vertex set followed by a degree hash-agg —
+    edge-list-sized work per round, vertex sets only ever shrink. At
+    100 TB the edge list is the near-dup candidate output (bounded by
+    the banding caps), orders of magnitude smaller than the corpus; the
+    alive-set join keys are doc ids, so AQE broadcasts the shrinking
+    side after the first round."""
+    from kafka2delta_spark.functions.dedup import _jaccard_edges
+
+    e = _jaccard_edges(spark, sf_dir)
+    und = e.select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    ).unionAll(e.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+    und = und.localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("deg_full")
+    )
+    alive = deg.select("node")
+    # eager checkpoint per round: the surviving-vertex set is tiny, and
+    # truncating lineage keeps the per-round plan flat instead of
+    # compounding 3 joins per peel (same move as label propagation /
+    # large-star rounds above)
+    for _ in range(KCORE_ROUNDS):
+        alive = (
+            und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    core_deg = (
+        und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
+        .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+        .groupBy(F.col("a").alias("node"))
+        .agg(F.count(F.lit(1)).alias("deg_core"))
+    )
+    return (
+        deg.join(alive.withColumn("in_core", F.lit(1)), "node", "left")
+        .join(core_deg, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("in_core", F.lit(0)).cast("int").alias("in_core"),
+            F.col("deg_full").cast("bigint").alias("deg_full"),
+            F.coalesce("deg_core", F.lit(0)).cast("bigint").alias("deg_core"),
+        )
+    )

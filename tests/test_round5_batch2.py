@@ -182,3 +182,83 @@ def test_centroid_drift_matches_numpy(spark):
         cos = dot / math.sqrt(float(np.dot(s, s)) * float(np.dot(g, g)))
         assert abs(r["cosine"] - cos) < 5e-4
         assert -1.0 <= r["cosine"] <= 1.0
+
+
+def test_kcore_fixpoint_and_peeling_equivalence(spark):
+    """The bounded-round Jacobi peel must reach the true 2-core (fixpoint
+    well before KCORE_ROUNDS), verified against an unbounded sequential
+    peel in Python; within-core degrees must all be >= K."""
+    from kafka2delta_spark.functions.dedup import _jaccard_edges
+    from kafka2delta_spark.operators.mining import (
+        KCORE_K,
+        qx66_kcore_decomposition,
+    )
+
+    rows = qx66_kcore_decomposition(spark, SF_DIR).collect()
+    edges = [
+        (r["doc_a"], r["doc_b"])
+        for r in _jaccard_edges(spark, SF_DIR).collect()
+    ]
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    alive = set(adj)
+    while True:  # peel to the TRUE fixpoint, no round cap
+        drop = {v for v in alive if len(adj[v] & alive) < KCORE_K}
+        if not drop:
+            break
+        alive -= drop
+    got_core = {r["doc_id"] for r in rows if r["in_core"] == 1}
+    assert got_core == alive, "bounded peel must reach the true 2-core"
+    for r in rows:
+        assert r["deg_full"] == len(adj[r["doc_id"]])
+        if r["in_core"]:
+            assert r["deg_core"] >= KCORE_K
+            assert r["deg_core"] == len(adj[r["doc_id"]] & alive)
+        else:
+            assert r["deg_core"] == 0
+
+
+def test_temporal_holdout_counts_and_boundary(spark):
+    from kafka2delta_spark.functions.pipeline import (
+        HOLDOUT_PCT,
+        qx67_temporal_holdout_split,
+    )
+
+    rows = qx67_temporal_holdout_split(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    n_events = ev.count()
+    assert sum(r["n_train"] + r["n_test"] for r in rows) == n_events
+    # the holdout is a genuine suffix: ~20% of the SPAN, so both sides
+    # must be non-empty on this uniformly-spread synthetic data
+    n_test = sum(r["n_test"] for r in rows)
+    assert 0 < n_test < n_events
+    for r in rows:
+        assert r["cold_start"] == (
+            1 if r["n_train"] == 0 and r["n_test"] > 0 else 0
+        )
+
+
+def test_dedup_yield_funnel_consistency(spark):
+    from kafka2delta_spark.functions.dedup import q98_neardup_clusters
+    from kafka2delta_spark.functions.pipeline import qx68_dedup_yield_funnel
+
+    rows = qx68_dedup_yield_funnel(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_source = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["source"]: r["n_docs"] for r in rows} == per_source
+    for r in rows:
+        assert 0 < r["n_exact_unique"] <= r["n_docs"]
+        assert 0 <= r["n_canonical"] <= r["n_docs"]
+    # exactly one canonical per near-dup cluster, summed across sources
+    n_clusters = (
+        q98_neardup_clusters(spark, SF_DIR)
+        .select("cluster_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_canonical"] for r in rows) == n_clusters
