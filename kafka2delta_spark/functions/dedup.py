@@ -1725,3 +1725,92 @@ def qx60_prefix_filter_jaccard_join(spark: SparkSession, sf_dir: str) -> DataFra
             F.round(F.col("inter_sz") / F.col("union_sz"), 4).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx69: cross-source CONTENT overlap matrix — exact shingle-set Jaccard
+# and directional containment between every pair of sources. qx34 counts
+# co-duplicated DOCUMENT pairs over the near-dup graph; this measures
+# content MASS overlap directly (a mirror site shows up here even when
+# per-document pairing is defeated by chunking or interleaving). The
+# provenance audit run before mixing corpora: a source 90%-contained in
+# another contributes almost nothing new.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx69_source_overlap_matrix",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh AS (
+        SELECT source, {shingles_sql()} AS shs FROM t WHERE len(toks) >= 3),
+    ds AS (SELECT DISTINCT source, unnest(shs) AS shingle FROM sh),
+    sz AS (SELECT source, COUNT(*) AS sz FROM ds GROUP BY source),
+    pair AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS inter
+        FROM ds a JOIN ds b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source),
+    j AS (
+        SELECT source_a, source_b, inter, sa.sz AS sza, sb.sz AS szb
+        FROM pair
+        JOIN sz sa ON sa.source = source_a
+        JOIN sz sb ON sb.source = source_b)
+    SELECT source_a, source_b,
+           CAST(inter AS BIGINT)             AS inter_sz,
+           CAST(sza + szb - inter AS BIGINT) AS union_sz,
+           ROUND(inter * 1.0 / (sza + szb - inter), 4) AS jaccard,
+           ROUND(inter * 1.0 / LEAST(sza, szb), 4)     AS containment
+    FROM j
+    """,
+)
+def qx69_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, inter_sz, union_sz, jaccard, containment) for
+    every source pair sharing at least one trigram shingle — containment
+    is intersection over the SMALLER side, the "is one a subset of the
+    other" signal Jaccard dilutes when sizes differ.
+
+    Plan: distinct (source, shingle) from the shared shingle spine — the
+    alphabet-bounded projection of the corpus (distinct shingles × the
+    handful of sources that carry each). Pair expansion happens INSIDE
+    each shingle group via collect_set + pairs_within_groups (bounded by
+    the source alphabet, C(n_sources, 2) accumulator keys — never a
+    corpus-sized self-join); per-source sizes broadcast back. At 100 TB
+    this is one shuffle of 16-byte-hashable shingle keys plus
+    metadata-sized joins."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ds = (
+        shingle_rows(spark, sf_dir)
+        .join(docs, "doc_id")
+        .select("source", "shingle")
+        .distinct()
+    )
+    sz = ds.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    grouped = ds.groupBy("shingle").agg(
+        F.sort_array(F.collect_set("source")).alias("ids")
+    )
+    pair = (
+        pairs_within_groups(grouped, out_a="source_a", out_b="source_b")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sz.select(F.col("source").alias("source_a"), F.col("sz").alias("sza"))
+    sb = sz.select(F.col("source").alias("source_b"), F.col("sz").alias("szb"))
+    un = F.col("sza") + F.col("szb") - F.col("inter")
+    return (
+        pair.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("inter").cast("bigint").alias("inter_sz"),
+            un.cast("bigint").alias("union_sz"),
+            F.round(F.col("inter") / un, 4).alias("jaccard"),
+            F.round(F.col("inter") / F.least("sza", "szb"), 4).alias(
+                "containment"
+            ),
+        )
+    )

@@ -1497,6 +1497,15 @@ def qx64_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = events.groupBy(
         "event_type", F.to_date("ts").alias("day")
     ).agg(F.count(F.lit(1)).alias("cnt"))
+    return cusum_from_daily(daily)
+
+
+def cusum_from_daily(daily: DataFrame) -> DataFrame:
+    """CUSUM statistic/alarms from a (event_type, day, cnt) daily-count
+    table — the shared tail of qx64 (batch) and qx70 (the same counts
+    maintained incrementally under the streaming replay ledger)."""
+    from pyspark.sql.window import Window as W
+
     part = W.partitionBy("event_type")
     cum = part.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
     m = daily.withColumn(

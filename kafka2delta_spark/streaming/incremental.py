@@ -646,3 +646,98 @@ def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_users") > 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# qx70: streaming-maintained CUSUM drift monitor — the fifth member of
+# the maintained-aggregate family. The maintained state is the
+# (event_type, day) daily-count table (additive cells under the replay
+# ledger, exactly q49's shape); the CUSUM statistic itself is recomputed
+# from the maintained table at read time via qx64's shared window tail.
+# Counts are associative+commutative, so the maintained table equals the
+# batch aggregate and qx64's oracle applies VERBATIM.
+# ---------------------------------------------------------------------------
+
+
+def apply_daily_count_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch's (event_type, day) counts into ``store``.
+    Additive — the batch-id ledger is load-bearing on replay."""
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False
+    partial = batch_df.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    prior = store.read() if store.exists() else None
+    merged = (
+        partial
+        if prior is None
+        else prior.unionByName(partial)
+        .groupBy("event_type", "day")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    store.overwrite(merged, metadata={"last_applied_batch_id": batch_id})
+    return True
+
+
+def _qx64_oracle() -> str:
+    from kafka2delta_spark.queryset import ORACLES
+
+    return ORACLES["qx64_cusum_changepoints"]
+
+
+@register(
+    "qx70_streaming_cusum",
+    # daily-count cells add exactly, so the maintained table equals the
+    # batch aggregate and the CUSUM tail is deterministic on top of it
+    oracle=_qx64_oracle(),
+)
+def qx70_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained CUSUM change-point monitor: per-micro-batch
+    daily counts folded into the state store (additive merge + replay
+    ledger), the drift statistic computed from the maintained table via
+    ``cusum_from_daily`` — monitoring that follows the stream instead of
+    rescanning history. State is |types| × |days| count cells: bounded by
+    the calendar, not by event volume — the cheapest state shape in the
+    family (q49 user cells, qx23 KMV unions, qx31 sketch cells, qx46
+    rolling tails)."""
+    from kafka2delta_spark.operators.advanced import cusum_from_daily
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.drain import (
+        _checkpoint_dir,
+        drain_shuffle_partitions,
+    )
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="cusum_state_") + "/state"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_daily_count_batch(store, batch_df, batch_id)
+
+    checkpoint = tempfile.mkdtemp(
+        prefix="cusum_ckpt_", dir=_checkpoint_dir("cusum")
+    )
+    with drain_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return cusum_from_daily(store.read())

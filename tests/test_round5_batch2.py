@@ -262,3 +262,83 @@ def test_dedup_yield_funnel_consistency(spark):
         .count()
     )
     assert sum(r["n_canonical"] for r in rows) == n_clusters
+
+
+def test_source_overlap_matrix_matches_python(spark):
+    from kafka2delta_spark.functions.dedup import qx69_source_overlap_matrix
+
+    rows = qx69_source_overlap_matrix(spark, SF_DIR).collect()
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("source", "text")
+        .collect()
+    )
+    sets = defaultdict(set)
+    for r in docs:
+        w = r["text"].lower().split()
+        sets[r["source"]] |= {
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        }
+    for r in rows:
+        a, b = sets[r["source_a"]], sets[r["source_b"]]
+        assert r["inter_sz"] == len(a & b)
+        assert r["union_sz"] == len(a | b)
+        assert r["jaccard"] <= r["containment"] + 1e-9
+    # every source pair with any shared shingle must be present
+    srcs = sorted(sets)
+    expected_pairs = {
+        (x, y)
+        for i, x in enumerate(srcs)
+        for y in srcs[i + 1 :]
+        if sets[x] & sets[y]
+    }
+    assert {(r["source_a"], r["source_b"]) for r in rows} == expected_pairs
+
+
+def test_streaming_cusum_replay_is_noop_and_matches_batch(spark, tmp_path):
+    """Additive daily-count cells under the ledger: a replayed batch must
+    not double-count, split application must equal the single-batch
+    aggregate, and the CUSUM read over the maintained table must equal
+    qx64's batch output."""
+    from kafka2delta_spark.operators.advanced import (
+        cusum_from_daily,
+        qx64_cusum_changepoints,
+    )
+    from kafka2delta_spark.state.store import ParquetStateStore
+    from kafka2delta_spark.streaming.incremental import (
+        apply_daily_count_batch,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    events = load_table(spark, SF_DIR, "events")
+    b0 = events.filter(F.col("event_id") % 2 == 0)
+    b1 = events.filter(F.col("event_id") % 2 == 1)
+    store = ParquetStateStore(spark, str(tmp_path / "state"))
+    assert apply_daily_count_batch(store, b0, 0) is True
+    assert apply_daily_count_batch(store, b0, 0) is False  # replay no-op
+    snap = {tuple(r) for r in store.read().collect()}
+    apply_daily_count_batch(store, b0, 0)
+    assert {tuple(r) for r in store.read().collect()} == snap
+    assert apply_daily_count_batch(store, b1, 1) is True
+    # maintained table == batch aggregate
+    want = {
+        (r["event_type"], str(r["day"]), r["cnt"])
+        for r in events.groupBy(
+            "event_type", F.to_date("ts").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    got = {
+        (r["event_type"], str(r["day"]), r["cnt"])
+        for r in store.read().collect()
+    }
+    assert got == want
+    # CUSUM over the maintained table == the batch query
+    got_c = sorted(
+        tuple(r) for r in cusum_from_daily(store.read()).collect()
+    )
+    want_c = sorted(
+        tuple(r) for r in qx64_cusum_changepoints(spark, SF_DIR).collect()
+    )
+    assert got_c == want_c
