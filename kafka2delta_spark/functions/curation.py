@@ -628,3 +628,66 @@ def qx63_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div (cast(n as decimal(38,0)) * r * c) as bigint)"
         ).alias("chi2_contrib_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx72: within-source quantile normalization of quality scores — map each
+# document's model logit to its percentile rank INSIDE its source, so
+# quality is comparable across sources whose raw score distributions
+# differ (the cross-source calibration step before a single global
+# quality threshold makes sense). Ranks make ties explicit and integer
+# arithmetic keeps the normalized value engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx72_quality_quantile_norm",
+    oracle=_QUALITY_LOGIT_SQL
+    + """
+    , r AS (
+        SELECT doc_id, source, logit_micro,
+               RANK() OVER (PARTITION BY source ORDER BY logit_micro) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM scored)
+    SELECT doc_id, source, logit_micro,
+           CAST(CASE WHEN n > 1 THEN (rk - 1) * 1000000 // (n - 1)
+                     ELSE 0 END AS BIGINT) AS pct_rank_e6
+    FROM r
+    """,
+)
+def qx72_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, logit_micro, pct_rank_e6): each doc's q79 quality
+    logit and its within-source percentile rank at 1e6 fixed point
+    ((rank-1)*1e6 div (n-1); RANK so exact ties normalize identically).
+
+    Plan: the shared quality_logits mapper (pure codegen exprs) followed
+    by one source-partitioned window — rank and the partition count ride
+    the same window exchange. Source partitions can be corpus-sized at
+    100 TB; if a single source dominates, the q33/rankstats two-pass
+    range-partitioned rank shape computes the identical rank without a
+    single-partition sort (documented trade; at the tested scales the
+    window plan is the faster one)."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = quality_logits(docs)
+    part = W.partitionBy("source")
+    r = s.select(
+        "doc_id",
+        "source",
+        "logit_micro",
+        F.rank().over(part.orderBy("logit_micro")).alias("rk"),
+        F.count(F.lit(1)).over(part).alias("n"),
+    )
+    return r.select(
+        "doc_id",
+        "source",
+        "logit_micro",
+        F.when(
+            F.col("n") > 1,
+            F.expr("(rk - 1) * 1000000 div (n - 1)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("pct_rank_e6"),
+    )

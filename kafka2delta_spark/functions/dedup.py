@@ -1814,3 +1814,87 @@ def qx69_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx71: corpus novelty (dedup saturation) curve — per ingest chunk, what
+# fraction of its shingle occurrences is content the corpus has never
+# seen before. The diminishing-returns curve that decides when to STOP
+# collecting from a source: a chunk whose novelty falls under a few
+# percent is re-crawling what dedup will delete anyway. Ingest order is
+# doc_id (the synthetic corpus's ingest key); "first seen" is the
+# minimum doc_id carrying the shingle.
+# ---------------------------------------------------------------------------
+
+#: docs per ingest chunk in the novelty curve
+NOVELTY_BUCKET = 100
+
+
+@register(
+    "qx71_corpus_novelty_curve",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh AS (
+        SELECT doc_id, {shingles_sql()} AS shs FROM t WHERE len(toks) >= 3),
+    sr AS (SELECT doc_id, unnest(shs) AS shingle FROM sh),
+    f AS (SELECT shingle, MIN(doc_id) AS first_doc FROM sr GROUP BY shingle),
+    per AS (
+        SELECT s.doc_id, COUNT(*) AS n_sh,
+               SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                   AS n_new
+        FROM sr s JOIN f USING (shingle) GROUP BY s.doc_id),
+    b AS (
+        SELECT doc_id // {NOVELTY_BUCKET} AS bucket, COUNT(*) AS n_docs,
+               SUM(n_sh) AS n_shingles, SUM(n_new) AS n_first_seen
+        FROM per GROUP BY doc_id // {NOVELTY_BUCKET})
+    SELECT CAST(bucket AS BIGINT)       AS bucket,
+           CAST(n_docs AS BIGINT)       AS n_docs,
+           CAST(n_shingles AS BIGINT)   AS n_shingles,
+           CAST(n_first_seen AS BIGINT) AS n_first_seen,
+           CAST(n_first_seen * 10000 // n_shingles AS BIGINT) AS novelty_e4
+    FROM b
+    """,
+)
+def qx71_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-{NOVELTY_BUCKET}-doc ingest chunk: shingle occurrences, how
+    many are first-ever occurrences (their minimum-doc_id carrier is in
+    this chunk's doc), and the novelty ratio at 1e4 fixed point.
+
+    Plan: one shingle-keyed hash-agg finds each shingle's first carrier;
+    joined back to the (checkpointed) shingle rows, everything else is
+    doc- then chunk-keyed hash-aggs with map-side partials. The join is
+    shingle-hash-partitioned — at 100 TB this is the same shuffle width
+    as building the dedup index itself, and the output is
+    corpus/{NOVELTY_BUCKET} rows. All counts integer; division is the
+    cross-engine truncating div."""
+    sr = shingle_rows(spark, sf_dir).localCheckpoint()
+    first = sr.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sr.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    return (
+        per.groupBy(F.expr(f"doc_id div {NOVELTY_BUCKET}").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_sh").cast("bigint").alias("n_shingles"),
+            F.sum("n_new").cast("bigint").alias("n_first_seen"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_docs",
+            "n_shingles",
+            "n_first_seen",
+            F.expr("cast(n_first_seen * 10000 div n_shingles as bigint)").alias(
+                "novelty_e4"
+            ),
+        )
+    )

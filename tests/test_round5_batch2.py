@@ -342,3 +342,55 @@ def test_streaming_cusum_replay_is_noop_and_matches_batch(spark, tmp_path):
         tuple(r) for r in qx64_cusum_changepoints(spark, SF_DIR).collect()
     )
     assert got_c == want_c
+
+
+def test_novelty_curve_conservation(spark):
+    """Bucket-level first-seen counts must conserve the global shingle
+    vocabulary, and a full Python replay must agree."""
+    from kafka2delta_spark.functions.dedup import (
+        NOVELTY_BUCKET,
+        qx71_corpus_novelty_curve,
+        shingle_rows,
+    )
+
+    rows = {r["bucket"]: r for r in qx71_corpus_novelty_curve(spark, SF_DIR).collect()}
+    sr = shingle_rows(spark, SF_DIR).collect()
+    first = {}
+    per_doc = defaultdict(set)
+    for r in sr:
+        per_doc[r["doc_id"]].add(r["shingle"])
+        if r["shingle"] not in first or r["doc_id"] < first[r["shingle"]]:
+            first[r["shingle"]] = r["doc_id"]
+    assert sum(r["n_first_seen"] for r in rows.values()) == len(first)
+    assert sum(r["n_shingles"] for r in rows.values()) == len(sr)
+    want = defaultdict(lambda: [0, 0, 0])  # docs, shingles, new
+    for d, shs in per_doc.items():
+        b = d // NOVELTY_BUCKET
+        want[b][0] += 1
+        want[b][1] += len(shs)
+        want[b][2] += sum(1 for s in shs if first[s] == d)
+    assert set(rows) == set(want)
+    for b, (nd, ns, nn) in want.items():
+        r = rows[b]
+        assert (r["n_docs"], r["n_shingles"], r["n_first_seen"]) == (nd, ns, nn)
+        assert r["novelty_e4"] == nn * 10000 // ns
+
+
+def test_quality_quantile_norm_is_rank_exact(spark):
+    from kafka2delta_spark.functions.curation import (
+        qx72_quality_quantile_norm,
+    )
+
+    rows = qx72_quality_quantile_norm(spark, SF_DIR).collect()
+    by_src = defaultdict(list)
+    for r in rows:
+        by_src[r["source"]].append(r)
+    for src, rs in by_src.items():
+        logits = sorted(r["logit_micro"] for r in rs)
+        n = len(logits)
+        for r in rs:
+            rk = logits.index(r["logit_micro"]) + 1  # RANK: 1 + #strictly-less
+            want = (rk - 1) * 1_000_000 // (n - 1) if n > 1 else 0
+            assert r["pct_rank_e6"] == want
+        assert min(r["pct_rank_e6"] for r in rs) == 0
+        assert max(r["pct_rank_e6"] for r in rs) <= 1_000_000
