@@ -1534,3 +1534,122 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx73: event-concentration audit — the Lorenz curve (per decile of
+# users, what share of total events the bottom d/10 of users generate)
+# and the Gini coefficient, both EXACT. The inequality audit run on
+# training corpora and traffic alike: a Gini near 1 means a handful of
+# power users (or template mills) dominate the data and per-user
+# capping/reweighting is warranted.
+#
+# Scale trick: no per-row global rank. Group users BY their count value
+# v into a histogram (v, m); within a run of tied values every ordering
+# gives the same rank-weighted sum, so Σ i·x_i collapses to the closed
+# form Σ v·(m·C_prev + m(m+1)/2) over the histogram, and Lorenz decile
+# points interpolate inside the containing run. The histogram is
+# bounded by max events-per-user, so all prefix sums run on
+# metadata-sized data — prefixes via the q75 triangular broadcast join,
+# never a single-partition window.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx73_event_concentration_gini",
+    oracle="""
+    WITH c AS (SELECT user_id, COUNT(*) AS v FROM events GROUP BY user_id),
+    h AS (SELECT v, COUNT(*) AS m FROM c GROUP BY v),
+    p AS (
+        SELECT v, m, v * m AS mass,
+               COALESCE(SUM(m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS c_prev,
+               COALESCE(SUM(v * m) OVER (ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS m_prev
+        FROM h),
+    t AS (
+        SELECT SUM(m)::HUGEINT AS n, SUM(mass)::HUGEINT AS sx,
+               SUM(v::HUGEINT * (m * c_prev + m * (m + 1) // 2)) AS sixi
+        FROM p),
+    d AS (SELECT unnest(generate_series(1, 10)) AS decile),
+    r AS (SELECT d.decile, (d.decile * t.n) // 10 AS rk
+          FROM d CROSS JOIN t),
+    l AS (
+        SELECT r.decile, r.rk,
+               p.m_prev + p.v * (r.rk - p.c_prev) AS cum_mass
+        FROM r JOIN p ON p.c_prev < r.rk AND r.rk <= p.c_prev + p.m)
+    SELECT CAST(l.decile AS INT)    AS decile,
+           CAST(l.rk AS BIGINT)     AS rank_at,
+           CAST(l.cum_mass AS BIGINT) AS cum_events,
+           CAST(l.cum_mass * 1000000 // t.sx AS BIGINT) AS lorenz_e6,
+           CAST((2 * t.sixi - (t.n + 1) * t.sx) * 1000000
+                // (t.n * t.sx) AS BIGINT) AS gini_e6
+    FROM l CROSS JOIN t
+    """,
+)
+def qx73_event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ten Lorenz-curve points (decile, rank, cumulative events, share at
+    1e6 fixed point) plus the exact Gini coefficient over per-user event
+    counts.
+
+    Plan: one data-sized hash-agg (user → count), one histogram agg
+    (count value → multiplicity, bounded by max events/user), then the
+    triangular broadcast join computes histogram prefix sums — the q75
+    offset idiom, so NOTHING funnels through a single-partition window.
+    Rank-weighted sums use the tie-run closed form (order within a run
+    of equal values cannot change Σ i·x_i), carried in decimal(38)/
+    HUGEINT; the decile lookup is a 10-row broadcast range join into the
+    histogram. Every output value is integer-exact."""
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("v"))
+    h = c.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+    prior = h.select(
+        F.col("v").alias("v2"),
+        F.col("m").alias("m2"),
+        (F.col("v") * F.col("m")).alias("mass2"),
+    )
+    pref = (
+        h.join(F.broadcast(prior), F.col("v2") < F.col("v"), "left")
+        .groupBy("v", "m")
+        .agg(
+            F.coalesce(F.sum("m2"), F.lit(0)).alias("c_prev"),
+            F.coalesce(F.sum("mass2"), F.lit(0)).alias("m_prev"),
+        )
+    )
+    dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
+    t = pref.agg(
+        F.sum("m").cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("v") * F.col("m")).cast("decimal(38,0)").alias("sx"),
+        F.sum(
+            dec("v")
+            * (
+                F.col("m") * F.col("c_prev")
+                + F.expr("m * (m + 1) div 2")
+            )
+        )
+        .cast("decimal(38,0)")
+        .alias("sixi"),
+    )
+    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    r = deciles.crossJoin(F.broadcast(t)).withColumn(
+        "rk", F.expr("cast((decile * n) div 10 as bigint)")
+    )
+    l = r.join(
+        F.broadcast(pref),
+        (F.col("c_prev") < F.col("rk"))
+        & (F.col("rk") <= F.col("c_prev") + F.col("m")),
+    ).withColumn(
+        "cum_mass", F.col("m_prev") + F.col("v") * (F.col("rk") - F.col("c_prev"))
+    )
+    return l.select(
+        "decile",
+        F.col("rk").cast("bigint").alias("rank_at"),
+        F.col("cum_mass").cast("bigint").alias("cum_events"),
+        F.expr("cast(cum_mass * 1000000 div sx as bigint)").alias("lorenz_e6"),
+        F.expr(
+            "cast((2 * sixi - (n + 1) * sx) * 1000000"
+            " div (n * sx) as bigint)"
+        ).alias("gini_e6"),
+    )

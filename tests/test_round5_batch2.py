@@ -394,3 +394,37 @@ def test_quality_quantile_norm_is_rank_exact(spark):
             assert r["pct_rank_e6"] == want
         assert min(r["pct_rank_e6"] for r in rs) == 0
         assert max(r["pct_rank_e6"] for r in rs) <= 1_000_000
+
+
+def test_gini_matches_bruteforce_rank_sum(spark):
+    """The histogram closed form must equal the naive sorted-rank Gini
+    (integer arithmetic replayed in Python), and the Lorenz curve must be
+    monotone, convex-bounded, and end at exactly 1e6."""
+    from kafka2delta_spark.operators.advanced import (
+        qx73_event_concentration_gini,
+    )
+
+    rows = sorted(
+        qx73_event_concentration_gini(spark, SF_DIR).collect(),
+        key=lambda r: r["decile"],
+    )
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    counts = defaultdict(int)
+    for r in ev:
+        counts[r["user_id"]] += 1
+    xs = sorted(counts.values())
+    n, sx = len(xs), sum(xs)
+    sixi = sum((i + 1) * x for i, x in enumerate(xs))
+    gini = (2 * sixi - (n + 1) * sx) * 1_000_000 // (n * sx)
+    assert all(r["gini_e6"] == gini for r in rows)
+    for r in rows:
+        rk = r["decile"] * n // 10
+        assert r["rank_at"] == rk
+        assert r["cum_events"] == sum(xs[:rk])
+        assert r["lorenz_e6"] == sum(xs[:rk]) * 1_000_000 // sx
+    shares = [r["lorenz_e6"] for r in rows]
+    assert shares == sorted(shares), "Lorenz must be monotone"
+    assert rows[-1]["lorenz_e6"] == 1_000_000
+    # below the diagonal (inequality): each decile's share <= its rank share
+    for r in rows:
+        assert r["lorenz_e6"] <= r["decile"] * 100_000 + 1
