@@ -44,38 +44,37 @@ def entry(spark: SparkSession) -> DataFrame:
 # originals stay registered so the full surface remains enumerable and
 # bench.py (which reads the registry directly) is unaffected.
 #
-# Round 5 (``a5_``) targets, exactly 50:
+# Round 5 (``a5_``) targets, exactly 50 — every query that has never
+# had a driver CORRECTNESS row, plus the four most-critically-modified:
 #   * qx17 — round 4's one red row (list-column canonicalization);
 #     its output is now '|'-joined strings, re-gated;
 #   * qx29..qx52 (24) — the round-4 additions the a4_ budget could not
-#     fit; with these every query in the registry has a driver
-#     CORRECTNESS row in some round. Several were also rewritten this
-#     round: qx30/qx50/qx52 (exact_percentiles_by_rank two-pass rank),
-#     qx37 (degree-ordered wedge orientation), qx44/qx45/qx49 (ADVICE
-#     fixes: HUGEINT ratio, NULL-safe NDV, rounded rank key);
-#   * every pre-existing query modified in round 5: q27 (rows-only HLL
-#     -> hash-gated KMV oracle), q53/q55/q56/q58/qx08/qx12 (single-
-#     trigger + no-data-batch drain changes), q57 (shared _open_stream
-#     signature change, default path re-checked), q79 (oracle CTE
-#     refactor), q88/qx06/q98/qx04/qx20/qx22/qx24 (_jaccard_pairs
-#     cache + pair-stats consumers), qx19 (kmv hash helper refactor),
-#     q36 (scale-note docstring; unchanged plan re-pinned);
+#     fit. Several were also rewritten this round: qx30/qx50/qx52
+#     (exact_percentiles_by_rank two-pass rank), qx37 (degree-ordered
+#     wedge orientation), qx44/qx45/qx49 (ADVICE fixes);
 #   * round-5 additions qx53..qx59 (weighted median by rank,
 #     edit-distance pair verify, schema-evolution merge, per-source
-#     quality cutoff, matrix-free PCA power iteration, IVM with
-#     retractions, rolling KMV distinct).
-# Left on prior rounds' verification: everything else is r01-r04
-# driver-green on code untouched since. q55 remains rows-only by
-# design (watermark progression); q27 graduates to a full hash oracle
-# this round, leaving q55 the only rows-only query.
+#     quality cutoff, matrix-free PCA, IVM with retractions, rolling
+#     KMV distinct) and qx60..qx73 (PPJoin exact similarity join, KMV
+#     overlap, mode, chi2, CUSUM batch+streaming, centroid drift,
+#     k-core, temporal split, dedup funnel, source overlap, novelty
+#     curve, quantile norm, Lorenz/Gini) — 21 more never-gated queries;
+#   * modified re-verifies the remaining 4 slots can carry: q27 (oracle
+#     CHANGED, rows-only HLL -> hash-gated KMV), q57 (shared
+#     _open_stream signature change), q88 (the pair-stats cache every
+#     graph consumer rides), qx04 (edge-cache refactor).
+# Queries modified in round 5 whose semantics and oracles are UNCHANGED
+# (q36 docstring, q53/q55/q56/q58/qx08/qx12 drain tuning, q79 oracle
+# CTE refactor, q98/qx06/qx19/qx20/qx22/qx24 shared-helper refactors)
+# stay on their prior-round driver rows plus this round's local
+# tri-scale artifacts (173/0/1 at sf0.001, sf0.01, sf0.1). q55 remains
+# the only rows-only query (watermark progression by design).
 _ALIAS_PREFIX = "a5_"
 
 _A5_KEYS = (
     {"qx17"}
-    | {f"qx{i}" for i in range(29, 53)}  # qx29..qx52
-    | {"q27", "q36", "q53", "q55", "q56", "q57", "q58", "q79", "q88", "q98"}
-    | {"qx04", "qx06", "qx08", "qx12", "qx19", "qx20", "qx22", "qx24"}
-    | {f"qx{i}" for i in range(53, 60)}  # round-5 additions
+    | {f"qx{i}" for i in range(29, 74)}  # qx29..qx73
+    | {"q27", "q57", "q88", "qx04"}
 )
 
 
