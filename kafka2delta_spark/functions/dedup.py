@@ -1898,3 +1898,184 @@ def qx71_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx75: LSH band-configuration sweep — recall AND candidate cost of
+# MinHash banding at (rows-per-band, bands) ∈ {(2,4), (4,2), (8,1)}
+# over the SAME 8-hash signatures, measured against the exact
+# Jaccard >= 0.5 pair set (qx60's definition). The S-curve theory says
+# P(candidate) = 1 - (1 - s^r)^b; this measures it on the real corpus —
+# the evidence a pipeline owner needs before trading q86's r=2 default
+# for a cheaper-but-stricter banding. Bucket caps apply identically in
+# both engines, so every count is exact.
+# ---------------------------------------------------------------------------
+
+SWEEP_CONFIGS = [(2, 4), (4, 2), (8, 1)]  # (rows_per_band, n_bands)
+
+
+def _qx75_oracle() -> str:
+    per_cfg = []
+    for r, b in SWEEP_CONFIGS:
+        band_cols = ", ".join(
+            "(" + " || ".join(f"mh{k * r + j}" for j in range(r)) + f") AS band{k}"
+            for k in range(b)
+        )
+        unnest = " UNION ALL ".join(
+            f"SELECT doc_id, {k} AS band_id, band{k} AS band_key"
+            f" FROM banded_{r}" for k in range(b)
+        )
+        per_cfg.append(
+            f"""banded_{r} AS (SELECT doc_id, {band_cols} FROM mh),
+    bands_{r} AS ({unnest}),
+    widths_{r} AS (
+        SELECT band_id, band_key, COUNT(*) AS w
+        FROM bands_{r} GROUP BY band_id, band_key),
+    cand_{r} AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_{r} a JOIN bands_{r} b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        JOIN widths_{r} w
+          ON w.band_id = a.band_id AND w.band_key = a.band_key
+        WHERE w.w <= {BAND_BUCKET_CAP}),
+    stat_{r} AS (
+        SELECT {r} AS rows_per_band, {b} AS n_bands,
+               (SELECT COUNT(*) FROM cand_{r}) AS n_candidates,
+               (SELECT COUNT(*) FROM truth)    AS n_true,
+               (SELECT COUNT(*) FROM cand_{r} c
+                JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b)
+                   AS n_hits)"""
+        )
+    union = " UNION ALL ".join(
+        f"SELECT * FROM stat_{r}" for r, _ in SWEEP_CONFIGS
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh_t AS (
+        SELECT doc_id, {shingles_sql()} AS sh FROM t WHERE len(toks) >= 3),
+    mh AS MATERIALIZED (
+        SELECT doc_id, {_MINHASH_SQL} FROM sh_t),
+    tok AS (SELECT doc_id, unnest(sh) AS tok FROM sh_t),
+    sz AS (SELECT doc_id, len(sh) AS sz FROM sh_t),
+    pr AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    truth AS MATERIALIZED (
+        SELECT doc_a, doc_b
+        FROM pr
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE 1000 * inter >= {PPJOIN_T_E3} * (sa.sz + sb.sz - inter)),
+    {",".join(per_cfg)}
+    SELECT CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(n_bands AS INT)      AS n_bands,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_true AS BIGINT)       AS n_true,
+           CAST(n_hits AS BIGINT)       AS n_hits,
+           CAST(n_hits * 10000 // n_true AS BIGINT) AS recall_e4,
+           CAST(CASE WHEN n_candidates = 0 THEN 0
+                     ELSE n_hits * 10000 // n_candidates END AS BIGINT)
+               AS precision_e4
+    FROM ({union})
+    """
+
+
+@register("qx75_lsh_band_sweep", oracle=_qx75_oracle())
+def qx75_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per LSH banding configuration over the same 8 minhashes:
+    candidate-pair count, exact true-pair count (shingle Jaccard >= 0.5),
+    hits, and integer recall/precision at 1e4 — measured, not the
+    S-curve formula.
+
+    Plan: the minhash signature table is computed ONCE (localCheckpoint)
+    and re-banded three ways — banding is a pure projection, so each
+    config costs one band-key shuffle + in-bucket pair expansion under
+    the SAME width cap as q86. Ground truth reuses qx60's exact
+    prefix-filter join (itself checkpoint-shared). Every count is an
+    exact integer, so the sweep is hash-gated, unlike typical
+    recall-eval harnesses that only sample."""
+    sh = shingle_rows(spark, sf_dir)
+    hashed = sh.select(
+        "doc_id",
+        *[
+            F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))).alias(
+                f"h{seed}"
+            )
+            for seed in range(N_MINHASH)
+        ],
+    )
+    mh = (
+        hashed.groupBy("doc_id")
+        .agg(
+            *[
+                F.min(f"h{seed}").alias(f"mh{seed}")
+                for seed in range(N_MINHASH)
+            ]
+        )
+        .localCheckpoint()
+    )
+    truth = (
+        qx60_prefix_filter_jaccard_join(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
+    n_true = truth.count()
+    outs = []
+    for r, b in SWEEP_CONFIGS:
+        banded = mh.select(
+            "doc_id",
+            *[
+                F.concat(
+                    *[F.col(f"mh{k * r + j}") for j in range(r)]
+                ).alias(f"band{k}")
+                for k in range(b)
+            ],
+        )
+        bands = banded.selectExpr(
+            "doc_id",
+            f"stack({b}, "
+            + ", ".join(f"{k}, band{k}" for k in range(b))
+            + ") AS (band_id, band_key)",
+        )
+        buckets = bands.groupBy("band_id", "band_key").agg(
+            F.sort_array(F.collect_list("doc_id")).alias("ids")
+        )
+        cand = (
+            pairs_within_groups(
+                buckets.filter(F.size("ids").between(2, BAND_BUCKET_CAP))
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        stats = cand.join(
+            truth.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left"
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.coalesce(F.sum("__hit"), F.lit(0))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+        outs.append(
+            stats.select(
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(b).cast("int").alias("n_bands"),
+                "n_candidates",
+                F.lit(n_true).cast("bigint").alias("n_true"),
+                "n_hits",
+                F.expr(f"cast(n_hits * 10000 div {n_true} as bigint)").alias(
+                    "recall_e4"
+                ),
+                F.expr(
+                    "cast(case when n_candidates = 0 then 0"
+                    " else n_hits * 10000 div n_candidates end as bigint)"
+                ).alias("precision_e4"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

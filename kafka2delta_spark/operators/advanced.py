@@ -1653,3 +1653,126 @@ def qx73_event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame
             " div (n * sx) as bigint)"
         ).alias("gini_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx74: grouped feature-correlation audit — pairwise Pearson correlation
+# between the candidate features (event value, hour-of-day, day-of-week)
+# per event type. The pre-training redundancy check: two features with
+# |r| near 1 carry one feature's worth of signal; a target uncorrelated
+# with everything needs new features, not more rows. Numerators and
+# variance terms are exact integers (the qx41/qx29 n·Σxy − ΣxΣy shape in
+# decimal(38)/HUGEINT, compared as strings); r itself converts the three
+# exact integers to double and applies only IEEE correctly-rounded ops
+# (multiply, sqrt, divide — the qx65 argument), then rounds to 4 dp.
+# ---------------------------------------------------------------------------
+
+_QX74_FEATS = [
+    ("value_e3", "CAST(FLOOR(value * 1000) AS BIGINT)", "floor(value * 1000)"),
+    ("hod", "CAST(EXTRACT(hour FROM ts) AS BIGINT)", "hour(ts)"),
+    ("dow", "CAST(EXTRACT(isodow FROM ts) AS BIGINT)", "weekday(ts) + 1"),
+]
+
+
+def _qx74_oracle() -> str:
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    sums = ",\n               ".join(
+        [f"COUNT(*)::HUGEINT AS n"]
+        + [f"SUM({name})::HUGEINT AS s_{name}" for name, _, _ in _QX74_FEATS]
+        + [
+            f"SUM({name}::HUGEINT * {name})::HUGEINT AS ss_{name}"
+            for name, _, _ in _QX74_FEATS
+        ]
+        + [
+            f"SUM({_QX74_FEATS[i][0]}::HUGEINT * {_QX74_FEATS[j][0]})::HUGEINT"
+            f" AS sp_{i}{j}"
+            for i, j in pairs
+        ]
+    )
+    rows = []
+    for i, j in pairs:
+        a, b = _QX74_FEATS[i][0], _QX74_FEATS[j][0]
+        num = f"(n * sp_{i}{j} - s_{a} * s_{b})"
+        da = f"(n * ss_{a} - s_{a} * s_{a})"
+        db = f"(n * ss_{b} - s_{b} * s_{b})"
+        rows.append(
+            f"""SELECT event_type, '{a}' AS feat_a, '{b}' AS feat_b,
+               CAST(n AS BIGINT) AS n,
+               {num}::VARCHAR AS cov_num,
+               ROUND({num}::DOUBLE / sqrt({da}::DOUBLE * {db}::DOUBLE), 4)
+                   AS pearson_r
+            FROM agg"""
+        )
+    feats = ", ".join(f"{expr} AS {name}" for name, expr, _ in _QX74_FEATS)
+    union = "\n        UNION ALL ".join(rows)
+    return f"""
+    WITH f AS (SELECT event_type, {feats} FROM events),
+    agg AS (
+        SELECT event_type,
+               {sums}
+        FROM f GROUP BY event_type)
+    {union}
+    """
+
+
+@register("qx74_feature_correlation_audit", oracle=_qx74_oracle())
+def qx74_feature_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, feat_a, feat_b, n, exact covariance numerator,
+    pearson_r) for the three feature pairs over (value_e3, hour-of-day,
+    ISO day-of-week).
+
+    Plan: one pass, one hash-agg per event type computing all ten
+    sufficient statistics (n, 3 sums, 3 sums of squares, 3 cross
+    products) with map-side partials — the classic sufficient-statistics
+    reduction, so the correlation matrix costs ONE shuffle of 10-cell
+    rows at any corpus size. The three output rows per group are
+    projections of the same aggregate row, not re-scans."""
+    events = load_table(spark, sf_dir, "events")
+    f = events.select(
+        "event_type",
+        *[
+            F.expr(spark_expr).cast("bigint").alias(name)
+            for name, _, spark_expr in _QX74_FEATS
+        ],
+    )
+    names = [name for name, _, _ in _QX74_FEATS]
+    pairs = [(0, 1), (0, 2), (1, 2)]
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    agg = f.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        *[F.sum(n_).cast("decimal(38,0)").alias(f"s_{n_}") for n_ in names],
+        *[
+            F.sum(dec(n_) * F.col(n_)).cast("decimal(38,0)").alias(f"ss_{n_}")
+            for n_ in names
+        ],
+        *[
+            F.sum(dec(names[i]) * F.col(names[j]))
+            .cast("decimal(38,0)")
+            .alias(f"sp_{i}{j}")
+            for i, j in pairs
+        ],
+    )
+    outs = []
+    for i, j in pairs:
+        a, b = names[i], names[j]
+        num = F.expr(f"n * sp_{i}{j} - s_{a} * s_{b}").cast("decimal(38,0)")
+        da = F.expr(f"n * ss_{a} - s_{a} * s_{a}").cast("decimal(38,0)")
+        db = F.expr(f"n * ss_{b} - s_{b} * s_{b}").cast("decimal(38,0)")
+        outs.append(
+            agg.select(
+                "event_type",
+                F.lit(a).alias("feat_a"),
+                F.lit(b).alias("feat_b"),
+                F.col("n").cast("bigint").alias("n"),
+                num.cast("string").alias("cov_num"),
+                F.round(
+                    num.cast("double")
+                    / F.sqrt(da.cast("double") * db.cast("double")),
+                    4,
+                ).alias("pearson_r"),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

@@ -428,3 +428,104 @@ def test_gini_matches_bruteforce_rank_sum(spark):
     # below the diagonal (inequality): each decile's share <= its rank share
     for r in rows:
         assert r["lorenz_e6"] <= r["decile"] * 100_000 + 1
+
+
+def test_feature_correlation_matches_python(spark):
+    """Exact covariance numerators replayed in Python int arithmetic."""
+    from kafka2delta_spark.operators.advanced import (
+        qx74_feature_correlation_audit,
+    )
+
+    rows = qx74_feature_correlation_audit(spark, SF_DIR).collect()
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    feats = defaultdict(list)
+    for r in ev:
+        ts = r["ts"]
+        feats[r["event_type"]].append(
+            {
+                "value_e3": math.floor(r["value"] * 1000),
+                "hod": ts.hour,
+                "dow": ts.isoweekday(),
+            }
+        )
+    for r in rows:
+        xs = [f[r["feat_a"]] for f in feats[r["event_type"]]]
+        ys = [f[r["feat_b"]] for f in feats[r["event_type"]]]
+        n = len(xs)
+        num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+        assert r["n"] == n
+        assert int(r["cov_num"]) == num
+        da = n * sum(x * x for x in xs) - sum(xs) ** 2
+        db = n * sum(y * y for y in ys) - sum(ys) ** 2
+        want_r = num / math.sqrt(da * db)
+        assert abs(r["pearson_r"] - want_r) < 5e-4
+
+
+def test_lsh_sweep_matches_python_minhash(spark):
+    """Third independent implementation: hashlib minhash + banding +
+    width cap in pure Python must reproduce every sweep count, and
+    recall must be non-increasing in rows-per-band."""
+    import hashlib
+
+    from kafka2delta_spark.functions.dedup import (
+        BAND_BUCKET_CAP,
+        N_MINHASH,
+        PPJOIN_T_E3,
+        SWEEP_CONFIGS,
+        qx75_lsh_band_sweep,
+    )
+
+    rows = {
+        r["rows_per_band"]: r
+        for r in qx75_lsh_band_sweep(spark, SF_DIR).collect()
+    }
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    shingles = {}
+    for d in docs:
+        w = d["text"].lower().split()
+        if len(w) >= 3:
+            shingles[d["doc_id"]] = {
+                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+            }
+    sig = {
+        doc: [
+            min(
+                hashlib.md5(f"{seed}:{s}".encode()).hexdigest()
+                for s in shs
+            )
+            for seed in range(N_MINHASH)
+        ]
+        for doc, shs in shingles.items()
+    }
+    ids = sorted(shingles)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(shingles[a] & shingles[b])
+            union = len(shingles[a] | shingles[b])
+            if 1000 * inter >= PPJOIN_T_E3 * union:
+                truth.add((a, b))
+    for r, nb in SWEEP_CONFIGS:
+        buckets = defaultdict(list)
+        for doc, mh in sig.items():
+            for k in range(nb):
+                buckets[(k, "".join(mh[k * r : k * r + r]))].append(doc)
+        cand = set()
+        for ds in buckets.values():
+            if 2 <= len(ds) <= BAND_BUCKET_CAP:
+                ds = sorted(ds)
+                for i, a in enumerate(ds):
+                    for b in ds[i + 1 :]:
+                        cand.add((a, b))
+        row = rows[r]
+        assert row["n_candidates"] == len(cand)
+        assert row["n_true"] == len(truth)
+        assert row["n_hits"] == len(cand & truth)
+    recalls = [rows[r]["recall_e4"] for r, _ in SWEEP_CONFIGS]
+    assert recalls == sorted(recalls, reverse=True), (
+        "stricter banding must not gain recall"
+    )
