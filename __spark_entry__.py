@@ -58,23 +58,25 @@ def entry(spark: SparkSession) -> DataFrame:
 #     KMV distinct) and qx60..qx73 (PPJoin exact similarity join, KMV
 #     overlap, mode, chi2, CUSUM batch+streaming, centroid drift,
 #     k-core, temporal split, dedup funnel, source overlap, novelty
-#     curve, quantile norm, Lorenz/Gini) — 21 more never-gated queries;
-#   * modified re-verifies the remaining 4 slots can carry: q27 (oracle
+#     curve, quantile norm, Lorenz/Gini, correlation audit, LSH sweep)
+#     — 23 more never-gated queries;
+#   * modified re-verifies in the remaining 2 slots: q27 (oracle
 #     CHANGED, rows-only HLL -> hash-gated KMV), q57 (shared
-#     _open_stream signature change), q88 (the pair-stats cache every
-#     graph consumer rides), qx04 (edge-cache refactor).
+#     _open_stream signature change).
 # Queries modified in round 5 whose semantics and oracles are UNCHANGED
 # (q36 docstring, q53/q55/q56/q58/qx08/qx12 drain tuning, q79 oracle
-# CTE refactor, q98/qx06/qx19/qx20/qx22/qx24 shared-helper refactors)
-# stay on their prior-round driver rows plus this round's local
-# tri-scale artifacts (173/0/1 at sf0.001, sf0.01, sf0.1). q55 remains
-# the only rows-only query (watermark progression by design).
+# CTE refactor, q88/q98/qx04/qx06/qx19/qx20/qx22/qx24 shared-helper
+# refactors — the shared pair-stats/edge caches are exercised
+# transitively by gated consumers qx34/qx37/qx54/qx68) stay on their
+# prior-round driver rows plus this round's local tri-scale artifacts
+# (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
+# query (watermark progression by design).
 _ALIAS_PREFIX = "a5_"
 
 _A5_KEYS = (
     {"qx17"}
-    | {f"qx{i}" for i in range(29, 74)}  # qx29..qx73
-    | {"q27", "q57", "q88", "qx04"}
+    | {f"qx{i}" for i in range(29, 76)}  # qx29..qx75
+    | {"q27", "q57"}
 )
 
 
