@@ -420,3 +420,100 @@ def qx07_image_header_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "color_type",
         F.round(F.col("width") / F.col("height"), 4).alias("aspect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx77: GPU batch planner over parsed image headers — group images by
+# (orientation, pixel-size class) so a resize/encode kernel processes
+# near-uniform shapes, then pack each class into fixed pixel-budget
+# batches with q64's cumsum rule. This is the scheduling layer between
+# qx07's metadata parse and the (env-gated) decoders: the plan is pure
+# relational work and runs at full scale with or without image libs.
+# ---------------------------------------------------------------------------
+
+#: pixels per decode batch (~2 megapixel budget per kernel launch)
+PIX_BUDGET = 1 << 21
+
+
+def _qx77_oracle() -> str:
+    return f"""
+    WITH dims AS (
+        SELECT doc_id,
+               640 + doc_id % 1280 AS w,
+               360 + doc_id % 720  AS h
+        FROM documents),
+    cls AS (
+        SELECT doc_id, w * h AS px,
+               CASE WHEN w > h THEN 'landscape'
+                    WHEN w < h THEN 'portrait'
+                    ELSE 'square' END
+               || '_' ||
+               CASE WHEN w * h >= 1000000 THEN 'large' ELSE 'small' END
+                   AS shape_class
+        FROM dims),
+    cum AS (
+        SELECT shape_class, px,
+               SUM(px) OVER (PARTITION BY shape_class ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS c
+        FROM cls),
+    packed AS (
+        SELECT shape_class, px, (c - 1) // {PIX_BUDGET} AS batch_id
+        FROM cum)
+    SELECT shape_class,
+           CAST(batch_id AS BIGINT)  AS batch_id,
+           CAST(COUNT(*) AS BIGINT)  AS n_images,
+           CAST(SUM(px) AS BIGINT)   AS batch_pixels,
+           CAST(SUM(px) * 10000 // {PIX_BUDGET} AS BIGINT) AS fill_e4
+    FROM packed GROUP BY shape_class, batch_id
+    """
+
+
+@register("qx77_image_batch_plan", oracle=_qx77_oracle())
+def qx77_image_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shape_class, batch_id, n_images, batch_pixels, fill_e4): decode
+    batches per orientation × size class under a {PIX_BUDGET}-pixel
+    budget, batch id = cumulative-pixels div budget (q64's parallel
+    first-fit approximation — an image may straddle its boundary; the
+    kernel's scatter handles the tail).
+
+    Plan: dimensions come from the qx07 header-parse arithmetic (the
+    documented stand-in for real blobs — batching logic is identical
+    either way); the per-class cumulative sum is two_level_cumsum, so a
+    corpus that is 99% landscape_small still packs in parallel instead
+    of serializing into one task. Output is batches, not images —
+    corpus_pixels/{PIX_BUDGET} rows."""
+    from kafka2delta_spark.functions.pipeline import two_level_cumsum
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    dims = docs.select(
+        "doc_id",
+        (F.lit(640) + F.col("doc_id") % 1280).alias("w"),
+        (F.lit(360) + F.col("doc_id") % 720).alias("h"),
+    )
+    cls = dims.select(
+        "doc_id",
+        (F.col("w") * F.col("h")).alias("px"),
+        F.concat(
+            F.when(F.col("w") > F.col("h"), F.lit("landscape"))
+            .when(F.col("w") < F.col("h"), F.lit("portrait"))
+            .otherwise(F.lit("square")),
+            F.lit("_"),
+            F.when(F.col("w") * F.col("h") >= 1_000_000, F.lit("large"))
+            .otherwise(F.lit("small")),
+        ).alias("shape_class"),
+    )
+    cum = two_level_cumsum(
+        spark, cls, ["shape_class"], [F.col("doc_id")], "px"
+    )
+    packed = cum.select(
+        "shape_class",
+        "px",
+        F.expr(f"(__cum - 1) div {PIX_BUDGET}").alias("batch_id"),
+    )
+    return packed.groupBy("shape_class", "batch_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_images"),
+        F.sum("px").cast("bigint").alias("batch_pixels"),
+        F.expr(f"cast(sum(px) * 10000 div {PIX_BUDGET} as bigint)").alias(
+            "fill_e4"
+        ),
+    )

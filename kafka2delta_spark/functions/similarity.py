@@ -1027,3 +1027,115 @@ def qx65_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx76: inter-label centroid separation matrix — exact squared L2 between
+# every pair of label centroids (fixed-point integer means) plus the
+# cosine between their sum vectors. Complements qx65 (each label vs the
+# global centroid): two labels whose centroids nearly coincide are the
+# classes a classifier trained on these embeddings will confuse, and the
+# clusters IVF probing (q93) will cross-pollinate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx76_centroid_separation",
+    oracle=f"""
+    WITH x AS (
+        SELECT label,
+               unnest([{{'dim': i,
+                         'v': CAST(FLOOR(embedding[i]::DOUBLE
+                                         * {DIMSTAT_SCALE}) AS BIGINT)}}
+                       for i in generate_series(1, len(embedding))]) AS u
+        FROM embeddings),
+    f AS (SELECT label, u.dim AS dim, u.v AS v FROM x),
+    s AS (
+        SELECT label, dim, SUM(v)::HUGEINT AS s, COUNT(*) AS n
+        FROM f GROUP BY label, dim),
+    c AS (SELECT label, dim, s // n AS c, s FROM s),
+    p AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               SUM((a.c - b.c) * (a.c - b.c))::HUGEINT AS d2,
+               SUM(a.s * b.s)::HUGEINT  AS dot,
+               SUM(a.s * a.s)::HUGEINT  AS na,
+               SUM(b.s * b.s)::HUGEINT  AS nb
+        FROM c a JOIN c b ON a.dim = b.dim AND a.label < b.label
+        GROUP BY a.label, b.label)
+    SELECT label_a, label_b,
+           CAST(d2 AS BIGINT) AS d2_e12,
+           ROUND(dot::DOUBLE / sqrt(na::DOUBLE * nb::DOUBLE), 4) AS cosine
+    FROM p
+    """,
+)
+def qx76_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label_a, label_b, exact squared centroid distance at 1e12 fixed
+    point, cosine between label sum vectors) for every label pair.
+
+    Exactness: centroids are integer means (s div n, the truncating-div
+    identity), so the squared distance is a plain int64 sum — means are
+    DIMSTAT_SCALE-bounded regardless of corpus size, so d2 <=
+    64·(2e6)² ≈ 2.6e14 can never overflow. The cosine applies the qx65
+    IEEE argument to exact decimal dots.
+
+    Plan: after the (label, dim) hash-agg everything is
+    |labels|·64 rows — the pair join is a broadcast self-join on dim
+    with a label inequality, metadata-sized at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    f = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "pos", "x"
+        ),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("x") * DIMSTAT_SCALE).cast("bigint").alias("v"),
+    )
+    s = f.groupBy("label", "dim").agg(
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    c = s.select(
+        "label",
+        "dim",
+        F.expr("cast(s div n as bigint)").alias("c"),
+        "s",
+    )
+    a = c.select(
+        F.col("label").alias("label_a"),
+        "dim",
+        F.col("c").alias("ca"),
+        F.col("s").alias("sa"),
+    )
+    b = c.select(
+        F.col("label").alias("label_b"),
+        "dim",
+        F.col("c").alias("cb"),
+        F.col("s").alias("sb"),
+    )
+    p = (
+        a.join(
+            F.broadcast(b),
+            (a["dim"] == b["dim"]) & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            .cast("bigint")
+            .alias("d2_e12"),
+            F.sum(F.col("sa") * F.col("sb")).cast("decimal(38,0)").alias("dot"),
+            F.sum(F.col("sa") * F.col("sa")).cast("decimal(38,0)").alias("na"),
+            F.sum(F.col("sb") * F.col("sb")).cast("decimal(38,0)").alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a",
+        "label_b",
+        "d2_e12",
+        F.round(
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double")),
+            4,
+        ).alias("cosine"),
+    )

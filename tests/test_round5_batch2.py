@@ -529,3 +529,77 @@ def test_lsh_sweep_matches_python_minhash(spark):
     assert recalls == sorted(recalls, reverse=True), (
         "stricter banding must not gain recall"
     )
+
+
+def test_centroid_separation_matches_numpy(spark):
+    np = pytest.importorskip("numpy")
+    from kafka2delta_spark.functions.similarity import (
+        DIMSTAT_SCALE,
+        qx76_centroid_separation,
+    )
+
+    rows = qx76_centroid_separation(spark, SF_DIR).collect()
+    emb = (
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        .select("label", "embedding")
+        .collect()
+    )
+    sums = defaultdict(lambda: None)
+    ns = defaultdict(int)
+    for r in emb:
+        v = np.floor(
+            np.array(r["embedding"], dtype=np.float64) * DIMSTAT_SCALE
+        ).astype(object)
+        sums[r["label"]] = v if sums[r["label"]] is None else sums[r["label"]] + v
+        ns[r["label"]] += 1
+    labels = sorted(sums)
+    assert len(rows) == len(labels) * (len(labels) - 1) // 2
+    trunc_div = lambda s, n: int(s // n) if s >= 0 else -int((-s) // n)
+    for r in rows:
+        a, b = r["label_a"], r["label_b"]
+        ca = [trunc_div(s, ns[a]) for s in sums[a]]
+        cb = [trunc_div(s, ns[b]) for s in sums[b]]
+        d2 = sum((x - y) ** 2 for x, y in zip(ca, cb))
+        assert r["d2_e12"] == d2
+        dot = int(np.dot(sums[a], sums[b]))
+        cos = dot / math.sqrt(
+            float(np.dot(sums[a], sums[a])) * float(np.dot(sums[b], sums[b]))
+        )
+        assert abs(r["cosine"] - cos) < 5e-4
+
+
+def test_image_batch_plan_replays_packing(spark):
+    from kafka2delta_spark.functions.multimodal import (
+        PIX_BUDGET,
+        qx77_image_batch_plan,
+    )
+
+    rows = qx77_image_batch_plan(spark, SF_DIR).collect()
+    docs = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    )
+    want = defaultdict(lambda: [0, 0])  # (class, batch) -> [n, px]
+    cum = defaultdict(int)
+    for d in docs:
+        w, h = 640 + d % 1280, 360 + d % 720
+        px = w * h
+        cls = (
+            ("landscape" if w > h else "portrait" if w < h else "square")
+            + "_"
+            + ("large" if px >= 1_000_000 else "small")
+        )
+        cum[cls] += px
+        b = (cum[cls] - 1) // PIX_BUDGET
+        want[(cls, b)][0] += 1
+        want[(cls, b)][1] += px
+    got = {(r["shape_class"], r["batch_id"]): (r["n_images"], r["batch_pixels"]) for r in rows}
+    assert got == {k: tuple(v) for k, v in want.items()}
+    # batch ids are contiguous from 0 within each class
+    by_cls = defaultdict(list)
+    for cls, b in got:
+        by_cls[cls].append(b)
+    for cls, bs in by_cls.items():
+        assert sorted(bs) == list(range(len(bs)))
