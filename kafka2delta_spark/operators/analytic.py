@@ -1680,3 +1680,137 @@ def qx53_weighted_median_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wmedian_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx78: frequent event-sequence motifs — consecutive in-session
+# event-type trigrams with support counts. The sequential-pattern-mining
+# primitive (the bounded-window core of SPAM/PrefixSpan) behavior
+# analytics runs to find funnels nobody designed: a high-support
+# "view > error > view" says retry loops; "search > view > purchase"
+# validates the intended funnel.
+# ---------------------------------------------------------------------------
+
+MOTIF_MIN_SUPPORT = 1
+
+
+@register(
+    "qx78_sequence_motifs",
+    oracle=f"""
+    WITH {SESSIONIZED_SQL},
+    tri AS (
+        SELECT event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3,
+               user_id
+        FROM s
+        WINDOW w AS (PARTITION BY user_id, session_seq
+                     ORDER BY ts, event_id))
+    SELECT t1, t2, t3,
+           CAST(COUNT(*) AS BIGINT)                 AS support,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT)  AS n_users
+    FROM tri WHERE t3 IS NOT NULL
+    GROUP BY t1, t2, t3
+    HAVING COUNT(*) >= {MOTIF_MIN_SUPPORT}
+    """,
+)
+def qx78_sequence_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t1, t2, t3, support, n_users) for every consecutive in-session
+    event-type trigram (support floor MOTIF_MIN_SUPPORT; output is
+    bounded by the |types|^3 motif alphabet regardless) — session
+    boundaries cut the sequence, so a motif never spans the 30-minute
+    inactivity gap.
+
+    Plan: the shared sessionizer's user_id shuffle also serves the
+    lead windows (session partitions are sub-partitions of user
+    partitions, no second exchange); trigram expansion is two leads —
+    one output row per event, never a self-join; the final hash-agg
+    keys on the |types|³-bounded motif alphabet. At 100 TB this is one
+    user-keyed exchange plus an alphabet-sized agg."""
+    s = sessionize_events(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = s.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+        "user_id",
+    ).filter(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("t1", "t2", "t3")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("support"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .filter(F.col("support") >= MOTIF_MIN_SUPPORT)
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx79: LINEAR multi-touch attribution — qx39 gives the first touch all
+# the credit; here every event preceding a purchase in its session gets
+# an equal share (1e6 div k micro-credits for a purchase with k prior
+# touches), aggregated per channel. Exact integer credits: the truncating
+# division is applied per purchase identically in both engines, so the
+# totals hash-match.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx79_linear_attribution",
+    oracle=f"""
+    WITH {SESSIONIZED_SQL},
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_seq
+                                     ORDER BY ts, event_id) AS rn
+        FROM s),
+    p AS (
+        SELECT user_id, session_seq, ts, event_id, v1000, rn - 1 AS k
+        FROM r WHERE event_type = 'purchase' AND rn > 1),
+    touch AS (
+        SELECT t.event_type, p.k, p.v1000
+        FROM r t JOIN p
+          ON t.user_id = p.user_id AND t.session_seq = p.session_seq
+         AND (t.ts < p.ts OR (t.ts = p.ts AND t.event_id < p.event_id)))
+    SELECT event_type,
+           CAST(SUM(1000000 // k) AS BIGINT)          AS credit_e6,
+           CAST(COUNT(*) AS BIGINT)                   AS n_touches,
+           CAST(SUM(v1000 // k) AS BIGINT)            AS revenue_1000_share
+    FROM touch GROUP BY event_type
+    """,
+)
+def qx79_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, credit_e6, n_touches, revenue_1000_share): every
+    event strictly before a purchase in the same session earns
+    1e6 div k micro-credits and v1000 div k milli-revenue, k = the
+    purchase's prior-touch count (its session row_number - 1).
+    Purchases opening a session (k = 0) attribute nothing.
+
+    Plan: the sessionizer's user shuffle serves the row_number window
+    too; the prior-touch join is session-bounded (purchases join only
+    their OWN session's earlier rows — quadratic in session length, the
+    same bounded-basket argument as qx36/qx48, never cross-user), and
+    the final agg keys on the channel alphabet. Integer divisions
+    truncate identically cross-engine per the qx29 identity."""
+    s = sessionize_events(load_table(spark, sf_dir, "events"))
+    w = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    r = s.withColumn("rn", F.row_number().over(w))
+    p = (
+        r.filter((F.col("event_type") == "purchase") & (F.col("rn") > 1))
+        .select(
+            "user_id",
+            "session_seq",
+            F.col("ts").alias("pts"),
+            F.col("event_id").alias("pid"),
+            F.col("v1000").alias("pv"),
+            (F.col("rn") - 1).alias("k"),
+        )
+    )
+    touch = r.join(p, ["user_id", "session_seq"]).filter(
+        (F.col("ts") < F.col("pts"))
+        | ((F.col("ts") == F.col("pts")) & (F.col("event_id") < F.col("pid")))
+    )
+    return touch.groupBy("event_type").agg(
+        F.sum(F.expr("1000000 div k")).cast("bigint").alias("credit_e6"),
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum(F.expr("pv div k")).cast("bigint").alias("revenue_1000_share"),
+    )

@@ -603,3 +603,91 @@ def test_image_batch_plan_replays_packing(spark):
         by_cls[cls].append(b)
     for cls, bs in by_cls.items():
         assert sorted(bs) == list(range(len(bs)))
+
+
+def _python_sessions(ev_rows, gap_min=30):
+    """Replay the shared gap-rule sessionizer in Python: per user, split
+    at >gap_min inactivity; returns list of sessions as ordered rows."""
+    by_user = defaultdict(list)
+    for r in ev_rows:
+        by_user[r["user_id"]].append(r)
+    sessions = []
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        cur = []
+        last = None
+        for r in rs:
+            if last is not None and (
+                (r["ts"] - last).total_seconds() * 1_000_000
+                > gap_min * 60 * 1_000_000
+            ):
+                sessions.append(cur)
+                cur = []
+            cur.append(r)
+            last = r["ts"]
+        sessions.append(cur)
+    return sessions
+
+
+def test_sequence_motifs_match_python(spark):
+    from kafka2delta_spark.operators.analytic import (
+        ATTR_GAP_MIN,
+        MOTIF_MIN_SUPPORT,
+        qx78_sequence_motifs,
+    )
+
+    got = {
+        (r["t1"], r["t2"], r["t3"]): (r["support"], r["n_users"])
+        for r in qx78_sequence_motifs(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    support = defaultdict(int)
+    users = defaultdict(set)
+    for sess in _python_sessions(ev, ATTR_GAP_MIN):
+        for i in range(len(sess) - 2):
+            key = tuple(r["event_type"] for r in sess[i : i + 3])
+            support[key] += 1
+            users[key].add(sess[i]["user_id"])
+    want = {
+        k: (n, len(users[k]))
+        for k, n in support.items()
+        if n >= MOTIF_MIN_SUPPORT
+    }
+    assert got == want
+    assert got, "corpus should contain at least one motif"
+
+
+def test_linear_attribution_matches_python(spark):
+    from kafka2delta_spark.operators.analytic import (
+        ATTR_GAP_MIN,
+        qx79_linear_attribution,
+    )
+
+    got = {
+        r["event_type"]: (
+            r["credit_e6"],
+            r["n_touches"],
+            r["revenue_1000_share"],
+        )
+        for r in qx79_linear_attribution(spark, SF_DIR).collect()
+    }
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet").collect()
+    credit = defaultdict(lambda: [0, 0, 0])
+    for sess in _python_sessions(ev, ATTR_GAP_MIN):
+        for i, r in enumerate(sess):
+            if r["event_type"] == "purchase" and i > 0:
+                k = i
+                v1000 = math.floor(r["value"] * 1000)
+                for t in sess[:i]:
+                    c = credit[t["event_type"]]
+                    c[0] += 1_000_000 // k
+                    c[1] += 1
+                    c[2] += v1000 // k if v1000 >= 0 else -((-v1000) // k)
+    assert got == {k: tuple(v) for k, v in credit.items()}
+    # linear attribution conserves credit: each purchase hands out
+    # exactly k * (1e6 div k) micro-credits <= 1e6
+    assert sum(v[0] for v in got.values()) <= sum(
+        1 for s in _python_sessions(ev, ATTR_GAP_MIN)
+        for i, r in enumerate(s)
+        if r["event_type"] == "purchase" and i > 0
+    ) * 1_000_000
