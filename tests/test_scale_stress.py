@@ -38,6 +38,18 @@ STRESSED = [
     # range partitions carry 10x the rows and replica values interleave
     "qx52_range_partition_planner",
     "qx53_weighted_median_by_rank",
+    # round 5 continuation: the KMV overlap estimator must take its
+    # capped (est = (K-1)*2^52 div h_K) branch once 16x replication
+    # pushes distinct users past K; the mode/CUSUM/motif/attribution
+    # windows must stay total under interleaved replica timestamps;
+    # the Gini histogram closed form must hold when every multiplicity
+    # is 16x
+    "qx61_kmv_set_overlap",
+    "qx62_grouped_mode",
+    "qx64_cusum_changepoints",
+    "qx73_event_concentration_gini",
+    "qx78_sequence_motifs",
+    "qx79_linear_attribution",
 ]
 
 
@@ -199,3 +211,24 @@ def test_exact_dedup_catches_replicated_corpus(spark, tmp_path):
     # copies at jaccard 1.0 unless the df cap dropped its entire shingle
     # set (stop-phrase-only docs) — require a substantial yield
     assert (sdf["jaccard"] == 1.0).sum() > n
+
+
+def test_gini_is_replication_invariant(spark, scaled_dir):
+    """Replicating every user 16x (same per-user event counts) multiplies
+    every count-value multiplicity by 16 and leaves the Lorenz curve and
+    Gini coefficient EXACTLY unchanged — the closed form must reproduce
+    this algebraic identity, not just match the oracle."""
+    from kafka2delta_spark.queryset import QUERIES, load_all_querysets
+
+    load_all_querysets()
+    q = QUERIES["qx73_event_concentration_gini"]
+    base = {r["decile"]: r for r in q(spark, SRC).collect()}
+    scaled = {r["decile"]: r for r in q(spark, scaled_dir).collect()}
+    assert set(base) == set(scaled)
+    for d in base:
+        assert scaled[d]["gini_e6"] == base[d]["gini_e6"]
+        assert scaled[d]["lorenz_e6"] == base[d]["lorenz_e6"]
+        assert scaled[d]["rank_at"] == base[d]["rank_at"] * EVENTS_REPLICAS
+        assert (
+            scaled[d]["cum_events"] == base[d]["cum_events"] * EVENTS_REPLICAS
+        )
