@@ -1110,14 +1110,15 @@ def qx76_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = c.select(
         F.col("label").alias("label_b"),
-        "dim",
+        F.col("dim").alias("dim_b"),
         F.col("c").alias("cb"),
         F.col("s").alias("sb"),
     )
     p = (
         a.join(
             F.broadcast(b),
-            (a["dim"] == b["dim"]) & (F.col("label_a") < F.col("label_b")),
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
         )
         .groupBy("label_a", "label_b")
         .agg(
