@@ -2000,7 +2000,9 @@ def _qx75_oracle() -> str:
            CAST(n_candidates AS BIGINT) AS n_candidates,
            CAST(n_true AS BIGINT)       AS n_true,
            CAST(n_hits AS BIGINT)       AS n_hits,
-           CAST(n_hits * 10000 // n_true AS BIGINT) AS recall_e4,
+           CAST(CASE WHEN n_true = 0 THEN 0
+                     ELSE n_hits * 10000 // n_true END AS BIGINT)
+               AS recall_e4,
            CAST(CASE WHEN n_candidates = 0 THEN 0
                      ELSE n_hits * 10000 // n_candidates END AS BIGINT)
                AS precision_e4
@@ -2086,9 +2088,10 @@ def qx75_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidates",
                 F.lit(n_true).cast("bigint").alias("n_true"),
                 "n_hits",
-                F.expr(f"cast(n_hits * 10000 div {n_true} as bigint)").alias(
-                    "recall_e4"
-                ),
+                F.expr(
+                    f"cast(case when {n_true} = 0 then 0"
+                    f" else n_hits * 10000 div {n_true} end as bigint)"
+                ).alias("recall_e4"),
                 F.expr(
                     "cast(case when n_candidates = 0 then 0"
                     " else n_hits * 10000 div n_candidates end as bigint)"

@@ -371,16 +371,19 @@ def qx05_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM tr GROUP BY term)
     SELECT p.term, CAST(p.df AS BIGINT) AS df,
            CAST(t.total_tf AS BIGINT)   AS total_tf,
-           p.postings                   AS postings
+           array_to_string(p.postings, '|') AS postings
     FROM post p JOIN tf t ON t.term = p.term
     """,
 )
 def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: one row per term with its document
     frequency, total term frequency, and the full posting list (sorted
-    doc_ids) as an array column — the index-build step behind qx01's
-    BM25 scoring, materialized instead of consumed inline. The posting
-    arrays themselves are gate-hashed element-for-element.
+    doc_ids) — the index-build step behind qx01's BM25 scoring,
+    materialized instead of consumed inline. The posting lists are
+    gate-hashed element-for-element; they are emitted as numerically
+    sorted ``'|'``-joined strings (not arrays) so the driver's pandas
+    row canonicalizer — which cannot sort list-valued columns — hashes
+    them; value content is identical.
 
     Plan: one explode + two hash-aggs sharing the term key — postings
     from collect_set (dedup inside the aggregate, sorted once at the
@@ -401,7 +404,13 @@ def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("total_tf")
     )
     post = occ.groupBy("term").agg(
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_set("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            "|",
+        ).alias("postings"),
         F.countDistinct("doc_id").cast("bigint").alias("df"),
     )
     return post.join(tf, "term").select("term", "df", "total_tf", "postings")

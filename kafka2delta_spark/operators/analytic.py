@@ -1174,7 +1174,8 @@ def qx32_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH g AS (
         SELECT user_id, list(event_type ORDER BY ts, event_id) AS seq
         FROM events GROUP BY user_id)
-    SELECT user_id, seq,
+    SELECT user_id,
+           array_to_string(seq, '|')    AS seq,
            CAST(len(seq) AS BIGINT) AS seq_len,
            seq[1]                   AS first_type,
            seq[-1]                  AS last_type
@@ -1182,11 +1183,14 @@ def qx32_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def qx33_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user time-ordered event-type sequence as an ARRAY column —
-    the training-sample assembly step (multi-turn construction, session
-    replay, sequence models) that turns an event log into one row per
-    example. Ordering is total (ts, then the unique event_id), so the
-    array itself is gate-hashed element-for-element, not just counted.
+    """Per-user time-ordered event-type sequence — the training-sample
+    assembly step (multi-turn construction, session replay, sequence
+    models) that turns an event log into one row per example. Ordering
+    is total (ts, then the unique event_id), so the sequence is
+    gate-hashed element-for-element, not just counted. The sequence is
+    emitted as a ``'|'``-joined string (not an array) so the driver's
+    pandas row canonicalizer — which cannot sort list-valued columns —
+    hashes it; value content is identical.
 
     Plan: one hash-agg on user_id; order is imposed INSIDE the aggregate
     (sort_array over (ts, id, type) structs, then a projection strips
@@ -1209,7 +1213,9 @@ def qx33_user_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(packed.alias("p"))
         .select(
             "user_id",
-            F.transform("p", lambda s: s["t"]).alias("seq"),
+            F.array_join(
+                F.transform("p", lambda s: s["t"]), "|"
+            ).alias("seq"),
             F.size("p").cast("bigint").alias("seq_len"),
             F.element_at("p", 1)["t"].alias("first_type"),
             F.element_at("p", -1)["t"].alias("last_type"),
@@ -1610,72 +1616,57 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qx53_weighted_median_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted median (price in cents weighted by quantity, per return
-    flag) — the robust 'typical unit price' statistic — computed with the
-    two-pass range-partitioned rank shape so NO per-group value multiset
-    ever sits in an aggregate buffer: the weighted analogue of
-    ``exact_percentiles_by_rank`` (rankstats.py), with cumulative WEIGHT
-    standing in for rank. Lower weighted median: the smallest value whose
-    cumulative weight reaches half the group total (2*cumw >= W in exact
-    integers — no halving rounding).
+    flag) — the robust 'typical unit price' statistic — via the
+    value-HISTOGRAM closed form (the qx73 tie-run idiom): the weighted
+    median only depends on per-value weight totals, so collapse the data
+    to a (flag, cents) → Σw histogram FIRST, then find the smallest
+    value whose cumulative weight reaches half the group total
+    (2*cumw >= W in exact integers — no halving rounding).
 
-    Plan: range-partition on (flag, cents) → running weight sum inside
-    each (partition, flag) slice (a LOCAL window — partitions are range
-    slices, never one task) → per-slice weight totals (metadata-sized)
-    → broadcast prefix offsets lift local sums to global cumulative
-    weight → one hash-agg takes MIN(value at crossing). Tie-insensitive:
-    equal values share a cents key, and the crossing MIN lands on the
-    tie block's value under any intra-tie order. Scales like q33: the
-    only data-sized shuffles are the range exchange and the final
-    hash-agg; the oracle's single-window form is the semantics spec,
-    not the plan."""
+    Plan: ONE data-sized shuffle total — the map-side-combined hash-agg
+    that builds the histogram (round 5's range-exchange + __pid-window
+    draft paid that exchange AND a second full-data hash exchange,
+    because Window.partitionBy(__pid, flag) does not satisfy range
+    partitioning; this round removes both). The cumulative-weight window
+    then runs over the histogram, whose size is bounded by the VALUE
+    DOMAIN (distinct cents × |flags|), not the row count — at 100 TB of
+    lineitem the histogram is still ~1e6 rows. One task per flag over
+    histogram rows is the documented ceiling; for a genuinely unbounded
+    value domain, fall back to rankstats' range-partitioned two-pass.
+    Tie-insensitive by construction: equal values share one histogram
+    cell. The oracle's single-window form is the semantics spec, not
+    the plan."""
     li = load_table(spark, sf_dir, "lineitem")
     v = li.select(
         F.col("l_returnflag").alias("flag"),
         F.floor(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
         F.col("l_quantity").cast("bigint").alias("w"),
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    ranked = (
-        v.repartitionByRange(n_parts, "flag", "cents")
-        .withColumn("__pid", F.spark_partition_id())
-        .withColumn(
-            "__cumw_local",
-            F.sum("w").over(
-                W.partitionBy("__pid", "flag")
-                .orderBy("cents")
-                .rowsBetween(W.unboundedPreceding, W.currentRow)
-            ),
-        )
+    hist = v.groupBy("flag", "cents").agg(
+        F.sum("w").alias("hw"),
+        F.count(F.lit(1)).alias("hn"),
     )
-    counts = ranked.groupBy("__pid", "flag").agg(F.sum("w").alias("__wsum"))
-    prior = counts.select(
-        F.col("__pid").alias("__pid2"),
-        F.col("flag").alias("__flag2"),
-        F.col("__wsum").alias("__wsum2"),
+    cum = hist.withColumn(
+        "__cumw",
+        F.sum("hw").over(
+            W.partitionBy("flag")
+            .orderBy("cents")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
     )
-    offsets = (
-        counts.join(
-            F.broadcast(prior),
-            (F.col("__pid2") < F.col("__pid"))
-            & (F.col("__flag2") == F.col("flag")),
-            "left",
-        )
-        .groupBy("__pid", "flag")
-        .agg(F.coalesce(F.sum("__wsum2"), F.lit(0)).alias("__off"))
+    totals = hist.groupBy("flag").agg(
+        F.sum("hw").cast("bigint").alias("__tw"),
+        F.sum("hn").cast("bigint").alias("__n"),
     )
-    totals = v.groupBy("flag").agg(
-        F.sum("w").cast("bigint").alias("__tw"),
-        F.count(F.lit(1)).cast("bigint").alias("__n"),
-    )
-    cumw = F.col("__off") + F.col("__cumw_local")
     return (
-        ranked.join(F.broadcast(offsets), ["__pid", "flag"])
-        .join(F.broadcast(totals), "flag")
+        cum.join(F.broadcast(totals), "flag")
         .groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
             F.max("__n").alias("n"),
             F.max("__tw").alias("total_qty"),
-            F.min(F.when(2 * cumw >= F.col("__tw"), F.col("cents")))
+            F.min(
+                F.when(2 * F.col("__cumw") >= F.col("__tw"), F.col("cents"))
+            )
             .cast("bigint")
             .alias("wmedian_cents"),
         )

@@ -41,6 +41,21 @@ hints and the same plan degrades gracefully to shuffle joins keyed by
 group. Determinism note: ids are assigned after the in-partition sort,
 so tie rows may swap ids across retries — harmless, because group-run
 boundaries and the VALUE at any rank are tie-order-independent.
+
+CONTRACT RISK (load-bearing for qx30/qx50/qx52/qx56 exactness): the API
+doc for ``monotonically_increasing_id`` only guarantees monotonically
+increasing and unique ids, "not consecutive"; this module additionally
+relies on the current implementation detail that ids ARE consecutive
+within a partition (partition_id << 33 | row_number_in_partition). If a
+Spark upgrade ever broke within-partition contiguity, local ranks would
+silently drift. ``tests/test_rankstats.py::
+test_mid_rank_reconstruction_is_contiguous`` pins the assumption
+directly — it rebuilds global ranks from the mid-offset idiom on a
+many-partition input and asserts they form exactly 0..n−1 with the
+value at rank i equal to the i-th order statistic; any contiguity break
+fails it immediately. Fallback if that ever fires: replace the id pass
+with ``rdd.zipWithIndex``-style per-partition enumeration (one extra
+pass, same plan shape).
 """
 
 from __future__ import annotations

@@ -17,10 +17,21 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# For queries whose VALUES are not SQL-expressible (e.g. depend on
+# watermark progression) but whose row COUNT is: SQL returning a single
+# row/column with the expected output row count. check_correctness runs
+# it and records a real rows_match true/false instead of a bare
+# no_oracle error.
+ROW_ORACLES: dict[str, str] = {}
 
 
-def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Register a query under ``name`` with an optional DuckDB oracle."""
+def register(
+    name: str,
+    oracle: str | None = None,
+    row_oracle: str | None = None,
+) -> Callable[[QueryFn], QueryFn]:
+    """Register a query under ``name`` with an optional DuckDB oracle
+    (full value oracle, or ``row_oracle`` for a count-only invariant)."""
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
@@ -28,6 +39,8 @@ def register(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryF
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle
+        if row_oracle is not None:
+            ROW_ORACLES[name] = row_oracle
         return fn
 
     return deco

@@ -177,11 +177,20 @@ def q54_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(drain_to_memory(latest, "complete"))
 
 
-@register("q55_stream_dedup_within_watermark")  # stateful dedup: rows-only check
+@register(
+    "q55_stream_dedup_within_watermark",
+    # Values depend on watermark progression (which duplicate survives is
+    # arrival-order-dependent), but the output COUNT is exact: one row per
+    # distinct event_id. check_correctness verifies this count for a real
+    # rows_match verdict instead of a bare no_oracle error.
+    row_oracle="SELECT COUNT(DISTINCT event_id) FROM events",
+)
 def q55_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicatesWithinWatermark on event_id — bounded-state
-    exact dedup for at-least-once sources. Non-SQL-expressible (depends on
-    watermark progression), so rows-only checked."""
+    exact dedup for at-least-once sources. Non-SQL-expressible VALUES
+    (watermark progression picks the surviving duplicate), so the check is
+    rows-only — but a REAL one: the output count must equal
+    COUNT(DISTINCT event_id) (the row_oracle)."""
     ev = _events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]

@@ -27,7 +27,11 @@ def test_inverted_index_reconstructs_corpus(spark):
     out = {r["term"]: r for r in qx40_inverted_index(spark, SF_DIR).collect()}
     assert set(out) == set(postings)
     for term, r in out.items():
-        assert r["postings"] == sorted(postings[term])
+        # postings are emitted as a numerically-sorted '|'-joined string
+        # (driver-canonicalizable; see qx40's docstring)
+        assert r["postings"] == "|".join(
+            str(d) for d in sorted(postings[term])
+        )
         assert r["df"] == len(postings[term])
         assert r["total_tf"] == tf[term]
     # the index is lossless at the doc level: every doc appears in the

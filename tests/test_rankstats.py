@@ -107,3 +107,51 @@ def test_matches_python_type7_oracle(spark, data, denom_pow):
         for k, vals in by_key.items()
     }
     assert got == want
+
+
+def test_mid_rank_reconstruction_is_contiguous(spark):
+    # Pins the implementation-detail assumption the module's rank
+    # derivation is built on (see the CONTRACT RISK note in
+    # rankstats.py): monotonically_increasing_id must be CONSECUTIVE
+    # within each partition, not merely monotonic/unique as the API doc
+    # guarantees. We rebuild global ranks with the exact mid-offset
+    # idiom the helper uses — on an input forced across many partitions
+    # — and assert the ranks form exactly 0..n-1 with the value at rank
+    # i equal to the i-th order statistic. Any contiguity break (gaps in
+    # ids inside a partition) makes the rank set non-consecutive and
+    # fails this immediately.
+    vals = [(i * 7919) % 4001 for i in range(4000)]  # dupes included
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    ranked = (
+        df.repartitionByRange(16, "v")
+        .sortWithinPartitions("v")
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = ranked.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__mid0")
+    )
+    prior = counts.select(
+        F.col("__pid").alias("__pid2"), F.col("__cnt").alias("__cnt2")
+    )
+    offsets = (
+        counts.join(F.broadcast(prior), F.col("__pid2") < F.col("__pid"), "left")
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"),
+            F.min("__mid0").alias("__mid0"),
+        )
+    )
+    rows = (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .select(
+            (F.col("__off") + (F.col("__mid") - F.col("__mid0"))).alias("rk"),
+            "v",
+        )
+        .collect()
+    )
+    got = {r["rk"]: r["v"] for r in rows}
+    n = len(vals)
+    assert sorted(got) == list(range(n)), "ranks are not consecutive 0..n-1"
+    expect = sorted(vals)
+    assert [got[i] for i in range(n)] == expect

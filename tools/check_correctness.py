@@ -48,7 +48,12 @@ def normalize(df, cols):
 def main() -> int:
     import duckdb
 
-    from kafka2delta_spark.queryset import QUERIES, ORACLES, load_all_querysets
+    from kafka2delta_spark.queryset import (
+        QUERIES,
+        ORACLES,
+        ROW_ORACLES,
+        load_all_querysets,
+    )
     from kafka2delta_spark.session import build_session
 
     load_all_querysets()
@@ -87,6 +92,31 @@ def main() -> int:
             continue
         took = round(time.time() - t0, 2)
         if name not in ORACLES:
+            if name in ROW_ORACLES:
+                # Count-only invariant: verify the row count for a real
+                # rows_match verdict (values are not SQL-expressible).
+                try:
+                    expected = int(con.execute(ROW_ORACLES[name]).fetchone()[0])
+                except Exception as exc:  # noqa: BLE001
+                    print(f"FAIL  {name}: row-oracle error: {exc}")
+                    record(name, spark_rows=len(sdf),
+                           err=f"row-oracle error: {exc}"[:200], sec=took)
+                    n_fail += 1
+                    continue
+                if len(sdf) != expected:
+                    print(f"FAIL  {name}: rowcount spark={len(sdf)} "
+                          f"row-oracle={expected}")
+                    record(name, rows_match=False, spark_rows=len(sdf),
+                           oracle_rows=expected, err="rowcount mismatch",
+                           sec=took)
+                    n_fail += 1
+                    continue
+                print(f"rows  {name}: {len(sdf)} rows ({took:.1f}s) "
+                      f"[rows-only: count verified]")
+                record(name, rows_match=True, spark_rows=len(sdf),
+                       oracle_rows=expected, sec=took)
+                n_rows_only += 1
+                continue
             print(f"rows  {name}: {len(sdf)} rows ({took:.1f}s) [no oracle]")
             record(name, spark_rows=len(sdf), err="no_oracle", sec=took)
             n_rows_only += 1
