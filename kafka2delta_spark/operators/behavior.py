@@ -1,0 +1,484 @@
+"""Behavioral / product-analytics operators over the event log (round 6).
+
+Five operators the reference's query surface gestures at (filter/count
+over behavioral streams) re-expressed as first-class scale-safe Spark
+plans: activity streaks (gaps-and-islands), peak concurrent sessions
+(interval sweep), Markov next-event prediction evaluation, seasonal
+baseline anomaly flags, and per-user behavioral entropy. All arithmetic
+is integer (or one final IEEE op + ROUND(4), the qx05 precedent), so
+every query is hash-gated against its DuckDB oracle.
+
+Scale notes are per-query; the common theme: every plan shuffles on
+user_id or a calendar key exactly once, all second-level aggregates are
+alphabet- or calendar-sized, and nothing holds a per-group multiset
+beyond the user's own rows (the natural unit a behavioral feature is
+defined over).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from kafka2delta_spark.operators.analytic import sessionize_events
+from kafka2delta_spark.queryset import register
+from kafka2delta_spark.sources.tables import load_table
+
+DAY_US = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# qx81: longest consecutive-day activity streak per user (gaps and islands)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx81_activity_streaks",
+    oracle="""
+    WITH d AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    i AS (
+        SELECT user_id, day,
+               (day - DATE '1970-01-01')
+               - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        FROM d),
+    s AS (
+        SELECT user_id, grp, COUNT(*) AS len, MIN(day) AS start_day
+        FROM i GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(SUM(len) AS BIGINT)   AS n_active_days,
+           CAST(COUNT(*) AS BIGINT)   AS n_streaks,
+           CAST(MAX(len) AS BIGINT)   AS longest_streak,
+           strftime(MIN(start_day) FILTER (
+               WHERE len = (SELECT MAX(s2.len) FROM s s2
+                            WHERE s2.user_id = s.user_id)), '%Y-%m-%d')
+               AS longest_start
+    FROM s GROUP BY user_id
+    """,
+)
+def qx81_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per user, the count of active days, the number
+    of maximal consecutive-day runs, the longest run, and when it began
+    (earliest start on ties) — the engagement-streak feature every
+    growth dashboard and retention model wants, and the canonical
+    "islands" idiom (day_number − row_number is constant within a run).
+
+    Plan: distinct (user, day) — one hash-agg with map-side combine —
+    then every window partitions by user_id over at most that user's
+    DAY COUNT (bounded by calendar length, not event volume), then one
+    more user-keyed agg. The event-volume-sized stage is only the first
+    distinct; everything after is calendar-sized per user. Dates are
+    emitted as strings (cross-engine DATE stringification rule)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    wu = W.partitionBy("user_id").orderBy("day")
+    i = d.withColumn(
+        "grp",
+        F.datediff("day", F.lit("1970-01-01")) - F.row_number().over(wu),
+    )
+    s = i.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("len"), F.min("day").alias("start_day")
+    )
+    wl = W.partitionBy("user_id")
+    return (
+        s.withColumn("maxlen", F.max("len").over(wl))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("bigint").alias("n_active_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+            F.max("len").cast("bigint").alias("longest_streak"),
+            F.date_format(
+                F.min(F.when(F.col("len") == F.col("maxlen"), F.col("start_day"))),
+                "yyyy-MM-dd",
+            ).alias("longest_start"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx82: peak concurrent sessions per day — the interval sweep (+1/−1)
+# ---------------------------------------------------------------------------
+
+#: shared session-interval CTE: gap-rule sessions reduced to
+#: [s_us, e_us] micro-second intervals (inclusive), reusing the exact
+#: SESSIONIZED_SQL gap rule via min/max per (user, session_seq).
+from kafka2delta_spark.operators.analytic import SESSIONIZED_SQL  # noqa: E402
+
+
+@register(
+    "qx82_concurrent_sessions",
+    oracle=f"""
+    WITH {SESSIONIZED_SQL},
+    iv AS (
+        SELECT user_id, session_seq,
+               MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+        FROM s GROUP BY user_id, session_seq),
+    seg AS (
+        SELECT iv.*, t.day,
+               (t.day - DATE '1970-01-01') * {DAY_US}::BIGINT AS day_us,
+               GREATEST(s_us, (t.day - DATE '1970-01-01') * {DAY_US}::BIGINT)
+                   AS a,
+               LEAST(e_us, (t.day - DATE '1970-01-01') * {DAY_US}::BIGINT
+                           + {DAY_US - 1}) AS b
+        FROM iv, LATERAL (
+            SELECT UNNEST(generate_series(
+                CAST(to_timestamp(s_us / 1000000.0) AS DATE),
+                CAST(to_timestamp(e_us / 1000000.0) AS DATE),
+                INTERVAL 1 DAY))::DATE AS day) t),
+    deltas AS (
+        SELECT day, a AS us, 1 AS delta FROM seg
+        UNION ALL
+        SELECT day, b + 1 AS us, -1 AS delta FROM seg
+        WHERE b + 1 <= day_us + {DAY_US - 1}),
+    net AS (
+        SELECT day, us, SUM(delta) AS net FROM deltas GROUP BY day, us),
+    sweep AS (
+        SELECT day, us,
+               SUM(net) OVER (PARTITION BY day ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS conc
+        FROM net)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST((SELECT COUNT(*) FROM seg g WHERE g.day = sweep.day)
+                AS BIGINT)          AS n_sessions,
+           CAST(MAX(conc) AS BIGINT) AS peak_concurrency
+    FROM sweep GROUP BY day
+    """,
+)
+def qx82_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per calendar day — the capacity-planning
+    statistic — by the classic interval sweep: sessions (the q57 gap
+    rule, batch form) become [start, end] µs intervals, clamped to day
+    boundaries (a midnight-spanning session counts toward both days),
+    then +1/−1 boundary deltas are NETTED PER INSTANT and prefix-summed
+    within each day. Netting per (day, us) first makes the sweep
+    tie-order-insensitive: concurrency is evaluated on the step
+    function's value after all deltas at an instant, identical on both
+    engines by construction.
+
+    Plan: sessionization is one user_id shuffle (shared window chain);
+    the sweep operates on BOUNDARY rows — two per session-day segment,
+    orders of magnitude fewer than events — partitioned by DAY, so the
+    running sum never sees an unpartitioned window and each day's sweep
+    is an independent task. At 100 TB the boundary table is
+    session-count-sized; a single hot day still holds only that day's
+    session boundaries. The −1 that would land exactly on the next
+    midnight is dropped (the per-day max is always attained at a +1
+    instant, so the step function's maximum is unaffected)."""
+    s = sessionize_events(load_table(spark, sf_dir, "events"))
+    iv = s.groupBy("user_id", "session_seq").agg(
+        F.min(F.unix_micros("ts")).alias("s_us"),
+        F.max(F.unix_micros("ts")).alias("e_us"),
+    )
+    seg = (
+        iv.withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.to_date(F.timestamp_micros("s_us")),
+                    F.to_date(F.timestamp_micros("e_us")),
+                )
+            ),
+        )
+        .withColumn(
+            "day_us",
+            F.datediff("day", F.lit("1970-01-01")).cast("bigint")
+            * F.lit(DAY_US).cast("bigint"),
+        )
+        .select(
+            "day",
+            "day_us",
+            F.greatest("s_us", F.col("day_us")).alias("a"),
+            F.least("e_us", F.col("day_us") + F.lit(DAY_US - 1)).alias("b"),
+        )
+    )
+    deltas = seg.select(
+        "day", F.col("a").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        seg.filter(F.col("b") + 1 <= F.col("day_us") + F.lit(DAY_US - 1)).select(
+            "day", (F.col("b") + 1).alias("us"), F.lit(-1).alias("delta")
+        )
+    )
+    net = deltas.groupBy("day", "us").agg(F.sum("delta").alias("net"))
+    sweep = net.withColumn(
+        "conc",
+        F.sum("net").over(
+            W.partitionBy("day").orderBy("us").rowsBetween(
+                W.unboundedPreceding, 0
+            )
+        ),
+    )
+    n_per_day = seg.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    return (
+        sweep.groupBy("day")
+        .agg(F.max("conc").cast("bigint").alias("peak_concurrency"))
+        .join(n_per_day, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_sessions",
+            "peak_concurrency",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx86: Markov next-event prediction — train + evaluate inside the engine
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx86_markov_prediction_eval",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        FROM events),
+    t AS (
+        SELECT from_type, to_type, COUNT(*) AS n
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY from_type, to_type),
+    pred AS (
+        SELECT from_type, to_type AS predicted FROM t
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY from_type
+                                   ORDER BY n DESC, to_type) = 1)
+    SELECT t.from_type, p.predicted,
+           CAST(SUM(t.n) AS BIGINT) AS n_total,
+           CAST(COALESCE(SUM(t.n) FILTER (WHERE t.to_type = p.predicted), 0)
+                AS BIGINT) AS n_hits,
+           CAST(COALESCE(SUM(t.n) FILTER (WHERE t.to_type = p.predicted), 0)
+                * 10000 // SUM(t.n) AS BIGINT) AS hit_rate_e4
+    FROM t JOIN pred p USING (from_type)
+    GROUP BY t.from_type, p.predicted
+    """,
+)
+def qx86_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a first-order Markov next-event predictor (argmax of qx25's
+    transition counts, alphabetical tiebreak) and evaluate its top-1 hit
+    rate per source state, entirely inside the engine — the
+    model-eval-as-a-query pattern (train = eval corpus, documented:
+    this measures the ceiling of a memorizing baseline, the number a
+    real sequence model must beat).
+
+    Plan: one user_id shuffle for the LEAD pairs, then every aggregate
+    is |event-type alphabet|²-sized — the transition matrix, the argmax
+    window, and the final join all operate on metadata. Exact integers;
+    the hit rate is integer-e4 (div truncation identical on both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(wu).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wp = W.partitionBy("from_type").orderBy(F.desc("n"), F.asc("to_type"))
+    pred = (
+        t.withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    hits = F.coalesce(
+        F.sum(F.when(F.col("to_type") == F.col("predicted"), F.col("n"))),
+        F.lit(0),
+    )
+    return (
+        t.join(F.broadcast(pred), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_total"),
+            hits.cast("bigint").alias("n_hits"),
+        )
+        .select(
+            "from_type",
+            "predicted",
+            "n_total",
+            "n_hits",
+            F.expr("cast(n_hits * 10000 div n_total as bigint)").alias(
+                "hit_rate_e4"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx89: day-of-week seasonal baseline + deviation flags
+# ---------------------------------------------------------------------------
+
+#: per-type triage depth: the K most-above- and K most-below-baseline days
+SEASONAL_TOP_K = 3
+
+
+@register(
+    "qx89_seasonal_anomaly_days",
+    oracle=f"""
+    WITH dates AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    dd AS (SELECT day, dayofweek(day) AS dow FROM dates),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    grid AS (
+        SELECT t.event_type, d.day, d.dow, COALESCE(c.n, 0) AS n
+        FROM types t CROSS JOIN dd d
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+    base AS (
+        SELECT event_type, dow, SUM(n) AS tot, COUNT(*) AS den
+        FROM grid GROUP BY event_type, dow),
+    scored AS (
+        SELECT g.event_type, g.day, g.n, b.tot, b.den,
+               g.n * b.den * 10000 // b.tot AS ratio_e4,
+               ROW_NUMBER() OVER (PARTITION BY g.event_type
+                                  ORDER BY g.n * b.den * 10000 // b.tot DESC,
+                                           g.day) AS rk_hi,
+               ROW_NUMBER() OVER (PARTITION BY g.event_type
+                                  ORDER BY g.n * b.den * 10000 // b.tot ASC,
+                                           g.day) AS rk_lo
+        FROM grid g JOIN base b
+          ON b.event_type = g.event_type AND b.dow = g.dow
+        WHERE b.tot > 0)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+           CAST(n AS BIGINT)        AS n,
+           CAST(tot AS BIGINT)      AS dow_total,
+           CAST(den AS BIGINT)      AS n_dow_dates,
+           CAST(ratio_e4 AS BIGINT) AS ratio_e4,
+           CASE WHEN rk_hi <= {SEASONAL_TOP_K} THEN 'high' ELSE 'low' END
+               AS direction,
+           CAST(CASE WHEN rk_hi <= {SEASONAL_TOP_K} THEN rk_hi ELSE rk_lo END
+                AS BIGINT) AS rk
+    FROM scored
+    WHERE rk_hi <= {SEASONAL_TOP_K} OR rk_lo <= {SEASONAL_TOP_K}
+    """,
+)
+def qx89_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal deviation triage: each (event_type, date)
+    daily count is compared to that type's SAME-DOW average across the
+    corpus (the seasonality-aware version of qx38's rolling z-score —
+    a Monday is judged against Mondays), and the {SEASONAL_TOP_K} days
+    farthest ABOVE and BELOW baseline per type are emitted, rank-based
+    rather than fixed-threshold (a threshold that fires on a small
+    corpus is silent at 100× the data as daily counts concentrate —
+    measured here across sf0.001→sf0.1; the triage list is
+    scale-invariant). Zero-count days are materialized via the
+    (types × dates) grid so silent outages — the anomaly that matters
+    most — rank at the very top of 'low'.
+
+    Plan: one event-volume-sized hash-agg to daily counts with map-side
+    combine; the grid, baselines, ratios, and rank windows are all
+    (|types| × |dates|)-sized — calendar metadata, broadcast-joined.
+    The ratio is exact integer cross-multiplication (n·den·1e4 div tot)
+    — no float baseline ever exists to diverge; ranking tiebreak is the
+    date, total on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    dates = ev.select(F.to_date("ts").alias("day")).distinct()
+    dd = dates.select("day", F.dayofweek("day").alias("dow"))
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        types.crossJoin(dd)
+        .join(cnt, ["event_type", "day"], "left")
+        .select(
+            "event_type", "day", "dow", F.coalesce("n", F.lit(0)).alias("n")
+        )
+    )
+    base = grid.groupBy("event_type", "dow").agg(
+        F.sum("n").alias("tot"), F.count(F.lit(1)).alias("den")
+    )
+    ratio = F.expr("cast(n * den * 10000 div tot as bigint)")
+    scored = (
+        grid.join(F.broadcast(base), ["event_type", "dow"])
+        .filter(F.col("tot") > 0)
+        .withColumn("ratio_e4", ratio)
+        .withColumn(
+            "rk_hi",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.desc("ratio_e4"), F.asc("day")
+                )
+            ),
+        )
+        .withColumn(
+            "rk_lo",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(
+                    F.asc("ratio_e4"), F.asc("day")
+                )
+            ),
+        )
+    )
+    k = SEASONAL_TOP_K
+    return scored.filter(
+        (F.col("rk_hi") <= k) | (F.col("rk_lo") <= k)
+    ).select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("tot").cast("bigint").alias("dow_total"),
+        F.col("den").cast("bigint").alias("n_dow_dates"),
+        "ratio_e4",
+        F.when(F.col("rk_hi") <= k, "high").otherwise("low").alias("direction"),
+        F.when(F.col("rk_hi") <= k, F.col("rk_hi"))
+        .otherwise(F.col("rk_lo"))
+        .cast("bigint")
+        .alias("rk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qx90: per-user behavioral entropy (event-type distribution)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "qx90_user_type_entropy",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS k
+        FROM events GROUP BY user_id, event_type),
+    u AS (
+        SELECT user_id,
+               SUM(k)                    AS n,
+               COUNT(*)                  AS n_types,
+               SUM(k * ln(k))            AS sxlx
+        FROM c GROUP BY user_id)
+    SELECT user_id,
+           CAST(n AS BIGINT)       AS n_events,
+           CAST(n_types AS BIGINT) AS n_types,
+           ROUND(ln(n) - sxlx / n, 4) AS entropy
+    FROM u
+    """,
+)
+def qx90_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioral-diversity signal (near-zero entropy = single-action bots
+    / scripted traffic; high entropy = organic engagement), the same
+    curation role qx05's KL plays for corpus mixtures. Closed form
+    H = ln(n) − (Σ kᵢ·ln kᵢ)/n keeps all inputs exact integers; the
+    per-term ln / final ROUND(4) is the one IEEE step (the qx05/qx65
+    precedent — IEEE ln on identical integer inputs, both engines).
+
+    Plan: one hash-agg to (user, type) counts with map-side combine —
+    user-alphabet-sized output — then a user-keyed reagg of ≤|types|
+    rows each. Nothing beyond the first agg is event-volume-sized."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("k"))
+    u = c.groupBy("user_id").agg(
+        F.sum("k").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("k") * F.log(F.col("k"))).alias("sxlx"),
+    )
+    return u.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.round(F.log(F.col("n")) - F.col("sxlx") / F.col("n"), 4).alias(
+            "entropy"
+        ),
+    )
