@@ -2102,3 +2102,141 @@ def qx75_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# qx87: dedup operating-point sweep — cluster structure vs Jaccard threshold
+# ---------------------------------------------------------------------------
+# The complement of qx75's LSH banding sweep: qx75 fixes the threshold and
+# sweeps the INDEX configuration; this fixes the exact pair pipeline and
+# sweeps the THRESHOLD, measuring what each operating point does to corpus
+# yield — edges, component count, largest cluster, and docs removed. This
+# is the table a data-curation owner reads to pick the dedup threshold.
+
+THRESH_SWEEP_E3 = (300, 500, 700)
+
+
+def _threshold_sweep_oracle() -> str:
+    per_t = []
+    for t in THRESH_SWEEP_E3:
+        per_t.append(
+            f"""edges_{t} AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM pairstats
+        WHERE 1000 * n_common >= {t} * (sz_a + sz_b - n_common)),
+    und_{t} AS MATERIALIZED (
+        SELECT doc_a AS a, doc_b AS b FROM edges_{t}
+        UNION ALL SELECT doc_b, doc_a FROM edges_{t}),
+    reach_{t} AS (
+        SELECT doc_id AS node, doc_id AS root FROM documents
+        UNION
+        SELECT u.b AS node, r.root FROM reach_{t} r JOIN und_{t} u
+          ON u.a = r.node),
+    cl_{t} AS (SELECT node, MIN(root) AS label FROM reach_{t} GROUP BY node),
+    stat_{t} AS (
+        SELECT {t} AS threshold_e3,
+               (SELECT COUNT(*) FROM edges_{t}) AS n_edges,
+               (SELECT COUNT(DISTINCT a) FROM und_{t}) AS n_linked_docs,
+               (SELECT COUNT(DISTINCT label) FROM cl_{t}) AS n_clusters,
+               (SELECT MAX(c) FROM (SELECT COUNT(*) AS c FROM cl_{t}
+                                    GROUP BY label)) AS largest_cluster)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM stat_{t}" for t in THRESH_SWEEP_E3)
+    return f"""
+    WITH RECURSIVE t AS (
+        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        FROM documents),
+    sh_t AS (
+        SELECT doc_id, {shingles_sql(k=3)} AS sh FROM t WHERE len(toks) >= 3),
+    raw_ex AS (SELECT doc_id, unnest(sh) AS shingle FROM sh_t),
+    df AS (SELECT shingle, COUNT(*) AS n_docs FROM raw_ex GROUP BY shingle),
+    ex AS (SELECT r.doc_id, r.shingle
+           FROM raw_ex r JOIN df USING (shingle)
+           WHERE df.n_docs <= {SHINGLE_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    pairstats AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common,
+               MIN(sa.sz) AS sz_a, MIN(sb.sz) AS sz_b
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        JOIN sizes sa ON sa.doc_id = a.doc_id
+        JOIN sizes sb ON sb.doc_id = b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    {",".join(per_t)},
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT CAST(threshold_e3 AS INT)     AS threshold_e3,
+           CAST(n_edges AS BIGINT)       AS n_edges,
+           CAST(n_linked_docs AS BIGINT) AS n_linked_docs,
+           CAST(n_clusters AS BIGINT)    AS n_clusters,
+           CAST(largest_cluster AS BIGINT) AS largest_cluster,
+           CAST(nd.n_docs - n_clusters AS BIGINT) AS n_removed,
+           CAST(n_clusters * 10000 // nd.n_docs AS BIGINT) AS yield_e4
+    FROM ({union}) CROSS JOIN nd
+    """
+
+
+@register("qx87_dedup_threshold_sweep", oracle=_threshold_sweep_oracle())
+def qx87_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per candidate Jaccard threshold: exact edge count, linked
+    docs, connected-component count, largest cluster, docs removed, and
+    corpus yield (e4) — the operating-point table for choosing a dedup
+    threshold. Edges at every threshold come from ONE shared pair-stats
+    materialization (the session-checkpointed q88/qx24/qx34 candidate
+    pipeline — sweeping thresholds costs three integer filters, not
+    three shingle shuffles); components run per threshold via the q98
+    min-label propagation with exact-fixpoint detection.
+
+    Plan: pair-stats is the only data-sized work and is reused across
+    the sweep AND across every other similarity-graph consumer in the
+    session; each CC round is edge-sized (near-dup pairs ≪ corpus).
+    Thresholds are integer e3 — the edge predicate
+    1000·∩ ≥ t·∪ is exact cross-multiplication on both engines. At
+    100 TB: same argument as q98; the sweep adds |thresholds| CC runs
+    over strictly shrinking edge subsets (edges(0.7) ⊆ edges(0.3))."""
+    stats = _shingle_pair_stats(spark, sf_dir, SHINGLE_DF_CAP)
+    docs = load_table(spark, sf_dir, "documents")
+    nodes = docs.select(F.col("doc_id").alias("node"))
+    n_docs = docs.count()
+    outs = []
+    for t in THRESH_SWEEP_E3:
+        edges = stats.filter(
+            1000 * F.col("n_common")
+            >= t * (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
+        ).select("doc_a", "doc_b").localCheckpoint(eager=False)
+        labels = connected_components(nodes, edges)
+        agg = labels.agg(
+            F.countDistinct("label").cast("bigint").alias("n_clusters")
+        )
+        largest = (
+            labels.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").cast("bigint").alias("largest_cluster"))
+        )
+        edge_stats = edges.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        )
+        linked = (
+            edges.select(F.col("doc_a").alias("d"))
+            .unionByName(edges.select(F.col("doc_b").alias("d")))
+            .agg(F.countDistinct("d").cast("bigint").alias("n_linked_docs"))
+        )
+        outs.append(
+            agg.crossJoin(largest)
+            .crossJoin(edge_stats)
+            .crossJoin(linked)
+            .select(
+                F.lit(t).cast("int").alias("threshold_e3"),
+                "n_edges",
+                "n_linked_docs",
+                "n_clusters",
+                "largest_cluster",
+                (F.lit(n_docs) - F.col("n_clusters"))
+                .cast("bigint")
+                .alias("n_removed"),
+                F.expr(f"cast(n_clusters * 10000 div {n_docs} as bigint)").alias(
+                    "yield_e4"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
