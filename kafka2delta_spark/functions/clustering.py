@@ -176,3 +176,109 @@ def q76_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cid").cast("bigint").alias("cluster"),
         F.col("__dist").alias("sq_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx85: product-quantization codebook + encode (the IVF-PQ building block)
+# ---------------------------------------------------------------------------
+# The embedding is split into PQ_SUBSPACES contiguous sub-vectors; each
+# subspace gets its own K-centroid Lloyd codebook (the machinery above,
+# unchanged, on sliced vectors), and every vector is encoded as its
+# per-subspace nearest-centroid codes. The reconstruction error —
+# squared L2 between the vector and its concatenated codebook entries —
+# is EXACTLY the sum of per-subspace assignment distances, all in the
+# fixed-point BIGINT contract, so the whole encode is hash-gated.
+
+PQ_SUBSPACES = 4
+PQ_SUBDIM = 16  # 64 dims / 4 subspaces
+
+
+def _pq_oracle() -> str:
+    seeds = ", ".join(str(s) for s in K_SEEDS)
+    chains = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM - 1
+        chains.append(
+            f"""vl_{s} AS (SELECT * FROM vl WHERE d BETWEEN {lo} AND {hi}),
+    c0_{s} AS (
+        SELECT vec_id AS cid, d, x AS cx FROM vl_{s}
+        WHERE vec_id IN ({seeds})),
+    s1_{s} AS (
+        SELECT vl_{s}.vec_id, c0_{s}.cid,
+               SUM((vl_{s}.x - c0_{s}.cx) * (vl_{s}.x - c0_{s}.cx)) AS dist
+        FROM vl_{s} JOIN c0_{s} USING (d)
+        GROUP BY vl_{s}.vec_id, c0_{s}.cid),
+    a1_{s} AS (
+        SELECT vec_id, cid FROM s1_{s}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1),
+    c1_{s} AS (
+        SELECT a1_{s}.cid, vl_{s}.d,
+               CAST(FLOOR(SUM(vl_{s}.x) / COUNT(*)) AS BIGINT) AS cx
+        FROM a1_{s} JOIN vl_{s} USING (vec_id)
+        GROUP BY a1_{s}.cid, vl_{s}.d),
+    s2_{s} AS (
+        SELECT vl_{s}.vec_id, c1_{s}.cid,
+               SUM((vl_{s}.x - c1_{s}.cx) * (vl_{s}.x - c1_{s}.cx)) AS dist
+        FROM vl_{s} JOIN c1_{s} USING (d)
+        GROUP BY vl_{s}.vec_id, c1_{s}.cid),
+    a2_{s} AS (
+        SELECT vec_id, cid, dist FROM s2_{s}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1)"""
+        )
+    joins = " ".join(f"JOIN a2_{s} ON a2_{s}.vec_id = a2_0.vec_id" for s in range(1, PQ_SUBSPACES))
+    code_cols = ", ".join(
+        f"CAST(a2_{s}.cid AS BIGINT) AS code{s}" for s in range(PQ_SUBSPACES)
+    )
+    err = " + ".join(f"a2_{s}.dist" for s in range(PQ_SUBSPACES))
+    return f"""
+    WITH vl AS (
+        SELECT vec_id, t.i - 1 AS d,
+               CAST(floor((embedding::DOUBLE[])[t.i] * {SCALE}) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) AS t(i)),
+    {",".join(chains)}
+    SELECT a2_0.vec_id, {code_cols},
+           CAST({err} AS BIGINT) AS recon_err
+    FROM a2_0 {joins}
+    """
+
+
+@register("qx85_pq_codebook_encode", oracle=_pq_oracle())
+def qx85_pq_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization: train {PQ_SUBSPACES} independent Lloyd
+    codebooks on {PQ_SUBDIM}-dim sub-vectors (the q76 machinery on
+    slices — corpus never shuffles, per-subspace centroid updates are
+    K×{PQ_SUBDIM} metadata cells) and encode every vector as its code
+    tuple plus the exact reconstruction error. PQ is what makes
+    billion-scale ANN memory-feasible: 64 dims × 4 bytes → 4 one-byte
+    codes (16×), with recon_err the quantization-quality audit column.
+
+    Plan: {PQ_SUBSPACES} independent Lloyd chains over SLICES of one
+    scan — Spark evaluates them as parallel aggregates off the same
+    exchange; the final encode is one broadcast-assign per subspace
+    joined on vec_id. At 100 TB the codebooks (K×{PQ_SUBDIM} ints each)
+    broadcast everywhere and encoding is embarrassingly parallel —
+    identical to the production IVF-PQ build. Geometry is the module's
+    exact fixed-point contract (docstring above); subspace additivity
+    of squared L2 makes recon_err exact with no extra pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _fixed_vec().alias("vi"))
+    out = None
+    for s in range(PQ_SUBSPACES):
+        sub = vecs.select(
+            "vec_id", F.slice("vi", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("vi")
+        )
+        cents = lloyd_centroids(sub)
+        enc = _assign(sub, cents).select(
+            "vec_id",
+            F.col("cid").cast("bigint").alias(f"code{s}"),
+            F.col("__dist").alias(f"err{s}"),
+        )
+        out = enc if out is None else out.join(enc, "vec_id")
+    err = sum(F.col(f"err{s}") for s in range(PQ_SUBSPACES))
+    return out.select(
+        "vec_id",
+        *[f"code{s}" for s in range(PQ_SUBSPACES)],
+        err.cast("bigint").alias("recon_err"),
+    )

@@ -1140,3 +1140,121 @@ def qx76_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx84: contrastive hard-example mining over the embedding table
+# ---------------------------------------------------------------------------
+# For each anchor: the HARDEST POSITIVE (farthest same-label vector) and
+# the HARDEST NEGATIVE (nearest different-label vector), with the exact
+# integer margin d_neg − d_pos. Triplets with margin ≤ 0 are the
+# violations a metric-learning run would mine for its next batch — this
+# is the batch-mining step of triplet/contrastive training expressed as
+# a query. Geometry is the clustering module's fixed-point contract:
+# coordinates floored at 1e6, squared L2 in exact BIGINT on both engines.
+
+HARDNEG_MOD = 4  # anchors: vec_id % 4 == 0 (a deterministic 25% sample)
+
+
+def _hardneg_oracle() -> str:
+    from kafka2delta_spark.functions.clustering import SCALE
+
+    return f"""
+    WITH vl AS (
+        SELECT vec_id, t.i - 1 AS d,
+               CAST(floor((embedding::DOUBLE[])[t.i] * {SCALE}) AS BIGINT) AS x
+        FROM embeddings, range(1, 65) AS t(i)),
+    lab AS (SELECT vec_id, label FROM embeddings),
+    anch AS (SELECT vec_id AS aid FROM embeddings
+             WHERE vec_id % {HARDNEG_MOD} = 0),
+    dist AS (
+        SELECT a.vec_id AS aid, b.vec_id AS nid,
+               SUM((a.x - b.x) * (a.x - b.x)) AS d2
+        FROM vl a JOIN anch ON anch.aid = a.vec_id
+        JOIN vl b ON b.d = a.d AND b.vec_id <> a.vec_id
+        GROUP BY a.vec_id, b.vec_id),
+    typed AS (
+        SELECT dist.aid, dist.nid, dist.d2, la.label AS a_label,
+               (la.label = lb.label) AS same
+        FROM dist
+        JOIN lab la ON la.vec_id = dist.aid
+        JOIN lab lb ON lb.vec_id = dist.nid),
+    pos AS (
+        SELECT aid, nid AS pos_id, d2 AS d_pos FROM typed WHERE same
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY aid
+                                   ORDER BY d2 DESC, nid) = 1),
+    neg AS (
+        SELECT aid, nid AS neg_id, d2 AS d_neg FROM typed WHERE NOT same
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY aid
+                                   ORDER BY d2 ASC, nid) = 1)
+    SELECT p.aid AS vec_id, la.label,
+           p.pos_id, CAST(p.d_pos AS BIGINT) AS d_pos,
+           n.neg_id, CAST(n.d_neg AS BIGINT) AS d_neg,
+           CAST(n.d_neg - p.d_pos AS BIGINT) AS margin,
+           (n.d_neg <= p.d_pos) AS is_violation
+    FROM pos p JOIN neg n USING (aid)
+    JOIN lab la ON la.vec_id = p.aid
+    """
+
+
+@register("qx84_hard_negative_mining", oracle=_hardneg_oracle())
+def qx84_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining: for each anchor (a deterministic 1/{HARDNEG_MOD}
+    id sample), the farthest same-label and nearest different-label
+    vectors by exact fixed-point squared L2, with the margin and a
+    violation flag — the hard-example selection step of contrastive /
+    triplet training run inside the engine, so only mined triplets
+    (not the corpus) leave for the trainer.
+
+    Plan: anchors broadcast against one corpus scan (the q90 shape);
+    both extremes come from ONE scored pass with two rank windows
+    partitioned by anchor. Brute-force is the exactness baseline —
+    at 100 TB anchors join per-label IVF cells (q93's index) for the
+    negative side, with this query as the recall oracle on a sample;
+    that trade is documented, not silently substituted. All distances
+    exact BIGINT (the clustering fixed-point contract); tie-break on
+    neighbor id."""
+    from kafka2delta_spark.functions.clustering import _fixed_vec, _sq_dist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", "label", _fixed_vec().alias("vi"))
+    anchors = vecs.filter(F.col("vec_id") % HARDNEG_MOD == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("a_label"),
+        F.col("vi").alias("av"),
+    )
+    scored = (
+        vecs.join(F.broadcast(anchors), F.col("vec_id") != F.col("aid"))
+        .withColumn("d2", _sq_dist(F.col("av"), F.col("vi")))
+        .select(
+            "aid", "a_label",
+            F.col("vec_id").alias("nid"),
+            (F.col("label") == F.col("a_label")).alias("same"),
+            "d2",
+        )
+    )
+    wp = W.partitionBy("aid").orderBy(F.desc("d2"), F.asc("nid"))
+    wn = W.partitionBy("aid").orderBy(F.asc("d2"), F.asc("nid"))
+    pos = (
+        scored.filter("same")
+        .withColumn("rk", F.row_number().over(wp))
+        .filter(F.col("rk") == 1)
+        .select("aid", "a_label", F.col("nid").alias("pos_id"),
+                F.col("d2").alias("d_pos"))
+    )
+    neg = (
+        scored.filter(~F.col("same"))
+        .withColumn("rk", F.row_number().over(wn))
+        .filter(F.col("rk") == 1)
+        .select("aid", F.col("nid").alias("neg_id"), F.col("d2").alias("d_neg"))
+    )
+    return pos.join(neg, "aid").select(
+        F.col("aid").alias("vec_id"),
+        F.col("a_label").alias("label"),
+        "pos_id",
+        F.col("d_pos").cast("bigint").alias("d_pos"),
+        "neg_id",
+        F.col("d_neg").cast("bigint").alias("d_neg"),
+        (F.col("d_neg") - F.col("d_pos")).cast("bigint").alias("margin"),
+        (F.col("d_neg") <= F.col("d_pos")).alias("is_violation"),
+    )
