@@ -517,3 +517,119 @@ def qx77_image_batch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fill_e4"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx88: WAV/RIFF header audit — little-endian binary parsing (qx07's PNG
+# parser is big-endian; real media corpora need both byte orders).
+# Synthesize spec-valid RIFF/WAVE/fmt/data headers from per-doc
+# parameters, parse them back with native binary slicing, and derive the
+# audit columns an audio-ingest pipeline filters on (sample rate,
+# channels, sample count, duration). No audio library: header parsing is
+# byte arithmetic and belongs JVM-side; decoding stays env-gated.
+# ---------------------------------------------------------------------------
+
+
+def _le_bytes(col, n):
+    """Little-endian n-byte binary of an integer column: big-endian hex,
+    zero-padded to 2n chars, byte-pair-reversed, unhexed."""
+    hx = F.lpad(F.hex(col.cast("bigint")), 2 * n, "0")
+    pairs = [F.substring(hx, 2 * i + 1, 2) for i in range(n)]
+    return F.unhex(F.concat(*reversed(pairs)))
+
+
+def _le_int(payload, start, n):
+    """Integer from n little-endian bytes at 1-based offset ``start``."""
+    hx = F.hex(F.substring(payload, start, n))
+    pairs = [F.substring(hx, 2 * i + 1, 2) for i in range(n)]
+    return F.conv(F.concat(*reversed(pairs)), 16, 10).cast("bigint")
+
+
+def synthesize_wav_header(sample_rate, channels, n_samples):
+    """Spec-valid 44-byte PCM16 WAV header from typed columns."""
+    block_align = channels * 2
+    byte_rate = sample_rate * block_align
+    data_size = n_samples * block_align
+    return F.concat(
+        F.encode(F.lit("RIFF"), "UTF-8"),
+        _le_bytes(data_size + 36, 4),
+        F.encode(F.lit("WAVEfmt "), "UTF-8"),
+        _le_bytes(F.lit(16), 4),          # fmt chunk size
+        _le_bytes(F.lit(1), 2),           # PCM
+        _le_bytes(channels, 2),
+        _le_bytes(sample_rate, 4),
+        _le_bytes(byte_rate, 4),
+        _le_bytes(block_align, 2),
+        _le_bytes(F.lit(16), 2),          # bits per sample
+        F.encode(F.lit("data"), "UTF-8"),
+        _le_bytes(data_size, 4),
+    )
+
+
+def parse_wav_header(payload):
+    """Audit columns from a binary WAV column — pure codegen'd slicing."""
+    is_wav = (
+        (F.substring(payload, 1, 4) == F.encode(F.lit("RIFF"), "UTF-8"))
+        & (F.substring(payload, 9, 4) == F.encode(F.lit("WAVE"), "UTF-8"))
+        & (F.substring(payload, 13, 4) == F.encode(F.lit("fmt "), "UTF-8"))
+    )
+    return (
+        is_wav.alias("is_wav"),
+        _le_int(payload, 23, 2).alias("channels"),
+        _le_int(payload, 25, 4).alias("sample_rate"),
+        _le_int(payload, 29, 4).alias("byte_rate"),
+        _le_int(payload, 35, 2).alias("bits"),
+        _le_int(payload, 41, 4).alias("data_size"),
+    )
+
+
+@register(
+    "qx88_wav_header_audit",
+    oracle="""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           TRUE AS is_wav,
+           CAST(1 + doc_id % 2 AS BIGINT)             AS channels,
+           CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sample_rate,
+           CAST(16 AS BIGINT)                         AS bits,
+           CAST(1000 + doc_id % 9000 AS BIGINT)       AS n_samples,
+           CAST((1000 + doc_id % 9000) * 1000
+                // (8000 + (doc_id % 5) * 4000) AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def qx88_wav_header_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-corpus audit WITHOUT an audio library: synthesize spec-valid
+    44-byte PCM16 WAV headers from per-doc parameters, parse them back
+    with native little-endian binary slicing, and derive sample count
+    (data_size / block_align) and duration (integer ms) — the columns an
+    ingest pipeline filters on (wrong rate / mono-only / too-short).
+    The oracle computes expectations from doc_id arithmetic, so any
+    byte-offset or ENDIANNESS mistake hash-fails (qx07 covers the
+    big-endian path; WAV is the little-endian one).
+
+    Plan: per-row codegen expressions only — no Python, no decode; at
+    100 TB the pixel/PCM payload never leaves parquet (column pruning),
+    exactly like qx07."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    params = docs.select(
+        "doc_id",
+        (F.lit(8000) + (F.col("doc_id") % 5) * 4000).alias("sr"),
+        (F.lit(1) + F.col("doc_id") % 2).alias("ch"),
+        (F.lit(1000) + F.col("doc_id") % 9000).alias("ns"),
+    )
+    payloads = params.select(
+        "doc_id",
+        synthesize_wav_header(F.col("sr"), F.col("ch"), F.col("ns")).alias(
+            "payload"
+        ),
+    )
+    parsed = payloads.select("doc_id", *parse_wav_header(F.col("payload")))
+    return parsed.select(
+        "doc_id",
+        "is_wav",
+        "channels",
+        "sample_rate",
+        "bits",
+        F.expr("data_size div (channels * 2)").alias("n_samples"),
+        F.expr("data_size * 1000 div byte_rate").alias("duration_ms"),
+    )

@@ -1776,3 +1776,173 @@ def qx74_feature_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFram
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# qx83: the KMV rollup cube — sketch re-aggregation up a grouping lattice
+# ---------------------------------------------------------------------------
+# The OLAP-cube move applied to sketches: build distinct-user KMV sketches
+# ONCE at the finest grain (event_type x day-of-week) and derive every
+# coarser grouping — per type, per dow, grand total — by MERGING leaf
+# sketches, never rescanning raw data. The merge is provably lossless for
+# bottom-K sketches over sub-unions: any hash in the true bottom-K of a
+# union ranks within the bottom-K of whichever leaf contains it, so the
+# merged sketch EQUALS the direct sketch — which is exactly what the
+# oracle computes directly, making the identity hash-gated rather than
+# asserted. True distincts and integer error (e4) ride along per cell.
+
+
+def _kmv_cube_oracle() -> str:
+    # dow aligned to Spark's dayofweek (Sunday=1): duckdb dayofweek + 1
+    est = (
+        f"CASE WHEN COUNT(*) < {KMV_K} THEN COUNT(*) "
+        f"ELSE ({KMV_K - 1} * {KMV_SPACE}::BIGINT) "
+        f"// MAX(CASE WHEN rk = {KMV_K} THEN hv END) END"
+    )
+
+    def level(label, keys, type_out, dow_out):
+        key_list = ", ".join(keys) if keys else "1"
+        part = f"PARTITION BY {key_list}" if keys else ""
+        group = f"GROUP BY {key_list}" if keys else ""
+        join_cond = (
+            " AND ".join(f"t.{k} = e.{k}" for k in keys) if keys else "1 = 1"
+        )
+        return f"""
+        SELECT '{label}' AS level, {type_out} AS event_type,
+               CAST({dow_out} AS INT) AS dow,
+               CAST(LEAST(e.n_hv, {KMV_K}) AS INT) AS sketch_size,
+               CAST(e.est AS BIGINT)  AS est_distinct,
+               CAST(t.tru AS BIGINT)  AS true_distinct,
+               CAST(ABS(e.est - t.tru) * 10000 // t.tru AS BIGINT) AS err_e4
+        FROM (
+            SELECT {key_list + ',' if keys else ''} COUNT(*) AS n_hv,
+                   {est} AS est
+            FROM (SELECT {key_list + ',' if keys else ''} hv,
+                         ROW_NUMBER() OVER ({part} ORDER BY hv) AS rk
+                  FROM (SELECT DISTINCT {key_list + ',' if keys else ''} hv
+                        FROM d))
+            {group}) e
+        JOIN (
+            SELECT {key_list + ',' if keys else ''}
+                   COUNT(DISTINCT user_id) AS tru
+            FROM d {group}) t ON {join_cond}"""
+
+    blocks = [
+        level("type_dow", ["event_type", "dow"], "e.event_type", "e.dow"),
+        level("type", ["event_type"], "e.event_type", "-1"),
+        level("dow", ["dow"], "'ALL'", "e.dow"),
+        level("all", [], "'ALL'", "-1"),
+    ]
+    union = " UNION ALL ".join(blocks)
+    return f"""
+    WITH d AS MATERIALIZED (
+        SELECT DISTINCT event_type,
+               dayofweek(CAST(ts AS DATE)) + 1 AS dow,
+               user_id, {kmv_hash_duck('user_id')} AS hv
+        FROM events)
+    {union}
+    """
+
+
+@register("qx83_kmv_rollup_cube", oracle=_kmv_cube_oracle())
+def qx83_kmv_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user estimates for every cell of the
+    (event_type × day-of-week) grouping lattice — leaf cells sketched
+    once, every coarser level derived purely by merging leaf sketches
+    (explode + dedup + bottom-K: the associative/commutative/idempotent
+    kmv_merge), with exact distincts and integer e4 error per cell.
+
+    This is the planner primitive behind sketch-backed cubes: at 100 TB
+    the raw-data scan happens once for the finest grain; rollups touch
+    only K·|leaf| hashes (metadata). The oracle computes every level
+    DIRECTLY from the distinct hash sets — the hash-gate therefore
+    PROVES the merge-equals-direct identity on real data, not just in
+    a unit test. dow is Spark's dayofweek numbering (Sunday=1; the
+    oracle shifts DuckDB's Sunday=0 to match)."""
+    events = load_table(spark, sf_dir, "events")
+    h = events.select(
+        "event_type",
+        F.dayofweek(F.to_date("ts")).cast("int").alias("dow"),
+        "user_id",
+        F.expr(_KMV_HASH).alias("hv"),
+    )
+    leaf = (
+        h.groupBy("event_type", "dow", F.pmod("hv", F.lit(16)).alias("bucket"))
+        .agg(_bottom_k_set().alias("mins"))
+        .groupBy("event_type", "dow")
+        .agg(
+            F.slice(
+                F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
+            ).alias("kmins")
+        )
+        .localCheckpoint(eager=False)
+    )
+    exploded = leaf.select(
+        "event_type", "dow", F.explode("kmins").alias("hv")
+    )
+    du = events.select(
+        "event_type",
+        F.dayofweek(F.to_date("ts")).cast("int").alias("dow"),
+        "user_id",
+    ).distinct()
+
+    def est_cols():
+        n = F.size("kmins")
+        est = F.when(n < KMV_K, n.cast("bigint")).otherwise(
+            F.expr(
+                f"{KMV_K - 1} * cast({KMV_SPACE} as bigint)"
+                f" div element_at(kmins, {KMV_K})"
+            )
+        )
+        return n.cast("int").alias("sketch_size"), est.cast("bigint").alias(
+            "est_distinct"
+        )
+
+    def level(label, keys, type_out, dow_out):
+        if keys:
+            sk = exploded.groupBy(*keys).agg(
+                F.slice(
+                    F.array_sort(F.array_distinct(F.collect_list("hv"))),
+                    1,
+                    KMV_K,
+                ).alias("kmins")
+            )
+            tru = du.groupBy(*keys).agg(
+                F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+            )
+            j = sk.join(tru, keys)
+        else:
+            sk = exploded.select("hv").distinct().agg(
+                F.slice(F.array_sort(F.collect_list("hv")), 1, KMV_K).alias(
+                    "kmins"
+                )
+            )
+            tru = du.agg(
+                F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+            )
+            j = sk.crossJoin(tru)
+        n_col, est_col = est_cols()
+        return j.select(
+            F.lit(label).alias("level"),
+            type_out.alias("event_type"),
+            dow_out.cast("int").alias("dow"),
+            n_col,
+            est_col,
+            "true_distinct",
+        )
+
+    out = (
+        level("type_dow", ["event_type", "dow"], F.col("event_type"), F.col("dow"))
+        .unionByName(
+            level("type", ["event_type"], F.col("event_type"), F.lit(-1))
+        )
+        .unionByName(level("dow", ["dow"], F.lit("ALL"), F.col("dow")))
+        .unionByName(level("all", [], F.lit("ALL"), F.lit(-1)))
+    )
+    return out.withColumn(
+        "err_e4",
+        F.expr(
+            "cast(abs(est_distinct - true_distinct) * 10000"
+            " div true_distinct as bigint)"
+        ),
+    )

@@ -367,3 +367,138 @@ def qx66_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("deg_core", F.lit(0)).cast("bigint").alias("deg_core"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx91: modularity of the near-dup graph under the SOURCE partition —
+# "do near-duplicates concentrate within sources, or leak across them?"
+# Newman modularity Q = Σ_s [ e_s/m − (d_s/2m)² ] over source groups s,
+# computed EXACTLY: per-group numerator q_num = 4m·e_s − d_s² is integer,
+# and Q·4m² = Σ q_num, so the statistic is hash-gated with no float
+# accumulation anywhere. High Q ⇒ near-dup mining can shard by source
+# (the co-duplication matrix qx34's planner question, answered with one
+# graph-level number); Q ≈ 0 ⇒ cross-source dedup is unavoidable.
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from kafka2delta_spark.functions.dedup import _JACCARD_PAIRS_SQL
+
+    return f"""
+    WITH jp AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL})),
+    src AS (SELECT doc_id, source FROM documents),
+    lab AS (
+        SELECT jp.doc_a, jp.doc_b, sa.source AS s_a, sb.source AS s_b
+        FROM jp JOIN src sa ON sa.doc_id = jp.doc_a
+                JOIN src sb ON sb.doc_id = jp.doc_b),
+    m AS (SELECT COUNT(*) AS m FROM jp),
+    deg AS (
+        SELECT source, COUNT(*) AS d FROM (
+            SELECT s_a AS source FROM lab
+            UNION ALL SELECT s_b FROM lab) GROUP BY source),
+    intra AS (
+        SELECT s_a AS source, COUNT(*) AS e
+        FROM lab WHERE s_a = s_b GROUP BY s_a),
+    nd AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    per AS (
+        SELECT nd.source, nd.n_docs,
+               COALESCE(intra.e, 0) AS intra_edges,
+               COALESCE(deg.d, 0)   AS degree_sum,
+               4 * m.m * COALESCE(intra.e, 0)
+                   - COALESCE(deg.d, 0) * COALESCE(deg.d, 0) AS q_num
+        FROM nd CROSS JOIN m
+        LEFT JOIN intra ON intra.source = nd.source
+        LEFT JOIN deg   ON deg.source   = nd.source)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(intra_edges AS BIGINT) AS intra_edges,
+           CAST(degree_sum AS BIGINT)  AS degree_sum,
+           CAST(q_num AS BIGINT)       AS q_num,
+           CAST(q_num * 1000000 // (4 * m.m * m.m) AS BIGINT)
+               AS modularity_e6
+    FROM per CROSS JOIN m
+    UNION ALL
+    SELECT 'ALL', CAST(SUM(n_docs) AS BIGINT), CAST(SUM(intra_edges) AS BIGINT),
+           CAST(SUM(degree_sum) AS BIGINT), CAST(SUM(q_num) AS BIGINT),
+           CAST(SUM(q_num) * 1000000 // (4 * m.m * m.m) AS BIGINT)
+    FROM per CROSS JOIN m GROUP BY m.m
+    """
+
+
+@register("qx91_source_modularity", oracle=_modularity_oracle())
+def qx91_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Newman modularity of the q88 near-dup graph under the
+    source partition, per source plus an 'ALL' summary row (whose
+    modularity_e6 is the corpus answer). See the module comment for the
+    integer factorization; ties to qx34 (which lists cross-source pair
+    mass) and qx68 (per-source yield) as the one-number roll-up.
+
+    Plan: the edge list is the session-checkpointed q88
+    materialization shared with q98/qx34/qx37/qx54/qx68 — this query
+    adds two broadcast joins onto doc→source (documents are the small
+    dim here; at 100 TB source labels ride WITH the edge list, built
+    once at pair time) and source-alphabet-sized aggregates. Every
+    number is an exact integer."""
+    from kafka2delta_spark.functions.dedup import _jaccard_edges
+
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    e = _jaccard_edges(spark, sf_dir)
+    lab = (
+        e.join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_a"),
+                                   F.col("source").alias("s_a"))),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(src.select(F.col("doc_id").alias("doc_b"),
+                                   F.col("source").alias("s_b"))),
+            "doc_b",
+        )
+        .localCheckpoint(eager=False)
+    )
+    m = lab.count()
+    deg = (
+        lab.select(F.col("s_a").alias("source"))
+        .unionByName(lab.select(F.col("s_b").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    intra = (
+        lab.filter(F.col("s_a") == F.col("s_b"))
+        .groupBy(F.col("s_a").alias("source"))
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    nd = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (
+        nd.join(F.broadcast(intra), "source", "left")
+        .join(F.broadcast(deg), "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint"),
+            F.coalesce("e", F.lit(0)).cast("bigint").alias("intra_edges"),
+            F.coalesce("d", F.lit(0)).cast("bigint").alias("degree_sum"),
+            (
+                4 * F.lit(m) * F.coalesce("e", F.lit(0))
+                - F.coalesce("d", F.lit(0)) * F.coalesce("d", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("q_num"),
+        )
+    )
+    denom = 4 * m * m
+    per = per.withColumn(
+        "modularity_e6",
+        F.expr(f"cast(q_num * 1000000 div {denom} as bigint)"),
+    )
+    total = per.agg(
+        F.lit("ALL").alias("source"),
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("intra_edges").cast("bigint").alias("intra_edges"),
+        F.sum("degree_sum").cast("bigint").alias("degree_sum"),
+        F.sum("q_num").cast("bigint").alias("q_num"),
+        F.expr(f"cast(sum(q_num) * 1000000 div {denom} as bigint)").alias(
+            "modularity_e6"
+        ),
+    )
+    return per.unionByName(total)
