@@ -787,3 +787,107 @@ def qx68_dedup_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx93: length-bucketed inference batch planner — the TEXT analogue of
+# qx77's image decode planner. Sequences are padded to their bucket
+# width (the next power of two >= token count), so a batch of
+# same-bucket docs wastes (width − len) tokens per doc; the planner
+# packs each bucket into fixed-token-budget batches and reports the
+# exact padding waste per batch — the table an inference scheduler
+# reads to size buckets (too few buckets → waste; too many → ragged
+# batches).
+# ---------------------------------------------------------------------------
+
+SEQ_TOKEN_BUDGET = 4096  # padded tokens per inference batch
+SEQ_MIN_BUCKET = 16      # smallest padded width
+
+
+@register(
+    "qx93_length_bucketed_batches",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id,
+               len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+        FROM documents),
+    b AS (
+        SELECT doc_id, n_tokens,
+               GREATEST({SEQ_MIN_BUCKET},
+                        POWER(2, CEIL(LOG2(n_tokens)))::BIGINT) AS width
+        FROM toks WHERE n_tokens > 0),
+    r AS (
+        SELECT doc_id, n_tokens, width,
+               ROW_NUMBER() OVER (PARTITION BY width ORDER BY doc_id) - 1
+                   AS rk,
+               {SEQ_TOKEN_BUDGET} // width AS cap
+        FROM b)
+    SELECT CAST(width AS BIGINT)       AS width,
+           CAST(rk // cap AS BIGINT)   AS batch_seq,
+           CAST(COUNT(*) AS BIGINT)    AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_real,
+           CAST(COUNT(*) * width AS BIGINT) AS tokens_padded,
+           CAST((COUNT(*) * width - SUM(n_tokens)) * 10000
+                // (COUNT(*) * width) AS BIGINT) AS waste_e4
+    FROM r GROUP BY width, rk // cap
+    """,
+)
+def qx93_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into inference batches by padded-length bucket
+    (width = next power of two ≥ token count, floor {SEQ_MIN_BUCKET}),
+    each batch holding ⌊{SEQ_TOKEN_BUDGET}/width⌋ sequences, and report
+    the exact per-batch padding waste (e4). Deterministic packing order
+    (doc_id) makes the whole plan hash-gated.
+
+    Plan: one scan computes token counts and widths (pure codegen); the
+    per-bucket sequence number is a window over the WIDTH partition —
+    the bucket alphabet is ~log₂(max_len) wide, so each bucket is one
+    ordered slice, and at 100 TB batch numbering would run per
+    (shard, width) with q75's triangular broadcast prefix lifting local
+    ranks to global, exactly like the qx52 range planner; the
+    per-bucket window here is the semantics spec for that. Widths and
+    waste are exact integers on both engines (LOG2/CEIL on int inputs is
+    exact dyadic; cross-checked by the power-of-two invariant test)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias(
+            "n_tokens"
+        ),
+    ).filter(F.col("n_tokens") > 0)
+    b = toks.select(
+        "doc_id",
+        "n_tokens",
+        F.greatest(
+            F.lit(SEQ_MIN_BUCKET).cast("bigint"),
+            F.pow(F.lit(2.0), F.ceil(F.log2("n_tokens"))).cast("bigint"),
+        ).alias("width"),
+    )
+    r = b.select(
+        "n_tokens",
+        "width",
+        (
+            F.row_number().over(W.partitionBy("width").orderBy("doc_id")) - 1
+        ).alias("rk"),
+        F.expr(f"{SEQ_TOKEN_BUDGET} div width").alias("cap"),
+    )
+    return (
+        r.groupBy("width", F.expr("rk div cap").alias("batch_seq"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_real"),
+        )
+        .select(
+            F.col("width").cast("bigint"),
+            F.col("batch_seq").cast("bigint"),
+            "n_docs",
+            "tokens_real",
+            (F.col("n_docs") * F.col("width"))
+            .cast("bigint")
+            .alias("tokens_padded"),
+            F.expr(
+                "cast((n_docs * width - tokens_real) * 10000"
+                " div (n_docs * width) as bigint)"
+            ).alias("waste_e4"),
+        )
+    )

@@ -936,6 +936,14 @@ def qx26_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),
     ).distinct()
+    return retention_matrix(uw)
+
+
+def retention_matrix(uw: DataFrame) -> DataFrame:
+    """qx26's cohort matrix from a distinct (user_id, week) presence
+    frame — shared with the streaming-maintained qx92, whose state table
+    IS that presence frame (set-union maintained, so the derived matrix
+    equals the batch answer and qx26's oracle applies verbatim)."""
     wu = W.partitionBy("user_id")
     c = uw.select(
         "user_id", "week", F.min("week").over(wu).alias("cohort_week")

@@ -741,3 +741,106 @@ def qx70_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return cusum_from_daily(store.read())
+
+
+# ---------------------------------------------------------------------------
+# qx92: streaming-maintained retention cohorts — the sixth member of the
+# maintained-aggregate family, and the one with a DIFFERENT replay
+# contract: the maintained state is the distinct (user_id, week)
+# presence table, merged by SET UNION. Set union is idempotent, so —
+# unlike the additive cells of q49/qx31/qx70, where the batch-id ledger
+# is load-bearing against double-counting — a replayed micro-batch is
+# naturally harmless here. The ledger is still kept, but only to skip
+# wasted recomputation; correctness does not depend on it. Cohort
+# assignment (min week per user) is recomputed from the full presence
+# table at read time, so even OUT-OF-ORDER arrivals that reveal an
+# earlier first-week retroactively re-cohort the user correctly —
+# additive cell maintenance cannot do that without retractions (qx58).
+# ---------------------------------------------------------------------------
+
+
+def apply_presence_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch's distinct (user_id, week) rows into the
+    presence state by set union (idempotent — see module comment)."""
+    from kafka2delta_spark.operators.analytic import WEEK_US
+
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False
+    partial = batch_df.select(
+        "user_id", F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week")
+    ).distinct()
+    prior = store.read() if store.exists() else None
+    merged = (
+        partial
+        if prior is None
+        else prior.unionByName(partial).distinct()
+    )
+    store.overwrite(merged, metadata={"last_applied_batch_id": batch_id})
+    return True
+
+
+def _qx26_oracle() -> str:
+    from kafka2delta_spark.queryset import ORACLES
+
+    return ORACLES["qx26_retention_cohorts"]
+
+
+@register(
+    "qx92_streaming_retention",
+    # the set-union-maintained presence table equals batch distinct
+    # (user, week), so qx26's oracle applies VERBATIM
+    oracle=_qx26_oracle(),
+)
+def qx92_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained weekly retention cohorts: per-micro-batch
+    distinct (user, week) presence folded into the state store by
+    idempotent set union, the qx26 cohort matrix derived from the
+    maintained table at read time (shared ``retention_matrix`` helper —
+    same code path as batch, so streaming and batch answers are
+    string-identical, which the shared oracle gates). State is one row
+    per (user, active-week): bounded by users × calendar, not event
+    volume, and replay-safe WITHOUT the ledger (kept only to skip
+    wasted work) — the idempotent-base IVM contract, contrasted with
+    the family's additive-cell members (q49/qx31/qx70) where the ledger
+    is load-bearing."""
+    from kafka2delta_spark.operators.analytic import retention_matrix
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.drain import (
+        _checkpoint_dir,
+        drain_shuffle_partitions,
+    )
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="ret_state_") + "/state"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_presence_batch(store, batch_df, batch_id)
+
+    checkpoint = tempfile.mkdtemp(
+        prefix="ret_ckpt_", dir=_checkpoint_dir("ret")
+    )
+    with drain_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return retention_matrix(store.read())

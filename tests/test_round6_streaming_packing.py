@@ -1,0 +1,119 @@
+"""qx92 streaming-retention maintenance (idempotent-base IVM contract)
+and qx93 length-bucketed batch packing invariants.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka2delta_spark.state.store import ParquetStateStore
+from kafka2delta_spark.streaming.incremental import apply_presence_batch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(spark, rows):
+    # rows: (user_id, week_index) — one event in that week
+    data = [
+        (i, dt.datetime(2024, 1, 4) + dt.timedelta(weeks=w), u, "view", 1.0, "{}")
+        for i, (u, w) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, EVENTS_SCHEMA)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return ParquetStateStore(spark, str(tmp_path / "state"))
+
+
+def test_presence_merge_is_idempotent_without_ledger(spark, store):
+    """The qx92 contract: set union makes replay harmless even if the
+    ledger were bypassed — apply the same rows under DIFFERENT batch ids
+    (so the ledger does not absorb the replay) and the state must not
+    change."""
+    b = _events(spark, [(1, 0), (1, 0), (2, 1), (2, 1)])
+    apply_presence_batch(store, b, 0)
+    s1 = sorted(tuple(r) for r in store.read().collect())
+    apply_presence_batch(store, b, 1)  # replay content, new batch id
+    s2 = sorted(tuple(r) for r in store.read().collect())
+    assert s1 == s2
+    assert len(s1) == 2  # distinct (user, week) only
+
+
+def test_presence_out_of_order_recohorts_user(spark, store):
+    """Late arrival of an EARLIER week must retroactively move the user's
+    cohort — the property additive cell maintenance cannot deliver."""
+    from kafka2delta_spark.operators.analytic import retention_matrix
+
+    apply_presence_batch(store, _events(spark, [(1, 5), (1, 6)]), 0)
+    m1 = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in retention_matrix(store.read()).collect()
+    }
+    cohort1 = min(c for c, _ in m1)
+    # the user's first activity actually happened in week 2 — arrives late
+    apply_presence_batch(store, _events(spark, [(1, 2)]), 1)
+    m2 = {
+        (r["cohort_week"], r["week_offset"]): r["n_active"]
+        for r in retention_matrix(store.read()).collect()
+    }
+    cohort2 = min(c for c, _ in m2)
+    assert cohort2 == cohort1 - 3
+    # offsets re-anchored: all three weeks now measured from week 2
+    assert sorted(off for _, off in m2) == [0, 3, 4]
+
+
+def test_stale_batch_id_skipped(spark, store):
+    assert apply_presence_batch(store, _events(spark, [(1, 0)]), 5)
+    assert not apply_presence_batch(store, _events(spark, [(9, 9)]), 5)
+    assert not apply_presence_batch(store, _events(spark, [(9, 9)]), 4)
+    users = {r["user_id"] for r in store.read().collect()}
+    assert users == {1}
+
+
+def test_length_buckets_pack_correctly(spark):
+    from kafka2delta_spark.functions.pipeline import (
+        SEQ_MIN_BUCKET,
+        SEQ_TOKEN_BUDGET,
+        qx93_length_bucketed_batches,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    rows = qx93_length_bucketed_batches(spark, SF_DIR).collect()
+    n_docs_total = sum(r["n_docs"] for r in rows)
+    docs = load_table(spark, SF_DIR, "documents")
+    n_nonempty = docs.filter(
+        F.size(F.split(F.lower("text"), r"\s+")) > 0
+    ).count()
+    assert n_docs_total == n_nonempty  # every doc scheduled exactly once
+    for r in rows:
+        w = r["width"]
+        assert w >= SEQ_MIN_BUCKET and (w & (w - 1)) == 0  # power of two
+        cap = SEQ_TOKEN_BUDGET // w
+        assert 1 <= r["n_docs"] <= cap
+        assert r["tokens_padded"] == r["n_docs"] * w
+        assert r["tokens_real"] <= r["tokens_padded"]
+        # docs in a width-w bucket have len in (w/2, w] (or <= 16 floor)
+        assert r["tokens_real"] > r["n_docs"] * (w // 2) or w == SEQ_MIN_BUCKET
+        assert (
+            r["waste_e4"]
+            == (r["tokens_padded"] - r["tokens_real"]) * 10000 // r["tokens_padded"]
+        )
+    # only the LAST batch of a bucket may be under-full
+    by_width = {}
+    for r in rows:
+        by_width.setdefault(r["width"], []).append(r)
+    for w, rs in by_width.items():
+        rs.sort(key=lambda r: r["batch_seq"])
+        assert [r["batch_seq"] for r in rs] == list(range(len(rs)))
+        cap = SEQ_TOKEN_BUDGET // w
+        for r in rs[:-1]:
+            assert r["n_docs"] == cap
