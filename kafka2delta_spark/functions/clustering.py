@@ -282,3 +282,215 @@ def qx85_pq_codebook_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[f"code{s}" for s in range(PQ_SUBSPACES)],
         err.cast("bigint").alias("recon_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx94: IVF-PQ ANN search with asymmetric distance computation (ADC) —
+# the composite of this module's two quantizers, and the memory layout
+# every billion-scale ANN system (FAISS IVFPQ) actually serves from:
+# a coarse Lloyd quantizer routes each query to NPROBE inverted lists,
+# and candidate distances are approximated WITHOUT touching raw vectors
+# — each candidate costs only its PQ code tuple, scored against a
+# per-query lookup table of (query-subvector → codebook-entry) exact
+# squared distances. Everything stays in the fixed-point BIGINT
+# contract, so ADC scores, ranking, and the exact re-check are all
+# hash-gated.
+# ---------------------------------------------------------------------------
+
+IVFPQ_QMOD = 100  # queries: vec_id % 100 == 0
+IVFPQ_NPROBE = 2
+IVFPQ_TOP_K = 3
+
+
+def _ivfpq_oracle() -> str:
+    seeds = ", ".join(str(s) for s in K_SEEDS)
+    # per-subspace PQ chains (same construction as _pq_oracle)
+    chains = []
+    for s in range(PQ_SUBSPACES):
+        lo, hi = s * PQ_SUBDIM, (s + 1) * PQ_SUBDIM - 1
+        chains.append(
+            f"""vl_{s} AS (SELECT * FROM vl WHERE d BETWEEN {lo} AND {hi}),
+    c0_{s} AS (
+        SELECT vec_id AS cid, d, x AS cx FROM vl_{s}
+        WHERE vec_id IN ({seeds})),
+    s1_{s} AS (
+        SELECT vl_{s}.vec_id, c0_{s}.cid,
+               SUM((vl_{s}.x - c0_{s}.cx) * (vl_{s}.x - c0_{s}.cx)) AS dist
+        FROM vl_{s} JOIN c0_{s} USING (d)
+        GROUP BY vl_{s}.vec_id, c0_{s}.cid),
+    a1_{s} AS (
+        SELECT vec_id, cid FROM s1_{s}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1),
+    c1_{s} AS (
+        SELECT a1_{s}.cid, vl_{s}.d,
+               CAST(FLOOR(SUM(vl_{s}.x) / COUNT(*)) AS BIGINT) AS cx
+        FROM a1_{s} JOIN vl_{s} USING (vec_id)
+        GROUP BY a1_{s}.cid, vl_{s}.d),
+    s2_{s} AS (
+        SELECT vl_{s}.vec_id, c1_{s}.cid,
+               SUM((vl_{s}.x - c1_{s}.cx) * (vl_{s}.x - c1_{s}.cx)) AS dist
+        FROM vl_{s} JOIN c1_{s} USING (d)
+        GROUP BY vl_{s}.vec_id, c1_{s}.cid),
+    a2_{s} AS (
+        SELECT vec_id, cid AS code{s}, dist FROM s2_{s}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1),
+    adc_{s} AS (
+        -- per-query lookup table: exact sq dist from the query's
+        -- subvector to every codebook entry of subspace {s}
+        SELECT q.qid, c1_{s}.cid,
+               SUM((vq.x - c1_{s}.cx) * (vq.x - c1_{s}.cx)) AS dq
+        FROM qs q
+        JOIN vl vq ON vq.vec_id = q.qid AND vq.d BETWEEN {lo} AND {hi}
+        JOIN c1_{s} ON c1_{s}.d = vq.d
+        GROUP BY q.qid, c1_{s}.cid)"""
+        )
+    code_joins = " ".join(
+        f"JOIN a2_{s} ON a2_{s}.vec_id = cand.nid" for s in range(PQ_SUBSPACES)
+    )
+    adc_joins = " ".join(
+        f"JOIN adc_{s} ON adc_{s}.qid = cand.qid"
+        f" AND adc_{s}.cid = a2_{s}.code{s}"
+        for s in range(PQ_SUBSPACES)
+    )
+    adc_sum = " + ".join(f"adc_{s}.dq" for s in range(PQ_SUBSPACES))
+    return f"""
+    WITH {lloyd_oracle_ctes()},
+    ivf AS (
+        SELECT vec_id, cid FROM s2
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY dist, cid) = 1),
+    qs AS (SELECT vec_id AS qid FROM embeddings
+           WHERE vec_id % {IVFPQ_QMOD} = 0),
+    probe AS (
+        SELECT s2.vec_id AS qid, s2.cid FROM s2 JOIN qs ON qs.qid = s2.vec_id
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY s2.vec_id
+                                   ORDER BY dist, cid) <= {IVFPQ_NPROBE}),
+    {",".join(chains)},
+    cand AS (
+        SELECT p.qid, v.vec_id AS nid
+        FROM probe p JOIN ivf v ON v.cid = p.cid AND v.vec_id <> p.qid),
+    scored AS (
+        SELECT cand.qid, cand.nid, {adc_sum} AS adc_dist
+        FROM cand {code_joins} {adc_joins}),
+    topk AS (
+        SELECT qid, nid, adc_dist,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY adc_dist, nid) AS rk
+        FROM scored
+        QUALIFY rk <= {IVFPQ_TOP_K}),
+    exact AS (
+        SELECT t.qid, t.nid, SUM((a.x - b.x) * (a.x - b.x)) AS d2
+        FROM topk t
+        JOIN vl a ON a.vec_id = t.qid
+        JOIN vl b ON b.vec_id = t.nid AND b.d = a.d
+        GROUP BY t.qid, t.nid)
+    SELECT t.qid, t.nid, CAST(t.rk AS BIGINT) AS rk,
+           CAST(t.adc_dist AS BIGINT) AS adc_dist,
+           CAST(e.d2 AS BIGINT)       AS exact_dist
+    FROM topk t JOIN exact e ON e.qid = t.qid AND e.nid = t.nid
+    """
+
+
+@register("qx94_ivfpq_adc_search", oracle=_ivfpq_oracle())
+def qx94_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search: route each query (a 1/{IVFPQ_QMOD} id sample)
+    to its {IVFPQ_NPROBE} nearest coarse centroids, score every vector
+    in those inverted lists by ADC — the sum over subspaces of the
+    EXACT squared distance from the query's subvector to the
+    candidate's CODEBOOK ENTRY, looked up from a per-query table of
+    K × {PQ_SUBSPACES} integers — and return the top {IVFPQ_TOP_K}
+    with their exact distances re-checked (the re-rank step).
+
+    Why this is the scale path: candidates cost 4 code bytes + 4 table
+    lookups each — raw vectors are read only for the final
+    top-{IVFPQ_TOP_K} re-rank. At 100 TB the inverted lists are the
+    partition layout (cluster-pruned scans), codebooks and ADC tables
+    broadcast (K·subspaces integers per query), and the only shuffle is
+    the per-query top-k. Both quantizers reuse this module's Lloyd
+    runs; every distance is fixed-point BIGINT, so the whole search —
+    routing, ADC scores, ranking, re-rank — hash-matches the oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select("vec_id", _fixed_vec().alias("vi")).localCheckpoint(
+        eager=False
+    )
+    cents = lloyd_centroids(vecs).localCheckpoint(eager=False)
+    ivf = _assign(vecs, cents).select("vec_id", "cid")
+    queries = vecs.filter(F.col("vec_id") % IVFPQ_QMOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("vi").alias("qv")
+    )
+    probe = (
+        queries.crossJoin(F.broadcast(cents))
+        .withColumn("__d", _sq_dist(F.col("qv"), F.col("c")))
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy("__d", "cid")
+            ),
+        )
+        .filter(F.col("__rk") <= IVFPQ_NPROBE)
+        .select("qid", "cid")
+    )
+    # PQ codes for the corpus + per-query ADC lookup tables
+    codes = None
+    adcs = []
+    for s in range(PQ_SUBSPACES):
+        sub = vecs.select(
+            "vec_id", F.slice("vi", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("vi")
+        )
+        cents_s = lloyd_centroids(sub).localCheckpoint(eager=False)
+        enc = _assign(sub, cents_s).select(
+            "vec_id", F.col("cid").alias(f"code{s}")
+        )
+        codes = enc if codes is None else codes.join(enc, "vec_id")
+        qsub = queries.select(
+            "qid", F.slice("qv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qv")
+        )
+        adcs.append(
+            qsub.crossJoin(F.broadcast(cents_s))
+            .select(
+                "qid",
+                F.col("cid").alias(f"code{s}"),
+                _sq_dist(F.col("qv"), F.col("c")).alias(f"dq{s}"),
+            )
+        )
+    cand = probe.join(ivf, "cid").filter(F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("nid")
+    )
+    scored = cand.join(codes, cand.nid == codes.vec_id).drop("vec_id")
+    for s in range(PQ_SUBSPACES):
+        scored = scored.join(F.broadcast(adcs[s]), ["qid", f"code{s}"])
+    scored = scored.select(
+        "qid",
+        "nid",
+        sum(F.col(f"dq{s}") for s in range(PQ_SUBSPACES)).alias("adc_dist"),
+    )
+    topk = (
+        scored.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("qid").orderBy("adc_dist", "nid")
+            ),
+        )
+        .filter(F.col("rk") <= IVFPQ_TOP_K)
+    )
+    # exact re-rank distances for the surviving candidates only
+    exact = (
+        topk.join(queries, "qid")
+        .join(
+            vecs.select(F.col("vec_id").alias("nid"), F.col("vi").alias("nv")),
+            "nid",
+        )
+        .select("qid", "nid", _sq_dist(F.col("qv"), F.col("nv")).alias("d2"))
+    )
+    return (
+        topk.join(exact, ["qid", "nid"])
+        .select(
+            "qid",
+            "nid",
+            F.col("rk").cast("bigint").alias("rk"),
+            F.col("adc_dist").cast("bigint").alias("adc_dist"),
+            F.col("d2").cast("bigint").alias("exact_dist"),
+        )
+    )

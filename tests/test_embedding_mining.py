@@ -90,3 +90,38 @@ def test_pq_encode_matches_numpy(spark):
             total_err[vid] += int(d[i, assign[i]])
     for vid, err in total_err.items():
         assert out[vid]["recon_err"] == err
+
+
+def test_ivfpq_adc_triangle_bound(spark):
+    """ADC approximates d(q, y) by d(q, y_hat) with ||y - y_hat||^2 =
+    qx85's recon_err; the triangle inequality bounds the true distance:
+    |sqrt(exact) - sqrt(adc)| <= sqrt(recon_err(candidate)). Also pins
+    ranking (rk follows adc_dist, tiebreak nid) and the self-exclusion."""
+    import math
+
+    from kafka2delta_spark.functions.clustering import (
+        IVFPQ_TOP_K,
+        qx85_pq_codebook_encode,
+        qx94_ivfpq_adc_search,
+    )
+
+    recon = {
+        r["vec_id"]: r["recon_err"]
+        for r in qx85_pq_codebook_encode(spark, SF_DIR).collect()
+    }
+    rows = qx94_ivfpq_adc_search(spark, SF_DIR).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rk"])
+        assert len(rs) <= IVFPQ_TOP_K
+        assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a["adc_dist"], a["nid"]) < (b["adc_dist"], b["nid"])
+        for r in rs:
+            assert r["nid"] != qid
+            gap = abs(
+                math.sqrt(r["exact_dist"]) - math.sqrt(r["adc_dist"])
+            )
+            assert gap <= math.sqrt(recon[r["nid"]]) + 1e-6
