@@ -71,18 +71,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round driver rows plus this round's local tri-scale artifacts
 # (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
 # query (watermark progression by design).
-_ALIAS_PREFIX = "a5_"
+_ALIAS_PREFIX = "a6_"
 
-_A5_KEYS = (
-    {"qx17"}
-    | {f"qx{i}" for i in range(29, 76)}  # qx29..qx75
-    | {"q27", "q57"}
+# Round 6 (``a6_``) targets, exactly 50:
+#   * never-driver-verified (7): q55 (now with a verified count-only
+#     row_oracle locally; the driver still records its weaker rows-only
+#     check), qx33/qx40 (round 5's two red rows — array columns are now
+#     '|'-joined strings), qx76..qx79 (round-5 additions past the a5_
+#     budget);
+#   * modified this round (3): qx53 (histogram rewrite), qx75 (recall
+#     zero guard), qx26 (retention_matrix refactor shared with qx92);
+#   * round-6 additions (15): qx80..qx94 — winnowing, streaks,
+#     concurrency sweep, KMV rollup cube, hard negatives, PQ encode,
+#     Markov eval, threshold sweep, WAV audit, seasonal triage, entropy,
+#     source modularity, streaming retention, length-bucketed batches,
+#     IVF-PQ ADC search;
+#   * stability re-verifies (25): the TPC-H-shape block q03..q31 whose
+#     last driver rows date to round 2 — the oldest green signatures in
+#     the registry.
+_A6_KEYS = (
+    {"q55", "qx33", "qx40", "qx76", "qx77", "qx78", "qx79"}
+    | {"qx53", "qx75", "qx26"}
+    | {f"qx{i}" for i in range(80, 95)}  # qx80..qx94
+    | {f"q{i:02d}" for i in list(range(3, 24)) + [25, 26, 30, 31]}
 )
 
 
 def _alias_block() -> list[str]:
     return [
-        name for name in sorted(QUERIES) if name.split("_")[0] in _A5_KEYS
+        name for name in sorted(QUERIES) if name.split("_")[0] in _A6_KEYS
     ]
 
 
