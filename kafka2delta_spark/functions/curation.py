@@ -691,3 +691,90 @@ def qx72_quality_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("pct_rank_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx95: quality-model calibration against an independent outcome — does
+# the q79 logit actually predict anything? The reliability-diagram query:
+# rank-decile the logits (exact integer deciles over the total order
+# (logit, doc_id)), and per decile measure the rate of an outcome the
+# model never saw: membership in a q98 near-duplicate cluster (template /
+# boilerplate docs duplicate far more than organic text — the curation
+# folklore this query turns into a measured number). A score that is
+# flat across deciles predicts nothing; a monotone dup-rate gradient
+# justifies thresholding on it.
+# ---------------------------------------------------------------------------
+
+
+def _calibration_oracle() -> str:
+    from kafka2delta_spark.functions.dedup import _JACCARD_PAIRS_SQL
+
+    return (
+        _QUALITY_LOGIT_SQL
+        + f""",
+    edges AS MATERIALIZED (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL}) jp),
+    dup AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM edges
+            UNION ALL SELECT doc_b FROM edges)),
+    ranked AS (
+        SELECT s.doc_id, s.logit_micro,
+               CASE WHEN dup.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+               ROW_NUMBER() OVER (ORDER BY s.logit_micro, s.doc_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM scored s LEFT JOIN dup ON dup.doc_id = s.doc_id)
+    SELECT CAST((rk - 1) * 10 // n AS BIGINT)       AS decile,
+           CAST(COUNT(*) AS BIGINT)                 AS n_docs,
+           CAST(MIN(logit_micro) AS BIGINT)         AS logit_lo,
+           CAST(MAX(logit_micro) AS BIGINT)         AS logit_hi,
+           CAST(SUM(is_dup) AS BIGINT)              AS n_dup,
+           CAST(SUM(is_dup) * 10000 // COUNT(*) AS BIGINT) AS dup_rate_e4
+    FROM ranked GROUP BY (rk - 1) * 10 // n
+    """
+    )
+
+
+@register("qx95_quality_calibration", oracle=_calibration_oracle())
+def qx95_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the q79 quality logit against near-dup
+    membership (an outcome the model's features never saw): one row per
+    exact rank decile with the logit range and the duplicate rate (e4).
+    See the section comment for why duplication is the right independent
+    audit label.
+
+    Plan: logits are per-row codegen; the dup label is two columns off
+    the session-checkpointed q88 edge list; the global decile rank uses
+    rankstats' ``global_ranks`` two-pass (range exchange + mid-offset —
+    NO global window, so no single-task sort at any corpus size). All
+    integers; decile edges are exact rk0·10 div n."""
+    from kafka2delta_spark.functions.dedup import _jaccard_edges
+    from kafka2delta_spark.operators.rankstats import global_ranks
+
+    docs = load_table(spark, sf_dir, "documents")
+    logits = quality_logits(docs)
+    e = _jaccard_edges(spark, sf_dir)
+    dup = (
+        e.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(e.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    labeled = logits.join(F.broadcast(dup), "doc_id", "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(0))
+    )
+    ranked = global_ranks(labeled, ["logit_micro", "doc_id"])
+    return (
+        ranked.groupBy(
+            F.expr("cast(rk0 * 10 div __n as bigint)").alias("decile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("logit_micro").cast("bigint").alias("logit_lo"),
+            F.max("logit_micro").cast("bigint").alias("logit_hi"),
+            F.sum("is_dup").cast("bigint").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_rate_e4",
+            F.expr("cast(n_dup * 10000 div n_docs as bigint)"),
+        )
+    )

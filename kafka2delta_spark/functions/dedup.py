@@ -2240,3 +2240,108 @@ def qx87_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# qx97: cross-split vocabulary OOV — what fraction of eval-split tokens
+# the training split never saw. Doc-level leakage safety (qx06) is
+# necessary but not sufficient for a meaningful eval: if the test split
+# is lexically disjoint from train (high OOV), the eval measures
+# generalization to a different DOMAIN, not quality; if OOV ≈ 0 on a
+# template corpus, the splits are near-interchangeable. This query
+# measures exactly that, on qx06's own split assignment.
+# ---------------------------------------------------------------------------
+
+
+def _split_oov_oracle() -> str:
+    return f"""
+    WITH RECURSIVE edges AS (SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL}) jp),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS root FROM documents
+        UNION
+        SELECT u.b AS node, r.root FROM reach r JOIN und u ON u.a = r.node),
+    cl AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
+    sp AS (
+        SELECT node AS doc_id,
+               CASE WHEN pct < {SPLIT_TRAIN_PCT} THEN 'train'
+                    WHEN pct < {SPLIT_TRAIN_PCT + SPLIT_VAL_PCT} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT node,
+                     100.0 * CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
+                                  AS BIGINT) / {_SPLIT_U32} AS pct
+              FROM cl)),
+    tok AS (
+        SELECT sp.split, t.tok
+        FROM documents d
+        JOIN sp ON sp.doc_id = d.doc_id,
+        LATERAL (SELECT UNNEST(regexp_split_to_array(lower(d.text), '\\s+'))
+                     AS tok) t),
+    train_vocab AS MATERIALIZED (
+        SELECT DISTINCT tok FROM tok WHERE split = 'train'),
+    ev AS (
+        SELECT tok.split, tok.tok,
+               CASE WHEN tv.tok IS NULL THEN 1 ELSE 0 END AS oov
+        FROM tok LEFT JOIN train_vocab tv ON tv.tok = tok.tok
+        WHERE tok.split <> 'train')
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT)                 AS n_tokens,
+           CAST(SUM(oov) AS BIGINT)                 AS n_oov,
+           CAST(SUM(oov) * 10000 // COUNT(*) AS BIGINT) AS oov_rate_e4,
+           CAST(COUNT(DISTINCT tok) AS BIGINT)      AS n_distinct,
+           CAST(COUNT(DISTINCT CASE WHEN oov = 1 THEN tok END) AS BIGINT)
+               AS n_distinct_oov
+    FROM ev GROUP BY split
+    """
+
+
+@register("qx97_split_vocab_oov", oracle=_split_oov_oracle())
+def qx97_split_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-level out-of-vocabulary rates of the val/test splits
+    against the train split's vocabulary, on qx06's leakage-safe
+    cluster-hash assignment: occurrence and distinct-type OOV counts
+    plus integer e4 rates per eval split — see the section comment for
+    why this is the companion check to doc-level leakage safety.
+
+    Plan: the split assignment reuses the session-checkpointed edge
+    list + components (shared with qx06/q98); tokens are one explode;
+    the train vocabulary is a distinct hash-agg whose output joins the
+    eval tokens on the token key — at 100 TB that is the standard
+    big-big shuffle join keyed by token (vocabulary is Zipf-bounded,
+    far smaller than occurrences, and the known hot keys are
+    stop-words: qx44's skew-profile feeds a salting decision). All
+    counts exact."""
+    splits = qx06_leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.join(splits, "doc_id")
+        .select(
+            "split",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+        )
+    )
+    train_vocab = (
+        tok.filter(F.col("split") == "train").select("tok").distinct()
+        .withColumn("__in_train", F.lit(1))
+    )
+    ev = (
+        tok.filter(F.col("split") != "train")
+        .join(train_vocab, "tok", "left")
+        .select(
+            "split",
+            "tok",
+            F.when(F.col("__in_train").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.expr("cast(sum(oov) * 10000 div count(1) as bigint)").alias(
+            "oov_rate_e4"
+        ),
+        F.countDistinct("tok").cast("bigint").alias("n_distinct"),
+        F.countDistinct(F.when(F.col("oov") == 1, F.col("tok")))
+        .cast("bigint")
+        .alias("n_distinct_oov"),
+    )

@@ -482,3 +482,98 @@ def qx90_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# qx96: inter-arrival time distribution per event type — exact log2
+# histograms of the gaps between a user's consecutive events of the same
+# type. The operational-health fingerprint of a stream: bot traffic
+# shows up as mass in the lowest buckets, batch backfills as a spike at
+# one bucket, organic traffic as a smooth heavy tail. Bucketing is a
+# fixed integer CASE ladder (bucket k ⟺ gap_s ∈ [2^(k−1), 2^k), bucket
+# 0 = sub-second) — no log() call anywhere, so there is no float
+# boundary to diverge between engines.
+# ---------------------------------------------------------------------------
+
+INTERARRIVAL_MAX_BUCKET = 21  # gaps >= 2^20 s (~12 days) collapse here
+
+
+def _log2_bucket_sql(col: str) -> str:
+    """Portable CASE ladder: 0 for gap 0, k for [2^(k-1), 2^k)."""
+    branches = [f"WHEN {col} < 1 THEN 0"]
+    for k in range(1, INTERARRIVAL_MAX_BUCKET):
+        branches.append(f"WHEN {col} < {1 << k} THEN {k}")
+    return (
+        "CASE " + " ".join(branches) + f" ELSE {INTERARRIVAL_MAX_BUCKET} END"
+    )
+
+
+@register(
+    "qx96_interarrival_histogram",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type,
+               (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                    PARTITION BY user_id, event_type
+                    ORDER BY ts, event_id)) // 1000000 AS gap_s
+        FROM events),
+    b AS (
+        SELECT event_type, gap_s, {_log2_bucket_sql('gap_s')} AS bucket
+        FROM g WHERE gap_s IS NOT NULL),
+    t AS (SELECT event_type, COUNT(*) AS tot FROM b GROUP BY event_type)
+    SELECT b.event_type, CAST(b.bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           CAST(MIN(b.gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(b.gap_s) AS BIGINT) AS max_gap_s,
+           CAST(COUNT(*) * 10000 // t.tot AS BIGINT) AS share_e4
+    FROM b JOIN t ON t.event_type = b.event_type
+    GROUP BY b.event_type, b.bucket, t.tot
+    """,
+)
+def qx96_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact log₂ histogram of same-type inter-arrival gaps per event
+    type (whole seconds; bucket k covers [2^(k−1), 2^k) s, 0 =
+    sub-second, {INTERARRIVAL_MAX_BUCKET} = ≥2^{INTERARRIVAL_MAX_BUCKET - 1} s)
+    with per-bucket min/max gaps and integer share — see the section
+    comment for what the shape diagnoses.
+
+    Plan: one shuffle on (user, type) for the lag window (total order
+    via the unique event_id), then hash-aggs on the
+    (|types| × {INTERARRIVAL_MAX_BUCKET + 1})-sized bucket alphabet; the
+    per-type totals broadcast back. The bucket expression is a constant
+    integer CASE ladder — whole-stage codegen, engine-identical, no
+    floats."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    g = ev.select(
+        "event_type",
+        (
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("gap_s"),
+    ).filter(F.col("gap_s").isNotNull())
+    b = g.select(
+        "event_type",
+        "gap_s",
+        F.expr(_log2_bucket_sql("gap_s")).cast("int").alias("bucket"),
+    )
+    t = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        b.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+        .join(F.broadcast(t), "event_type")
+        .select(
+            "event_type",
+            "bucket",
+            "n",
+            "min_gap_s",
+            "max_gap_s",
+            F.expr("cast(n * 10000 div tot as bigint)").alias("share_e4"),
+        )
+    )

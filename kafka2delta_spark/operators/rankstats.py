@@ -169,3 +169,53 @@ def exact_percentiles_by_rank(
         hi_v = F.coalesce(F.col(f"__hi{num}"), lo_v)
         out_cols.append((lo_v + (hi_v - lo_v) * frac).alias(f"{prefix}{num}"))
     return res.select(*out_cols)
+
+
+def global_ranks(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_parts: int = 32,
+    rank_col: str = "rk0",
+    total_col: str = "__n",
+) -> DataFrame:
+    """Exact global 0-indexed ranks over a total order WITHOUT a global
+    window: the module's range-partition + mid-offset idiom exposed as a
+    reusable pass. Returns ``df`` plus ``rank_col`` (0-based rank in the
+    total order of ``order_cols``) and ``total_col`` (row count). The
+    caller must pass a TOTAL order (include a unique tiebreak column) if
+    rank determinism matters. One data-sized shuffle (the range
+    exchange); offsets/totals are metadata-sized broadcasts. Subject to
+    the same id-contiguity contract pinned by
+    test_mid_rank_reconstruction_is_contiguous."""
+    order_cols = list(order_cols)
+    ranked = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__mid", F.monotonically_increasing_id())
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    counts = ranked.groupBy("__pid").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__mid0")
+    )
+    prior = counts.select(
+        F.col("__pid").alias("__pid2"), F.col("__cnt").alias("__cnt2")
+    )
+    offsets = (
+        counts.join(
+            F.broadcast(prior), F.col("__pid2") < F.col("__pid"), "left"
+        )
+        .groupBy("__pid")
+        .agg(
+            F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"),
+            F.min("__mid0").alias("__mid0"),
+        )
+    )
+    totals = counts.agg(F.sum("__cnt").cast("bigint").alias(total_col))
+    return (
+        ranked.join(F.broadcast(offsets), "__pid")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            rank_col, F.col("__off") + (F.col("__mid") - F.col("__mid0"))
+        )
+        .drop("__mid", "__pid", "__off", "__mid0")
+    )
