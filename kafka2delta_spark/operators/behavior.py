@@ -577,3 +577,117 @@ def qx96_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(n * 10000 div tot as bigint)").alias("share_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# qx98: autocorrelation of the daily count series per event type — the
+# statistical companion to qx64 (CUSUM level shifts) and qx89 (seasonal
+# triage): ACF at lag 1/2 measures short-term momentum, lag 7 confirms
+# (or refutes) weekly seasonality with a number instead of a rank list.
+# Series are evaluated on the DENSE calendar grid (zero-count days
+# materialized), since missing days silently misalign lagged pairs.
+# Exactness: all sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are
+# exact integers; Pearson r is one IEEE sqrt/divide + ROUND(4) at the
+# end (the qx74 contract).
+# ---------------------------------------------------------------------------
+
+ACF_LAGS = (1, 2, 7)
+
+
+def _acf_oracle() -> str:
+    lags = ", ".join(str(lag) for lag in ACF_LAGS)
+    return f"""
+    WITH dates AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    types AS (SELECT DISTINCT event_type FROM events),
+    cnt AS (
+        SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)),
+    grid AS (
+        SELECT t.event_type, d.day, COALESCE(c.n, 0) AS n
+        FROM types t CROSS JOIN dates d
+        LEFT JOIN cnt c ON c.event_type = t.event_type AND c.day = d.day),
+    pairs AS (
+        SELECT a.event_type, l.lag, a.n AS x, b.n AS y
+        FROM grid a
+        CROSS JOIN (SELECT UNNEST([{lags}]) AS lag) l
+        JOIN grid b ON b.event_type = a.event_type
+                   AND b.day = a.day + CAST(l.lag AS INT)),
+    s AS (
+        SELECT event_type, lag,
+               COUNT(*) AS k, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY event_type, lag)
+    SELECT event_type, CAST(lag AS INT) AS lag,
+           CAST(k AS BIGINT) AS n_pairs,
+           CAST(k * sxy - sx * sy AS BIGINT) AS cov_num,
+           CASE WHEN (k * sxx - sx * sx) > 0 AND (k * syy - sy * sy) > 0
+                THEN ROUND((k * sxy - sx * sy) /
+                           (SQRT(CAST(k * sxx - sx * sx AS DOUBLE))
+                            * SQRT(CAST(k * syy - sy * sy AS DOUBLE))), 4)
+                ELSE NULL END AS acf
+    FROM s
+    """
+
+
+@register("qx98_daily_count_acf", oracle=_acf_oracle())
+def qx98_daily_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of each event type's daily count series at lags
+    {ACF_LAGS} over the dense calendar grid — see the section comment
+    for the monitoring role and the exactness contract (integer
+    sufficient statistics, one IEEE sqrt/divide, ROUND(4); zero-variance
+    series yield NULL instead of dividing by zero).
+
+    Plan: one event-volume hash-agg to daily counts; the grid, the
+    lagged self-join (keyed on (type, day) — calendar metadata), and
+    the sufficient-statistic aggregate are all (|types| × |dates|)-
+    sized. Lagged pairs come from a join rather than a window so the
+    plan stays declarative over the grid; at any scale this stage is
+    calendar-bounded."""
+    ev = load_table(spark, sf_dir, "events")
+    dates = ev.select(F.to_date("ts").alias("day")).distinct()
+    types = ev.select("event_type").distinct()
+    cnt = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    grid = (
+        types.crossJoin(dates)
+        .join(cnt, ["event_type", "day"], "left")
+        .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+    )
+    lags = spark.createDataFrame([(lag,) for lag in ACF_LAGS], "lag int")
+    a = grid.crossJoin(F.broadcast(lags))
+    b = grid.select(
+        F.col("event_type").alias("event_type_b"),
+        F.col("day").alias("day_b"),
+        F.col("n").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("event_type_b") == F.col("event_type"))
+        & (F.col("day_b") == F.date_add(F.col("day"), F.col("lag"))),
+    ).select("event_type", "lag", F.col("n").alias("x"), "y")
+    s = pairs.groupBy("event_type", "lag").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dx = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("k") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "event_type",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("k").cast("bigint").alias("n_pairs"),
+        num.cast("bigint").alias("cov_num"),
+        F.when(
+            (dx > 0) & (dy > 0),
+            F.round(
+                num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double"))),
+                4,
+            ),
+        ).alias("acf"),
+    )

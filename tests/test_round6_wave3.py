@@ -115,3 +115,58 @@ def test_split_oov_matches_python_replay(spark):
         for r in qx97_split_vocab_oov(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_acf_matches_numpy(spark):
+    import numpy as np
+
+    from kafka2delta_spark.operators.behavior import (
+        ACF_LAGS,
+        qx98_daily_count_acf,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+
+    from collections import Counter
+
+    counts = Counter()
+    days = set()
+    types = set()
+    for r in load_table(spark, SF_DIR, "events").collect():
+        d = r["ts"].date()
+        counts[(r["event_type"], d)] += 1
+        days.add(d)
+        types.add(r["event_type"])
+    days = sorted(days)
+    out = {
+        (r["event_type"], r["lag"]): r
+        for r in qx98_daily_count_acf(spark, SF_DIR).collect()
+    }
+    for t in types:
+        # the query joins on day+lag, so verify via actual date
+        # arithmetic (not positional lags over observed days)
+        by_day = {d: counts.get((t, d), 0) for d in days}
+        import datetime as dt
+
+        for lag in ACF_LAGS:
+            xs, ys = [], []
+            for d in days:
+                d2 = d + dt.timedelta(days=lag)
+                if d2 in by_day:
+                    xs.append(by_day[d])
+                    ys.append(by_day[d2])
+            if not xs:
+                assert (t, lag) not in out
+                continue
+            r = out[(t, lag)]
+            assert r["n_pairs"] == len(xs)
+            x, y = np.array(xs, dtype=np.int64), np.array(ys, dtype=np.int64)
+            k = len(x)
+            num = k * (x * y).sum() - x.sum() * y.sum()
+            assert r["cov_num"] == num
+            dx = k * (x * x).sum() - x.sum() ** 2
+            dy = k * (y * y).sum() - y.sum() ** 2
+            if dx > 0 and dy > 0:
+                want = num / (np.sqrt(dx) * np.sqrt(dy))
+                assert abs(r["acf"] - want) < 5e-4
+            else:
+                assert r["acf"] is None
