@@ -50,6 +50,24 @@ STRESSED = [
     "qx73_event_concentration_gini",
     "qx78_sequence_motifs",
     "qx79_linear_attribution",
+    # round 6: gaps-and-islands day arithmetic under 16x users (qx81);
+    # the netted +1/-1 sweep when every day holds 16x interleaved
+    # session boundaries (qx82); the KMV rollup cube once leaf sketches
+    # saturate past K and every lattice level takes the capped-estimate
+    # branch — merge-equals-direct must survive capping (qx83); Markov
+    # eval totals under 16x transitions (qx86); rank-based seasonal
+    # triage as daily-count ratios concentrate (qx89); entropy closed
+    # form on 16x users (qx90); inter-arrival CASE-ladder bucketing
+    # with replica-shifted gaps (qx96); dense-grid ACF when the lagged
+    # join carries 16x counts per cell (qx98)
+    "qx81_activity_streaks",
+    "qx82_concurrent_sessions",
+    "qx83_kmv_rollup_cube",
+    "qx86_markov_prediction_eval",
+    "qx89_seasonal_anomaly_days",
+    "qx90_user_type_entropy",
+    "qx96_interarrival_histogram",
+    "qx98_daily_count_acf",
 ]
 
 
@@ -148,6 +166,11 @@ def test_scaled_query_matches_oracle(spark, scaled_dir, name):
     # the scale-up really happened: events-derived outputs must be larger
     if name == "qx38_rolling_zscore_anomalies":
         assert len(sdf) > 1000
+    if name == "qx83_kmv_rollup_cube":
+        # 16x distinct users must saturate the sketches: every lattice
+        # level above the leaves takes the capped-estimate branch
+        full = sdf[sdf["level"].isin(["type", "dow", "all"])]
+        assert (full["sketch_size"] == 64).all()
 
 
 def test_streaming_maintenance_equals_batch_on_scaled_data(spark, scaled_dir):
