@@ -81,20 +81,21 @@ _ALIAS_PREFIX = "a6_"
 #     budget);
 #   * modified this round (3): qx53 (histogram rewrite), qx75 (recall
 #     zero guard), qx26 (retention_matrix refactor shared with qx92);
-#   * round-6 additions (19): qx80..qx98 — winnowing, streaks,
+#   * round-6 additions (20): qx80..qx99 — winnowing, streaks,
 #     concurrency sweep, KMV rollup cube, hard negatives, PQ encode,
 #     Markov eval, threshold sweep, WAV audit, seasonal triage, entropy,
 #     source modularity, streaming retention, length-bucketed batches,
 #     IVF-PQ ADC search, quality calibration, inter-arrival histograms,
-#     split vocabulary OOV, daily-count autocorrelation;
-#   * stability re-verifies (21): the TPC-H-shape block q03..q23 whose
+#     split vocabulary OOV, daily-count autocorrelation, streaming
+#     concurrency (gap-merged interval state, qx82's oracle verbatim);
+#   * stability re-verifies (20): the TPC-H-shape block q03..q22 whose
 #     last driver rows date to round 2 — the oldest green signatures in
 #     the registry.
 _A6_KEYS = (
     {"q55", "qx33", "qx40", "qx76", "qx77", "qx78", "qx79"}
     | {"qx53", "qx75", "qx26"}
-    | {f"qx{i}" for i in range(80, 99)}  # qx80..qx98
-    | {f"q{i:02d}" for i in range(3, 24)}
+    | {f"qx{i}" for i in range(80, 100)}  # qx80..qx99
+    | {f"q{i:02d}" for i in range(3, 23)}
 )
 
 

@@ -172,6 +172,14 @@ def qx82_concurrent_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("s_us"),
         F.max(F.unix_micros("ts")).alias("e_us"),
     )
+    return concurrency_from_intervals(iv)
+
+
+def concurrency_from_intervals(iv: DataFrame) -> DataFrame:
+    """qx82's day-clamped sweep over a (s_us, e_us) session-interval
+    frame — shared with the streaming-maintained qx99, whose state table
+    IS that interval set (gap-merge maintained, so the derived sweep
+    equals the batch answer and qx82's oracle applies verbatim)."""
     seg = (
         iv.withColumn(
             "day",
@@ -690,4 +698,47 @@ def qx98_daily_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ),
         ).alias("acf"),
+    )
+
+
+#: the q57/qx39 sessionization gap, in microseconds (30 min)
+GAP_US = 30 * 60 * 1_000_000
+
+
+def merge_gap_intervals(iv: DataFrame) -> DataFrame:
+    """Gap-tolerant interval union per user: merge (user_id, s_us, e_us)
+    intervals whose gap is ≤ the session GAP rule (next.s − prev.e ≤
+    {GAP_US} µs, i.e. NOT a session break, matching SESSIONIZED_SQL's
+    strict ``> gap`` split). This is a CLOSURE operation on interval
+    sets: merging in stages over any partition of the events (degenerate
+    per-event intervals, per-batch pre-merged intervals, prior state)
+    yields the same final intervals as sessionizing all events at once —
+    an interval's interior never contains a >gap hole by construction,
+    so cross-stage merges depend only on the boundary times that are
+    preserved. That closure property is what makes qx99's maintenance
+    IDEMPOTENT (set union + re-merge), the qx92 replay contract.
+
+    Plan: one shuffle on user_id; the running boundary max and the
+    group numbering are windows over each user's own intervals."""
+    w = W.partitionBy("user_id").orderBy("s_us", "e_us")
+    cummax_prev_e = F.max("e_us").over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "__new",
+        F.when(
+            cummax_prev_e.isNull()
+            | (F.col("s_us") > cummax_prev_e + GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    grp = F.sum("__new").over(w.rowsBetween(W.unboundedPreceding, 0))
+    return (
+        flagged.withColumn("__grp", grp)
+        .groupBy("user_id", "__grp")
+        .agg(
+            F.min("s_us").alias("s_us"),
+            F.max("e_us").alias("e_us"),
+        )
+        .drop("__grp")
     )

@@ -844,3 +844,113 @@ def qx92_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return retention_matrix(store.read())
+
+
+# ---------------------------------------------------------------------------
+# qx99: streaming-maintained session concurrency — the seventh member of
+# the maintained-aggregate family, and the second with the
+# IDEMPOTENT-BASE contract (qx92): the maintained state is the per-user
+# SESSION-INTERVAL set, folded per micro-batch by gap-tolerant interval
+# union (behavior.py::merge_gap_intervals). Gap-merge is a closure
+# operation — merging in stages over any partition of the events equals
+# sessionizing everything at once — so replays are harmless without the
+# ledger, and a batch that BRIDGES two previously-separate intervals
+# (an event landing in the gap) correctly fuses them, which per-session
+# additive cells could not. The qx82 sweep is derived from state at
+# read time via the shared concurrency_from_intervals, so qx82's oracle
+# applies VERBATIM.
+# ---------------------------------------------------------------------------
+
+
+def apply_session_interval_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch into the session-interval state: batch
+    events become degenerate [us, us] intervals, unioned with the prior
+    intervals and gap-merged per user (idempotent — see section
+    comment; the ledger only skips wasted recomputation)."""
+    from kafka2delta_spark.operators.behavior import merge_gap_intervals
+
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False
+    partial = batch_df.select(
+        "user_id",
+        F.unix_micros("ts").alias("s_us"),
+        F.unix_micros("ts").alias("e_us"),
+    )
+    prior = store.read() if store.exists() else None
+    union = partial if prior is None else prior.unionByName(partial)
+    store.overwrite(
+        merge_gap_intervals(union),
+        metadata={"last_applied_batch_id": batch_id},
+    )
+    return True
+
+
+def _qx82_oracle() -> str:
+    # registers qx82 first: this module can be imported directly (tests)
+    # before load_all_querysets has pulled in operators.behavior
+    from kafka2delta_spark.operators import behavior  # noqa: F401
+    from kafka2delta_spark.queryset import ORACLES
+
+    return ORACLES["qx82_concurrent_sessions"]
+
+
+@register(
+    "qx99_streaming_concurrency",
+    # the gap-merged interval state equals batch sessionization (the
+    # closure property), so qx82's oracle applies VERBATIM
+    oracle=_qx82_oracle(),
+)
+def qx99_streaming_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained peak-concurrency monitor: per-micro-batch
+    events folded into per-user session intervals by idempotent
+    gap-merge, the qx82 day-clamped +1/−1 sweep derived from the
+    maintained intervals at read time (shared
+    ``concurrency_from_intervals`` — same code path as batch, which the
+    shared oracle gates). State is one row per SESSION, not per event —
+    the interval set is the minimal sufficient statistic for
+    concurrency — and unlike a per-batch sessionizer, a late batch
+    whose events bridge two intervals fuses them exactly as full-batch
+    sessionization would."""
+    from kafka2delta_spark.operators.behavior import (
+        concurrency_from_intervals,
+    )
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.drain import (
+        _checkpoint_dir,
+        drain_shuffle_partitions,
+    )
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="conc_state_") + "/state"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_session_interval_batch(store, batch_df, batch_id)
+
+    checkpoint = tempfile.mkdtemp(
+        prefix="conc_ckpt_", dir=_checkpoint_dir("conc")
+    )
+    with drain_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return concurrency_from_intervals(store.read())

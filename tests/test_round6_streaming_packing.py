@@ -117,3 +117,70 @@ def test_length_buckets_pack_correctly(spark):
         cap = SEQ_TOKEN_BUDGET // w
         for r in rs[:-1]:
             assert r["n_docs"] == cap
+
+
+# --- qx99: gap-merged session-interval maintenance -----------------------
+
+
+def _iv_events(spark, rows):
+    # rows: (user_id, minute_offset) — one event at that minute
+    data = [
+        (i, dt.datetime(2024, 3, 1) + dt.timedelta(minutes=m), u, "view", 1.0, "{}")
+        for i, (u, m) in enumerate(rows)
+    ]
+    return spark.createDataFrame(data, EVENTS_SCHEMA)
+
+
+def _state(store):
+    return sorted(
+        (r["user_id"], r["s_us"], r["e_us"]) for r in store.read().collect()
+    )
+
+
+def test_interval_merge_is_idempotent_and_order_free(spark, tmp_path):
+    from kafka2delta_spark.streaming.incremental import (
+        apply_session_interval_batch,
+    )
+
+    b1 = _iv_events(spark, [(1, 0), (1, 10), (2, 0)])
+    b2 = _iv_events(spark, [(1, 20), (2, 200)])
+    # order A
+    sa = ParquetStateStore(spark, str(tmp_path / "a"))
+    apply_session_interval_batch(sa, b1, 0)
+    apply_session_interval_batch(sa, b2, 1)
+    # replay with a NEW batch id (ledger does not absorb it) — no change
+    before = _state(sa)
+    apply_session_interval_batch(sa, b2, 2)
+    assert _state(sa) == before
+    # order B (batches swapped) — same final state: gap-merge is a
+    # closure operation, stage order cannot matter
+    sb = ParquetStateStore(spark, str(tmp_path / "b"))
+    apply_session_interval_batch(sb, b2, 0)
+    apply_session_interval_batch(sb, b1, 1)
+    assert _state(sa) == _state(sb)
+    # user 1: events at 0/10/20 min merge into ONE interval; user 2's
+    # 0 and 200 min stay separate (> 30 min gap)
+    by_user = {}
+    for u, s, e in _state(sa):
+        by_user.setdefault(u, []).append((s, e))
+    assert len(by_user[1]) == 1
+    assert len(by_user[2]) == 2
+
+
+def test_bridging_batch_fuses_intervals(spark, tmp_path):
+    """An event landing in the gap between two maintained intervals must
+    fuse them — the property per-session additive state cannot deliver."""
+    from kafka2delta_spark.streaming.incremental import (
+        apply_session_interval_batch,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "s"))
+    # two sessions 50 minutes apart -> separate (gap > 30 min)
+    apply_session_interval_batch(store, _iv_events(spark, [(1, 0), (1, 50)]), 0)
+    assert len(_state(store)) == 2
+    # a late event at minute 25 is within 30-min gap reach of BOTH
+    apply_session_interval_batch(store, _iv_events(spark, [(1, 25)]), 1)
+    st = _state(store)
+    assert len(st) == 1
+    u, s, e = st[0]
+    assert (e - s) == 50 * 60 * 1_000_000
