@@ -429,8 +429,10 @@ def qx42_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         one(
             "orders_custkey_fk",
+            # customer scales with SF — no forced broadcast for an FK
+            # probe side that can exceed the 8 GB cap at 100 TB
             orders.join(
-                F.broadcast(cust.select("c_custkey")),
+                cust.select("c_custkey"),
                 orders.o_custkey == cust.c_custkey,
                 "left",
             ).agg(n, viol(F.col("c_custkey").isNull())),
@@ -759,7 +761,10 @@ def qx95_quality_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    labeled = logits.join(F.broadcast(dup), "doc_id", "left").withColumn(
+    # dup is the near-dup doc set — worst case corpus cardinality, so no
+    # forced broadcast (>8 GB hard cap at 100 TB); AQE broadcasts it at
+    # runtime whenever it is actually small
+    labeled = logits.join(dup, "doc_id", "left").withColumn(
         "is_dup", F.coalesce("is_dup", F.lit(0))
     )
     ranked = global_ranks(labeled, ["logit_micro", "doc_id"])

@@ -442,11 +442,13 @@ def q87b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # hd ≥ 1: every doc with fingerprint fa × every doc with fb (fa < fb
     # canonically, so each unordered doc pair appears exactly once).
-    # Broadcast side = fp_pairs (scales with unique fingerprints, not with
-    # corpus size); the doc table joins by hash on the fingerprint.
+    # fp_pairs scales with UNIQUE fingerprints — which approaches corpus
+    # cardinality on a diverse corpus — so it is never force-broadcast;
+    # the join hashes on the fingerprint key and AQE broadcasts fp_pairs
+    # at runtime only when it is actually small.
     cross = (
         fp.alias("da")
-        .join(F.broadcast(fp_pairs), F.col("da.simhash") == F.col("fa"))
+        .join(fp_pairs, F.col("da.simhash") == F.col("fa"))
         .join(fp.alias("db"), F.col("fb") == F.col("db.simhash"))
         .select(
             F.least("da.doc_id", "db.doc_id").alias("doc_a"),
@@ -557,10 +559,25 @@ def _shingle_pair_stats_uncached(
         pairs_within_groups(buckets)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
+        # two consumers below (endpoint reduction + the final join):
+        # checkpoint the pair expansion once instead of replaying it
+        .localCheckpoint(eager=False)
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
-    return inter.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    # Size lookup is per-document (corpus cardinality) — NEVER broadcast
+    # it outright: Spark hard-fails broadcasts > 8 GB, so a forced hint
+    # that is harmless at sf0.1 kills the query at 100 TB. Semi-join-
+    # reduce `sizes` to the pair endpoints first (pairs ≪ corpus, bounded
+    # by n_shingles·C(cap,2)); the reduced side is small by construction
+    # and AQE is free to pick a broadcast for it at runtime.
+    endpoints = (
+        inter.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(inter.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    touched = sizes.join(endpoints, "doc_id", "left_semi")
+    sa = touched.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = touched.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 
 def jaccard_similar_pairs(
@@ -1361,7 +1378,11 @@ def qx22_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     for _ in range(PR_ITERS):
         contrib = (
             und.join(r.withColumnRenamed("node", "a"), "a")
-            .join(F.broadcast(deg), "a")
+            # deg is per-linked-node (corpus cardinality in the worst
+            # case) — no forced broadcast; the join key is the same "a"
+            # as the rank join, so it rides the same hash partitioning,
+            # and AQE still broadcasts when the graph is actually small
+            .join(deg, "a")
             .select(F.col("b").alias("node"), F.expr("r div outdeg").alias("c"))
         )
         inc = contrib.groupBy("node").agg(F.sum("c").alias("s"))
@@ -1488,15 +1509,20 @@ def qx34_source_coduplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     row.
 
     Plan: consumes the SAME checkpointed edge list as q98/qx06/qx22
-    (tiny), joins the 2-column documents side twice broadcast, one
-    hash-agg on the sources-squared key space."""
+    (tiny), shuffle-joins the 2-column documents projection twice on
+    doc id (corpus-sized — never forced broadcast; AQE broadcasts the
+    tiny edge side instead), one hash-agg on the sources-squared key
+    space."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     edges = _jaccard_edges(spark, sf_dir)
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
     lab = (
-        edges.join(F.broadcast(da), "doc_a")
-        .join(F.broadcast(db), "doc_b")
+        # documents is the corpus — a forced broadcast would hard-fail at
+        # 100 TB (>8 GB cap). Shuffle-join on doc ids; edges are tiny, so
+        # AQE broadcasts THAT side at runtime instead.
+        edges.join(da, "doc_a")
+        .join(db, "doc_b")
         .select(
             F.least("sa", "sb").alias("source_x"),
             F.greatest("sa", "sb").alias("source_y"),

@@ -450,8 +450,9 @@ def qx49_source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFr
     debugging in corpus curation.
 
     Plan: one explode feeds both the (source, term) tf hash-agg and the
-    per-term source-df hash-agg; df and the source count broadcast back
-    onto the tf table; the per-source top-k is a window over the SOURCE
+    per-term source-df hash-agg; df shuffle-joins back onto tf on the
+    shared term key (vocabulary-sized — never force-broadcast) while the
+    one-row source count broadcasts; the per-source top-k is a window over the SOURCE
     partition (group-bounded rank — never a global sort; the q31
     per-group pattern, safe at any source count). The rank key is the
     4dp-ROUNDED score (then term): JVM ``Math.log`` and libm ``log``
@@ -467,7 +468,10 @@ def qx49_source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFr
     df = tr.groupBy("term").agg(F.countDistinct("source").alias("df"))
     ns = docs.agg(F.countDistinct("source").alias("n_src"))
     scored = (
-        tf.join(F.broadcast(df), "term")
+        # df spans the FULL vocabulary (grows with the corpus) — no
+        # forced broadcast; tf and df share the term key so the join
+        # co-partitions, and AQE broadcasts df only when actually small
+        tf.join(df, "term")
         .crossJoin(F.broadcast(ns))
         .select(
             "source", "term", "tf", "df",

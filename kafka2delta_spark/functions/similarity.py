@@ -1154,6 +1154,10 @@ def qx76_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # coordinates floored at 1e6, squared L2 in exact BIGINT on both engines.
 
 HARDNEG_MOD = 4  # anchors: vec_id % 4 == 0 (a deterministic 25% sample)
+# hard ceiling on the collected anchor sample: 64-dim int64 vectors at
+# 65536 anchors ≈ 32 MB in the task closure — comfortably under broadcast
+# and driver limits; anything larger must go through the IVF path
+HARDNEG_ANCHOR_CAP = 65536
 
 
 def _hardneg_oracle() -> str:
@@ -1283,11 +1287,23 @@ def qx84_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     vecs = emb.select("vec_id", "label", _fixed_vec().alias("vi"))
+    # The anchor set ships to the driver and into every task closure, so
+    # it must be EXPLICITLY bounded: collect at most cap+1 rows (bounded
+    # driver memory even on a pathological corpus) and fail loudly past
+    # the cap instead of OOMing — at that scale anchors mine against
+    # per-label IVF cells (q93) with this query as the recall oracle.
     a_rows = (
         vecs.filter(F.col("vec_id") % HARDNEG_MOD == 0)
         .select("vec_id", "label", "vi")
+        .limit(HARDNEG_ANCHOR_CAP + 1)
         .collect()
     )
+    if len(a_rows) > HARDNEG_ANCHOR_CAP:
+        raise ValueError(
+            f"qx84 anchor sample exceeds HARDNEG_ANCHOR_CAP="
+            f"{HARDNEG_ANCHOR_CAP}; at this scale mine against per-label "
+            "IVF cells (q93) instead of the brute-force kernel"
+        )
     a_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
     a_labels = np.array([r["label"] for r in a_rows], dtype=np.int64)
     a_mat = np.array([r["vi"] for r in a_rows], dtype=np.int64)
@@ -1307,10 +1323,13 @@ def qx84_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("kind") == "neg", F.struct(F.col("d2"), F.col("nid")))
         ).alias("n"),
     )
+    # lab is the full corpus id->label table — no forced broadcast (hard
+    # >8 GB failure at scale); `resolved` is anchor-sized, so AQE
+    # broadcasts that side at runtime instead
     lab = vecs.select(F.col("vec_id").alias("aid"), "label")
     return (
         resolved.filter(F.col("p").isNotNull() & F.col("n").isNotNull())
-        .join(F.broadcast(lab), "aid")
+        .join(lab, "aid")
         .select(
             F.col("aid").alias("vec_id"),
             "label",
