@@ -559,24 +559,16 @@ def _shingle_pair_stats_uncached(
         pairs_within_groups(buckets)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
-        # two consumers below (endpoint reduction + the final join):
-        # checkpoint the pair expansion once instead of replaying it
-        .localCheckpoint(eager=False)
     )
-    # Size lookup is per-document (corpus cardinality) — NEVER broadcast
-    # it outright: Spark hard-fails broadcasts > 8 GB, so a forced hint
-    # that is harmless at sf0.1 kills the query at 100 TB. Semi-join-
-    # reduce `sizes` to the pair endpoints first (pairs ≪ corpus, bounded
-    # by n_shingles·C(cap,2)); the reduced side is small by construction
-    # and AQE is free to pick a broadcast for it at runtime.
-    endpoints = (
-        inter.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(inter.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    touched = sizes.join(endpoints, "doc_id", "left_semi")
-    sa = touched.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = touched.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # Size lookup is per-document (corpus cardinality) — NEVER force-
+    # broadcast it: Spark hard-fails broadcasts > 8 GB, so a hint that is
+    # harmless at sf0.1 kills the query at 100 TB. Plain key joins keep
+    # the single-pass shingle-exchange reuse (sizes and inter share one
+    # groupBy(shingle) shuffle) and stay scale-safe: the pair side is
+    # bounded by n_shingles·C(cap,2), so AQE broadcasts THAT side at
+    # runtime; at worst this degrades to a shuffle hash join on doc id.
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     return inter.join(sa, "doc_a").join(sb, "doc_b")
 
 

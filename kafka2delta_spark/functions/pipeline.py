@@ -358,12 +358,10 @@ def q94_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q75: global row index / shard export. Width-based doc_id buckets are the
-# deterministic stand-in for repartitionByRange (whose partition boundaries
-# are sampled, so partition ids are not stable across runs — fine for q33's
-# rank arithmetic, wrong for an index that must be reproducible bit-for-bit
-# across backfills).
-INDEX_BUCKET_WIDTH = 64
+# q75: global row index / shard export. Rank by doc_id is a pure function
+# of the data, so the index is reproducible bit-for-bit across backfills
+# even though repartitionByRange samples its partition boundaries — only
+# WHERE a row ranks locally moves, never its global rank.
 N_SHARDS = 8
 
 
@@ -384,37 +382,24 @@ def q75_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     The training-export step needs every document numbered 0..N-1 in a
     stable global order (here: doc_id) and dealt round-robin into shards.
     ``ROW_NUMBER() OVER (ORDER BY doc_id)`` is the one-task WindowExec trap
-    (same failure q33 fixes); the scale shape is two-pass:
-
-      1. bucket = doc_id div W — deterministic, order-preserving, no
-         sampling. Per-bucket ``row_number`` is a partitioned (parallel)
-         window.
-      2. per-bucket counts (metadata-sized) -> prefix offsets via a
-         broadcast triangular join -> global_idx = offset + local rn - 1.
-
-    Unlike ``zipWithIndex`` (RDD, two jobs, partition-order-dependent) the
-    result is a pure function of the data. Round-robin sharding
-    (idx % {N_SHARDS}) balances shard sizes to within one row; in
+    (same failure q33 fixes). Delegates to ``rankstats.global_ranks`` —
+    the range-exchange + mid-offset two-pass whose prefix arithmetic runs
+    over PER-PARTITION counts (n_parts rows, metadata-sized at any corpus
+    size). An earlier draft bucketed by a fixed doc_id width
+    and lifted local ranks with a triangular join over the bucket counts —
+    but bucket count is corpus/width, so both the broadcast and the
+    O(buckets²) triangle grow with the data; ``global_ranks`` replaces
+    that with a pure function of the data at fixed metadata cost. Unlike
+    ``zipWithIndex`` (RDD, two jobs, partition-order-dependent) the
+    result is a pure function of the data: ranks are data-deterministic
+    even though range-partition boundaries are sampled. Round-robin
+    sharding (idx % {N_SHARDS}) balances shard sizes to within one row; in
     production the writer would ``partitionBy(shard_id)``."""
+    from kafka2delta_spark.operators.rankstats import global_ranks
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    # true integer division: double-divide-then-cast is inexact past 2^53
-    # and truncates toward zero (non-order-preserving for negative ids)
-    bucket = F.expr(f"doc_id div {INDEX_BUCKET_WIDTH}")
-    wb = W.partitionBy("__b").orderBy("doc_id")
-    local = docs.withColumn("__b", bucket).withColumn(
-        "__rn", F.row_number().over(wb)
-    )
-    counts = local.groupBy("__b").agg(F.count("*").alias("__cnt"))
-    prior = counts.select(
-        F.col("__b").alias("__b2"), F.col("__cnt").alias("__cnt2")
-    )
-    offsets = (
-        counts.join(F.broadcast(prior), F.col("__b2") < F.col("__b"), "left")
-        .groupBy("__b")
-        .agg(F.coalesce(F.sum("__cnt2"), F.lit(0)).alias("__off"))
-    )
-    idx = (F.col("__off") + F.col("__rn") - 1).cast("bigint")
-    return local.join(F.broadcast(offsets), "__b").select(
+    idx = F.col("rk0").cast("bigint")
+    return global_ranks(docs, ["doc_id"]).select(
         "doc_id",
         idx.alias("global_idx"),
         (idx % N_SHARDS).alias("shard_id"),
@@ -814,7 +799,9 @@ SEQ_MIN_BUCKET = 16      # smallest padded width
     b AS (
         SELECT doc_id, n_tokens,
                GREATEST({SEQ_MIN_BUCKET},
-                        POWER(2, CEIL(LOG2(n_tokens)))::BIGINT) AS width
+                        CASE WHEN n_tokens <= 1 THEN 1
+                             ELSE 1::BIGINT << length(bin(n_tokens - 1))
+                        END) AS width
         FROM toks WHERE n_tokens > 0),
     r AS (
         SELECT doc_id, n_tokens, width,
@@ -843,11 +830,12 @@ def qx93_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-bucket sequence number is a window over the WIDTH partition —
     the bucket alphabet is ~log₂(max_len) wide, so each bucket is one
     ordered slice, and at 100 TB batch numbering would run per
-    (shard, width) with q75's triangular broadcast prefix lifting local
-    ranks to global, exactly like the qx52 range planner; the
+    (shard, width) with rankstats' metadata-sized prefix offsets lifting
+    local ranks to global, exactly like the qx52 range planner; the
     per-bucket window here is the semantics spec for that. Widths and
-    waste are exact integers on both engines (LOG2/CEIL on int inputs is
-    exact dyadic; cross-checked by the power-of-two invariant test)."""
+    waste are exact integers on both engines (widths via bit-length
+    shifts, never float LOG2 — Spark's log(x)/log(2) misrounds at exact
+    powers of two; cross-checked by the power-of-two invariant test)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
@@ -855,12 +843,21 @@ def qx93_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens"
         ),
     ).filter(F.col("n_tokens") > 0)
+    # next power of two via INTEGER bit-length (1 << bitlen(n-1)), not
+    # POWER(2, CEIL(LOG2 n)): Spark's log2 is log(x)/log(2), which returns
+    # 29.000000000000004 at exactly 2^29 (also 2^31, 2^39, ...), while
+    # DuckDB's std::log2 is exact — a doc with exactly 2^k tokens would
+    # bucket to a different width across engines. Bit-length arithmetic is
+    # exact on both (validated equal over 1..100000 on each engine).
     b = toks.select(
         "doc_id",
         "n_tokens",
         F.greatest(
             F.lit(SEQ_MIN_BUCKET).cast("bigint"),
-            F.pow(F.lit(2.0), F.ceil(F.log2("n_tokens"))).cast("bigint"),
+            F.expr(
+                "case when n_tokens <= 1 then cast(1 as bigint) "
+                "else shiftleft(cast(1 as bigint), length(bin(n_tokens - 1))) end"
+            ),
         ).alias("width"),
     )
     r = b.select(

@@ -157,22 +157,14 @@ def qx80_winnowing_fingerprint_pairs(
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
-        # two consumers (endpoint reduction + final join): checkpoint
-        # the pair expansion once instead of replaying it
-        .localCheckpoint(eager=False)
     )
     # per-doc fingerprint counts are corpus cardinality — a forced
-    # broadcast hard-fails at 100 TB (>8 GB cap). Semi-join-reduce to the
-    # pair endpoints first (pairs ≪ corpus); the reduced side is small by
-    # construction, so AQE may broadcast it at runtime.
-    endpoints = (
-        pr.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(pr.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    touched = sz.join(endpoints, "doc_id", "left_semi")
-    sa = touched.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
-    sb = touched.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    # broadcast hard-fails at 100 TB (>8 GB cap). Plain doc-id joins keep
+    # the single fingerprint pass shared between sz and pr, and the pair
+    # side is bounded by buckets·C(cap,2), so AQE broadcasts THAT side at
+    # runtime; at worst this degrades to a shuffle hash join on doc id.
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
     return (
         pr.join(sa, "doc_a")
         .join(sb, "doc_b")

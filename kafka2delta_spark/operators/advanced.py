@@ -1550,7 +1550,7 @@ def cusum_from_daily(daily: DataFrame) -> DataFrame:
 # form Σ v·(m·C_prev + m(m+1)/2) over the histogram, and Lorenz decile
 # points interpolate inside the containing run. The histogram is
 # bounded by max events-per-user, so all prefix sums run on
-# metadata-sized data — prefixes via the q75 triangular broadcast join,
+# metadata-sized data — prefixes via the qx73 triangular broadcast join,
 # never a single-partition window.
 # ---------------------------------------------------------------------------
 

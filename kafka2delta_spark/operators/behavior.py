@@ -454,7 +454,14 @@ def qx89_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id,
                SUM(k)                    AS n,
                COUNT(*)                  AS n_types,
-               SUM(k * ln(k))            AS sxlx
+               -- left-fold the ln terms in event_type order (0.0 seed):
+               -- matches Spark's aggregate() over the sorted struct list
+               -- addition-for-addition, so the float sum is bit-identical
+               list_reduce(
+                   list_prepend(0.0::DOUBLE,
+                       list_transform(list(k ORDER BY event_type),
+                                      x -> x::DOUBLE * ln(x))),
+                   (a, b) -> a + b)      AS sxlx
         FROM c GROUP BY user_id)
     SELECT user_id,
            CAST(n AS BIGINT)       AS n_events,
@@ -468,9 +475,19 @@ def qx90_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     behavioral-diversity signal (near-zero entropy = single-action bots
     / scripted traffic; high entropy = organic engagement), the same
     curation role qx05's KL plays for corpus mixtures. Closed form
-    H = ln(n) − (Σ kᵢ·ln kᵢ)/n keeps all inputs exact integers; the
-    per-term ln / final ROUND(4) is the one IEEE step (the qx05/qx65
-    precedent — IEEE ln on identical integer inputs, both engines).
+    H = ln(n) − (Σ kᵢ·ln kᵢ)/n keeps all inputs exact integers. The
+    per-term ln is one IEEE op on identical integer inputs (the
+    qx05/qx65 precedent), but the SUM of those ln terms is float — and
+    float addition is order-sensitive, so a partial-aggregation order
+    difference between engines could flip the 4th decimal on boundary
+    values. The fold is therefore made order-DETERMINISTIC on both
+    sides: collect the per-user (type, k) list, sort it by event_type
+    (unique within a user), and left-fold acc + k·ln(k) from a 0.0 seed
+    — Spark's ``aggregate`` over ``sort_array(collect_list(struct))``
+    and DuckDB's ``list_reduce`` over ``list(... ORDER BY event_type)``
+    perform the same additions in the same order, so the sum is
+    bit-identical, not just close. The list is per-user ≤ |type
+    alphabet| (bounded), so no unbounded aggregation buffer appears.
 
     Plan: one hash-agg to (user, type) counts with map-side combine —
     user-alphabet-sized output — then a user-keyed reagg of ≤|types|
@@ -480,7 +497,10 @@ def qx90_user_type_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = c.groupBy("user_id").agg(
         F.sum("k").cast("bigint").alias("n"),
         F.count(F.lit(1)).cast("bigint").alias("n_types"),
-        F.sum(F.col("k") * F.log(F.col("k"))).alias("sxlx"),
+        F.expr(
+            "aggregate(sort_array(collect_list(struct(event_type, k))), "
+            "cast(0.0 as double), (acc, s) -> acc + s.k * ln(s.k))"
+        ).alias("sxlx"),
     )
     return u.select(
         "user_id",

@@ -414,13 +414,15 @@ def _modularity_oracle() -> str:
            CAST(intra_edges AS BIGINT) AS intra_edges,
            CAST(degree_sum AS BIGINT)  AS degree_sum,
            CAST(q_num AS BIGINT)       AS q_num,
-           CAST(q_num * 1000000 // (4 * m.m * m.m) AS BIGINT)
+           CAST(CASE WHEN m.m = 0 THEN 0
+                     ELSE q_num * 1000000 // (4 * m.m * m.m) END AS BIGINT)
                AS modularity_e6
     FROM per CROSS JOIN m
     UNION ALL
     SELECT 'ALL', CAST(SUM(n_docs) AS BIGINT), CAST(SUM(intra_edges) AS BIGINT),
            CAST(SUM(degree_sum) AS BIGINT), CAST(SUM(q_num) AS BIGINT),
-           CAST(SUM(q_num) * 1000000 // (4 * m.m * m.m) AS BIGINT)
+           CAST(CASE WHEN m.m = 0 THEN 0
+                     ELSE SUM(q_num) * 1000000 // (4 * m.m * m.m) END AS BIGINT)
     FROM per CROSS JOIN m GROUP BY m.m
     """
 
@@ -435,10 +437,13 @@ def qx91_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: the edge list is the session-checkpointed q88
     materialization shared with q98/qx34/qx37/qx54/qx68 — this query
-    adds two broadcast joins onto doc→source (documents are the small
-    dim here; at 100 TB source labels ride WITH the edge list, built
-    once at pair time) and source-alphabet-sized aggregates. Every
-    number is an exact integer."""
+    shuffle-joins it twice onto the 2-column doc→source projection
+    (corpus-sized, so never force-broadcast; the tiny edge side is what
+    AQE broadcasts at runtime — at 100 TB source labels would ride WITH
+    the edge list, built once at pair time) and finishes with
+    source-alphabet-sized aggregates. Every number is an exact integer;
+    an empty graph (m = 0) short-circuits modularity to 0 on both
+    engines instead of dividing by zero."""
     from kafka2delta_spark.functions.dedup import _jaccard_edges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -446,13 +451,13 @@ def qx91_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _jaccard_edges(spark, sf_dir)
     lab = (
         e.join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_a"),
-                                   F.col("source").alias("s_a"))),
+            src.select(F.col("doc_id").alias("doc_a"),
+                       F.col("source").alias("s_a")),
             "doc_a",
         )
         .join(
-            F.broadcast(src.select(F.col("doc_id").alias("doc_b"),
-                                   F.col("source").alias("s_b"))),
+            src.select(F.col("doc_id").alias("doc_b"),
+                       F.col("source").alias("s_b")),
             "doc_b",
         )
         .localCheckpoint(eager=False)
@@ -486,19 +491,28 @@ def qx91_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("q_num"),
         )
     )
+    # m is a driver-side scalar: an empty graph (m = 0) short-circuits
+    # modularity to 0 — DuckDB's // raises on a zero divisor while
+    # Spark's div yields NULL, so without the guard an empty-graph corpus
+    # turns the gate row into an oracle error instead of a comparison
     denom = 4 * m * m
-    per = per.withColumn(
-        "modularity_e6",
-        F.expr(f"cast(q_num * 1000000 div {denom} as bigint)"),
+    mod_expr = (
+        f"cast(q_num * 1000000 div {denom} as bigint)"
+        if m
+        else "cast(0 as bigint)"
     )
+    mod_sum_expr = (
+        f"cast(sum(q_num) * 1000000 div {denom} as bigint)"
+        if m
+        else "cast(0 as bigint)"
+    )
+    per = per.withColumn("modularity_e6", F.expr(mod_expr))
     total = per.agg(
         F.lit("ALL").alias("source"),
         F.sum("n_docs").cast("bigint").alias("n_docs"),
         F.sum("intra_edges").cast("bigint").alias("intra_edges"),
         F.sum("degree_sum").cast("bigint").alias("degree_sum"),
         F.sum("q_num").cast("bigint").alias("q_num"),
-        F.expr(f"cast(sum(q_num) * 1000000 div {denom} as bigint)").alias(
-            "modularity_e6"
-        ),
+        F.expr(mod_sum_expr).alias("modularity_e6"),
     )
     return per.unionByName(total)
