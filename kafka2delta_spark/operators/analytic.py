@@ -244,37 +244,97 @@ def q35_first_last_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q36_stats_by_returnflag",
     oracle="""
-    SELECT l_returnflag,
-           ROUND(STDDEV_SAMP(l_quantity), 4)                    AS sd_qty,
-           ROUND(VAR_SAMP(l_extendedprice), 2)                  AS var_price,
-           ROUND(CORR(l_quantity, l_extendedprice), 6)          AS corr_qty_price,
-           ROUND(COVAR_SAMP(l_quantity, l_discount), 6)         AS cov_qty_disc,
-           ROUND(MEDIAN(l_quantity), 2)                         AS med_qty,
-           ROUND(QUANTILE_CONT(l_extendedprice, 0.9), 2)        AS p90_price
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH s AS (
+        SELECT l_returnflag,
+               ROUND(STDDEV_SAMP(l_quantity), 4)            AS sd_qty,
+               ROUND(VAR_SAMP(l_extendedprice), 2)          AS var_price,
+               ROUND(CORR(l_quantity, l_extendedprice), 6)  AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS cov_qty_disc,
+               ROUND(MEDIAN(l_quantity), 2)                 AS med_qty
+        FROM lineitem GROUP BY l_returnflag),
+    c AS (
+        SELECT l_returnflag,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem),
+    r AS (
+        SELECT l_returnflag, cents,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY cents)
+                   - 1 AS rk,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        FROM c),
+    p AS (
+        SELECT l_returnflag,
+               MAX(n) AS n,
+               MAX(CASE WHEN rk = (9 * (n - 1)) // 10 THEN cents END) AS lo,
+               MAX(CASE WHEN rk = (9 * (n - 1)) // 10 + 1 THEN cents END) AS hi
+        FROM r
+        WHERE rk IN ((9 * (n - 1)) // 10, (9 * (n - 1)) // 10 + 1)
+        GROUP BY l_returnflag)
+    SELECT s.*,
+           ((10 * p.lo
+             + ((9 * (p.n - 1)) % 10) * (COALESCE(p.hi, p.lo) - p.lo)
+             + 5) // 10) / 100.0 AS p90_price
+    FROM s JOIN p USING (l_returnflag)
     """,
 )
 def q36_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates incl. exact median / interpolated quantile
-    (``percentile``, not the sketch-based approx variant).
+    """Statistical aggregates incl. exact median / interpolated p90 —
+    both multiset-FREE: no ``percentile`` aggregate (which buffers each
+    group's whole value multiset in one ObjectHashAggregate state, O(n)
+    in a single task for a hot group at 100 TB) appears anywhere.
 
-    Scale note: ``percentile`` buffers each group's value multiset in one
-    aggregate state — acceptable here only because l_returnflag has 3
-    groups of bounded skew. The exact scale-safe alternative is the
-    concrete two-pass rank shape in ``operators/rankstats.py``
-    (``exact_percentiles_by_rank``, used by qx30/qx50/qx52); it is not
-    used HERE because p90 = 9/10 is non-dyadic, so the bit-exact
-    cross-engine interpolation argument only covers the median leg."""
+    The median leg uses ``exact_percentiles_by_rank`` directly — 0.5 is
+    dyadic over integer quantities, so float interpolation is bit-exact
+    across engines (the qx30 argument). p90 = 9/10 is NOT dyadic, so the
+    p90 leg interpolates in SCALED INTEGERS instead of floats: prices
+    become exact cents (c = round(price·100)), the type-7 rank bracket
+    comes from ``exact_rank_bracket``, and 10·q = 10·c[k] +
+    (t mod 10)·(c[k+1]−c[k]) with t = 9·(n−1) is pure int64 arithmetic.
+    The final ROUND(…,2) happens in integer space too —
+    (10·q + 5) div 10 half-up over tenth-cents — then ONE shared IEEE
+    division by 100.0 renders dollars, so both engines emit the
+    identical double and the driver hash matches bit-for-bit. The
+    DuckDB oracle spells out the same scaled-integer formula (its
+    QUANTILE_CONT would interpolate in floats and can land a hair's
+    width on the other side of the .xx5 rounding boundary)."""
+    from kafka2delta_spark.operators.rankstats import (
+        exact_percentiles_by_rank,
+        exact_rank_bracket,
+    )
+
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    base = li.groupBy("l_returnflag").agg(
         F.round(F.stddev_samp("l_quantity"), 4).alias("sd_qty"),
         F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("cov_qty_disc"),
-        F.round(F.percentile("l_quantity", 0.5), 2).alias("med_qty"),
-        F.round(F.percentile("l_extendedprice", 0.9), 2).alias("p90_price"),
     )
+    med = exact_percentiles_by_rank(
+        li.select("l_returnflag", "l_quantity"),
+        "l_quantity",
+        [1],
+        2,
+        keys=["l_returnflag"],
+        prefix="m",
+    ).select("l_returnflag", F.round(F.col("m1"), 2).alias("med_qty"))
+    cents = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    p90 = exact_rank_bracket(
+        cents, "cents", 9, 10, keys=["l_returnflag"]
+    ).select(
+        "l_returnflag",
+        (
+            F.expr(
+                "(10 * __lo + ((9 * (__n - 1)) % 10)"
+                " * (coalesce(__hi, __lo) - __lo) + 5) div 10"
+            )
+            / F.lit(100.0)
+        ).alias("p90_price"),
+    )
+    # 3-row sides keyed by the bounded returnflag alphabet
+    return base.join(med, "l_returnflag").join(p90, "l_returnflag")
 
 
 @register(

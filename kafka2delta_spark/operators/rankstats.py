@@ -66,36 +66,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def exact_percentiles_by_rank(
+def _group_ranked(
     df: DataFrame,
     value_col: str,
-    numerators: Sequence[int],
-    denom: int,
-    keys: Sequence[str] = (),
-    n_parts: int = 32,
-    prefix: str = "p",
+    keys: list[str],
+    n_parts: int,
 ) -> DataFrame:
-    """Exact type-7 quantiles of ``value_col`` at ``num/denom`` for each
-    ``num`` in ``numerators``, grouped by ``keys`` (global if empty).
+    """Shared rank pass: ``df`` plus ``__rk0`` (exact 0-indexed global
+    rank of ``value_col`` within each ``keys`` group) and ``__n`` (group
+    row count) — the range-exchange + mid-offset idiom documented in the
+    module header. ``__pid``/``__mid``/``__off``/``__mid0`` remain as
+    internal columns; callers select away what they don't need.
 
-    Returns one row per group with columns ``keys + [__n] + [f"{prefix}{num}"
-    for num in numerators]``; ``__n`` is the group row count (BIGINT) and
-    each quantile column is DOUBLE. NULL values must be pre-filtered by the
-    caller (``percentile``/``quantile_cont`` both ignore NULLs; this helper
-    would rank them).
-    """
-    keys = list(keys)
-    val = F.col(value_col).cast("double")
-
-    # Local rank WITHOUT a window: a window partitioned by (__pid, keys)
-    # would force a second full-data hash exchange right after the range
-    # exchange (Catalyst cannot know the data is already co-located by
-    # pid). Instead: sort within the range partitions, then exploit that
-    # monotonically_increasing_id is CONTIGUOUS within a partition and
-    # follows physical (= sorted) order — local rank = mid − min(mid of
-    # the (partition, group) run) + 1, where the per-run minima come from
-    # a map-side-combining hash-agg whose output is metadata-sized. One
-    # data-sized exchange per pass instead of two (measured 2x on qx50).
+    Local rank WITHOUT a window: a window partitioned by (__pid, keys)
+    would force a second full-data hash exchange right after the range
+    exchange (Catalyst cannot know the data is already co-located by
+    pid). Instead: sort within the range partitions, then exploit that
+    monotonically_increasing_id is CONTIGUOUS within a partition and
+    follows physical (= sorted) order — local rank = mid − min(mid of
+    the (partition, group) run) + 1, where the per-run minima come from
+    a map-side-combining hash-agg whose output is metadata-sized. One
+    data-sized exchange per pass instead of two (measured 2x on qx50)."""
     ranked = (
         df.repartitionByRange(n_parts, *(keys + [value_col]))
         .sortWithinPartitions(*(keys + [value_col]))
@@ -134,8 +125,69 @@ def exact_percentiles_by_rank(
         joined = ranked.join(F.broadcast(offsets), ["__pid"]).crossJoin(
             F.broadcast(totals)
         )
+    return joined.withColumn(
+        "__rk0", F.col("__off") + (F.col("__mid") - F.col("__mid0"))
+    )
 
-    rk0 = F.col("__off") + (F.col("__mid") - F.col("__mid0"))  # 0-indexed
+
+def exact_rank_bracket(
+    df: DataFrame,
+    value_col: str,
+    num: int,
+    denom: int,
+    keys: Sequence[str] = (),
+    n_parts: int = 32,
+) -> DataFrame:
+    """The type-7 bracket VALUES at p = num/denom per group, UNCAST: one
+    row per group with ``keys + [__n, __lo, __hi]`` where ``__lo`` is the
+    value at rank ⌊p·(n−1)⌋ and ``__hi`` the value at the next rank
+    (NULL when the interpolation weight is zero). This is the integer-
+    exact input for caller-side SCALED interpolation when p is not
+    dyadic — q36's p90 computes 10·q = 10·lo + (t mod 10)·(hi−lo) in
+    pure integer arithmetic instead of trusting float interpolation to
+    round identically across engines. Same plan shape as
+    ``exact_percentiles_by_rank``: no per-group multiset anywhere."""
+    keys = list(keys)
+    joined = _group_ranked(df, value_col, keys, n_parts)
+    lo_rk = F.expr(f"({num} * (__n - 1)) div {denom}")
+    frac = F.expr(f"({num} * (__n - 1)) % {denom}")
+    needed = joined.where(
+        (F.col("__rk0") == lo_rk)
+        | ((F.col("__rk0") == lo_rk + 1) & (frac != 0))
+    )
+    aggs = [
+        F.max("__n").alias("__n"),
+        F.max(F.when(F.col("__rk0") == lo_rk, F.col(value_col))).alias("__lo"),
+        F.max(
+            F.when(F.col("__rk0") == lo_rk + 1, F.col(value_col))
+        ).alias("__hi"),
+    ]
+    res = needed.groupBy(*keys).agg(*aggs) if keys else needed.groupBy().agg(*aggs)
+    return res
+
+
+def exact_percentiles_by_rank(
+    df: DataFrame,
+    value_col: str,
+    numerators: Sequence[int],
+    denom: int,
+    keys: Sequence[str] = (),
+    n_parts: int = 32,
+    prefix: str = "p",
+) -> DataFrame:
+    """Exact type-7 quantiles of ``value_col`` at ``num/denom`` for each
+    ``num`` in ``numerators``, grouped by ``keys`` (global if empty).
+
+    Returns one row per group with columns ``keys + [__n] + [f"{prefix}{num}"
+    for num in numerators]``; ``__n`` is the group row count (BIGINT) and
+    each quantile column is DOUBLE. NULL values must be pre-filtered by the
+    caller (``percentile``/``quantile_cont`` both ignore NULLs; this helper
+    would rank them).
+    """
+    keys = list(keys)
+    val = F.col(value_col).cast("double")
+    joined = _group_ranked(df, value_col, keys, n_parts)
+    rk0 = F.col("__rk0")  # 0-indexed global rank within the group
     n1 = F.col("__n") - 1
 
     def target(num: int):

@@ -11,7 +11,15 @@ For each query, renders the formatted plan and flags scale smells:
   * scans reading every column of a wide table (pruning lost);
   * row-at-a-time PythonUDF nodes (should be Arrow/Pandas or native);
   * unpartitioned Window nodes (global sort into one task — top-k must
-    be orderBy+limit, global ranks the two-pass q33 shape).
+    be orderBy+limit, global ranks the two-pass q33 shape);
+  * FORCED broadcasts of fact-derived sides (analyzed logical plan): a
+    ResolvedHint(broadcast) whose subtree scans a fact table (the wide
+    tables plus documents/embeddings) with no cardinality reduction —
+    bounded-key aggregation, semi-join, limit, or an id-range cap —
+    between the scan and the hint. AQE auto-broadcasts genuinely small
+    sides at runtime; a HINT is a promise the side stays under 8 GB at
+    ANY scale, which a corpus-proportional side cannot keep (Spark
+    hard-fails oversized broadcasts, so these die rather than degrade).
 
 Streaming queries (q53+) execute on call, so they are skipped — their
 plans are fixed by the streaming engine anyway. Usage:
@@ -74,6 +82,118 @@ def audit(name: str, plan: str) -> list[str]:
         flags.append("row-python-udf")
     if _has_unbounded_single_partition_window(plan):
         flags.append("global-window")
+    return flags
+
+
+# ---------------------------------------------------------------------------
+# Forced-broadcast detector — runs on the ANALYZED logical plan, where
+# broadcast hints are still explicit ResolvedHint nodes and base relations
+# carry their full column list (which identifies the table: the physical
+# tree shows file paths, the logical tree shows schemas).
+# ---------------------------------------------------------------------------
+
+# marker column -> fact table (tables whose row count grows with the data;
+# region/nation/supplier/part/customer follow the repo's dim convention)
+FACT_MARKERS = {
+    "l_orderkey": "lineitem",
+    "o_orderkey": "orders",
+    "event_id": "events",
+    "doc_id": "documents",
+    "vec_id": "embeddings",
+}
+
+# grouping keys that do NOT bound an aggregate's output cardinality:
+# per-row ids, graph endpoints, fingerprints/shingles/terms (vocabulary
+# grows with the corpus), and the SF-scaled TPC-H keys
+UNBOUNDED_KEYS = {
+    "doc_id", "doc_a", "doc_b", "vec_id", "event_id", "user_id",
+    "node", "a", "b", "aid", "nid", "qid",
+    "fp", "simhash", "fa", "fb", "shingle", "term", "token", "wd",
+    "l_orderkey", "o_orderkey", "l_partkey", "p_partkey", "ps_partkey",
+    "c_custkey", "o_custkey", "s_suppkey", "l_suppkey",
+}
+
+# Filter conditions that DO bound cardinality: an id-range cap against an
+# integer literal (the q90 "vec_id < N_QUERIES" query-set idiom — at most
+# N rows when the id is unique). A modulo sample (id % k = 0) does NOT
+# qualify: it stays proportional to the corpus.
+_ID_RANGE_CAP = re.compile(
+    r"\b(?:doc_id|vec_id|user_id|event_id)#\d+L? <=? (?:\d+|cast\(\d+ as \w+\))"
+)
+
+_HINT_RE = re.compile(r"ResolvedHint \(strategy=broadcast")
+
+
+def _tree_nodes(plan: str):
+    """(indent, name, content) per line of a logical treeString."""
+    out = []
+    for ln in plan.splitlines():
+        i = 0
+        while i < len(ln) and ln[i] in " :+-":
+            i += 1
+        if i >= len(ln):
+            continue
+        content = ln[i:]
+        name = content.split(" ", 1)[0].split("[", 1)[0].rstrip(",")
+        out.append((i, name, content))
+    return out
+
+
+def _agg_keys_bounded(content: str) -> bool:
+    """True when an ``Aggregate [keys], [aggs]`` groups only by
+    bounded-cardinality keys (or by nothing — a scalar aggregate)."""
+    m = re.match(r"Aggregate \[(.*?)\], \[", content)
+    if not m:
+        # single-bracket form = global aggregate (no grouping keys)
+        return True
+    keys = m.group(1)
+    return not any(
+        base in UNBOUNDED_KEYS for base in re.findall(r"(\w+)#\d+", keys)
+    )
+
+
+def _is_reduction(name: str, content: str) -> bool:
+    if name == "Aggregate":
+        return _agg_keys_bounded(content)
+    if name == "Join" and ("LeftSemi" in content or "LeftAnti" in content):
+        return True
+    if name in ("GlobalLimit", "LocalLimit"):
+        return True
+    if name == "Filter" and _ID_RANGE_CAP.search(content):
+        return True
+    return False
+
+
+def audit_forced_broadcast(analyzed: str) -> list[str]:
+    """Flags ``forced-broadcast:<table>`` for every broadcast HINT whose
+    subtree scans a fact table with no cardinality reduction between the
+    scan and the hint. Session-checkpointed artifacts (LogicalRDD scans)
+    terminate lineage, so hints over checkpointed pair/edge lists pass."""
+    nodes = _tree_nodes(analyzed)
+    flags: list[str] = []
+    for hi, (hindent, hname, hcontent) in enumerate(nodes):
+        if not (hname == "ResolvedHint" and _HINT_RE.search(hcontent)):
+            continue
+        # subtree = following lines with strictly greater indent
+        j = hi + 1
+        stack: list[tuple[int, str, str]] = []
+        while j < len(nodes) and nodes[j][0] > hindent:
+            ind, name, content = nodes[j]
+            while stack and stack[-1][0] >= ind:
+                stack.pop()
+            if name == "Relation":
+                cols = set(re.findall(r"(\w+)#\d+", content))
+                for marker, table in FACT_MARKERS.items():
+                    if marker in cols:
+                        reduced = any(
+                            _is_reduction(n, c) for _i, n, c in stack
+                        )
+                        if not reduced:
+                            flag = f"forced-broadcast:{table}"
+                            if flag not in flags:
+                                flags.append(flag)
+            stack.append((ind, name, content))
+            j += 1
     return flags
 
 
@@ -171,11 +291,12 @@ def main() -> int:
             plan = spark._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
+            analyzed = df._jdf.queryExecution().analyzed().treeString()
         except Exception as exc:  # noqa: BLE001
             print(f"ERROR {name}: {exc}")
             n_flagged += 1
             continue
-        flags = audit(name, plan)
+        flags = audit(name, plan) + audit_forced_broadcast(analyzed)
         if flags:
             n_flagged += 1
             print(f"FLAG  {name}: {', '.join(flags)}")
