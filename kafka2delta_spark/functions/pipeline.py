@@ -300,9 +300,13 @@ def q66_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q84_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-contamination check: corpus docs sharing {CONTAM_K}-gram
     shingles with a benchmark set (stand-in: doc_id % {BENCH_MOD} == 0 —
-    in production, a second table). The benchmark shingle set is tiny
-    relative to the corpus and explicitly broadcast, so the corpus-side
-    scan never shuffles — the decontamination shape that survives 100 TB."""
+    in production, a second table). With a REAL benchmark table (fixed
+    size, doesn't grow with the corpus) the right plan pins a broadcast
+    so the corpus-side scan never shuffles; this stand-in derives from
+    the corpus itself (1/{BENCH_MOD} of it), so a forced hint would be a
+    scale lie — the hint is left off and AQE broadcasts the bench side
+    at runtime whenever it is actually small, degrading to a shuffle
+    hash join on the shingle key instead of dying at the 8 GB cap."""
     sh = shingle_rows(spark, sf_dir, k=CONTAM_K)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = sh.filter(is_bench).select(
@@ -310,7 +314,7 @@ def q84_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = sh.filter(~is_bench)
     return (
-        corpus.join(F.broadcast(bench), "shingle")
+        corpus.join(bench, "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_contaminated_grams"),

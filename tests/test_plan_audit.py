@@ -3,6 +3,13 @@ cases: a truly global rank window (must flag), a partitioned window (must
 not), a limit-bounded global window (must not), and a partitioned window
 whose plan ALSO contains a scalar-aggregate branch with its own legitimate
 SinglePartition exchange — the qx49 false-positive shape (must not).
+
+Also validates the FORCED-BROADCAST detector (round-7): a broadcast hint
+over a corpus-cardinality side must flag (the old dedup.py:563 per-doc
+size table, a modulo sample, a rank-capped window over an unbounded
+partition), while every legitimate bounded shape must pass (bounded-key
+aggregate, semi-join reduction, id-range cap, IN-literal seeds, limit,
+checkpointed artifact, rank-capped window over a bounded partition).
 """
 
 import sys
@@ -96,3 +103,140 @@ def test_scalar_agg_branch_not_charged_to_partitioned_window(spark):
         F.row_number().over(W.partitionBy("user_id").orderBy(F.desc("value"))),
     ).filter(F.col("rk") <= 3)
     assert "global-window" not in _flags(spark, df)
+
+
+# ---------------------------------------------------------------------------
+# forced-broadcast detector (analyzed logical plan)
+# ---------------------------------------------------------------------------
+
+
+def _fb(df):
+    from audit_plans import audit_forced_broadcast
+
+    return audit_forced_broadcast(
+        df._jdf.queryExecution().analyzed().treeString()
+    )
+
+
+def _docs(spark):
+    from kafka2delta_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "documents")
+
+
+def _emb(spark):
+    from kafka2delta_spark.sources.tables import load_table
+
+    return load_table(spark, "/root/testdata/sf0.001", "embeddings")
+
+
+def test_forced_broadcast_of_per_doc_aggregate_is_flagged(spark):
+    """The round-6 dedup.py:563 shape: broadcast hint over a per-document
+    size table — corpus cardinality, dies at the 8 GB cap at 100 TB."""
+    docs = _docs(spark)
+    sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    pairs = docs.limit(10).select(F.col("doc_id").alias("doc_a"))
+    df = pairs.join(
+        F.broadcast(sizes.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+    )
+    assert "forced-broadcast:documents" in _fb(df)
+
+
+def test_forced_broadcast_of_modulo_sample_is_flagged(spark):
+    """A modulo sample stays proportional to the corpus — not a bound."""
+    docs = _docs(spark)
+    s = docs.filter(F.col("doc_id") % 64 == 0).select("doc_id")
+    assert "forced-broadcast:documents" in _fb(
+        docs.join(F.broadcast(s), "doc_id")
+    )
+
+
+def test_rank_capped_window_over_unbounded_partition_is_flagged(spark):
+    """top-k per USER is user-cardinality — broadcast hint must flag."""
+    from kafka2delta_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    t3 = (
+        ev.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("value"))
+            ),
+        )
+        .filter(F.col("rk") <= 3)
+        .select("user_id", "event_id")
+    )
+    assert "forced-broadcast:events" in _fb(
+        ev.join(F.broadcast(t3), "user_id")
+    )
+
+
+def test_bounded_aggregate_broadcast_is_clean(spark):
+    docs = _docs(spark)
+    per_src = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    assert _fb(docs.join(F.broadcast(per_src), "source")) == []
+
+
+def test_semi_join_reduced_broadcast_is_clean(spark):
+    """The dedup.py:1710 precedent: a corpus-sized table semi-joined down
+    to a bounded key set may be hinted."""
+    docs = _docs(spark)
+    sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    keys = docs.limit(10).select("doc_id")
+    reduced = sizes.join(keys, "doc_id", "left_semi")
+    assert _fb(docs.join(F.broadcast(reduced), "doc_id")) == []
+
+
+def test_id_range_cap_broadcast_is_clean(spark):
+    """The q90 query-set idiom: vec_id < N bounds rows on a unique id."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid")
+    )
+    assert _fb(emb.crossJoin(F.broadcast(q))) == []
+
+
+def test_in_literal_seed_broadcast_is_clean(spark):
+    """The q76 K_SEEDS idiom: IN over a literal list bounds rows."""
+    emb = _emb(spark)
+    seeds = emb.filter(F.col("vec_id").isin([0, 17, 34, 51])).select(
+        "vec_id", "embedding"
+    )
+    assert _fb(emb.crossJoin(F.broadcast(seeds.drop("embedding")))) == []
+
+
+def test_rank_capped_window_over_bounded_partition_is_clean(spark):
+    """The qx51 shape: top-k per QUERY where qid derives from a capped
+    filter — bounded via provenance through the join."""
+    emb = _emb(spark)
+    qq = emb.filter(F.col("vec_id") < 100).select(
+        F.col("vec_id").alias("qid")
+    )
+    scored = emb.join(qq, emb.vec_id != qq.qid).select("qid", "vec_id")
+    topk = (
+        scored.withColumn(
+            "rk", F.row_number().over(W.partitionBy("qid").orderBy("vec_id"))
+        )
+        .filter(F.col("rk") <= 3)
+        .select("qid", "vec_id")
+    )
+    assert _fb(emb.join(F.broadcast(topk), "vec_id")) == []
+
+
+def test_checkpointed_artifact_broadcast_is_clean(spark):
+    """localCheckpoint boundaries terminate lineage — hints over
+    session-checkpointed pair/edge artifacts pass."""
+    docs = _docs(spark)
+    sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ck = sizes.localCheckpoint(eager=False)
+    pairs = docs.limit(10).select(F.col("doc_id").alias("doc_a"))
+    df = pairs.join(
+        F.broadcast(ck.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+    )
+    assert _fb(df) == []
+
+
+def test_unhinted_join_is_clean(spark):
+    docs = _docs(spark)
+    sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    assert _fb(docs.join(sizes, "doc_id")) == []

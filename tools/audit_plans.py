@@ -115,11 +115,52 @@ UNBOUNDED_KEYS = {
 
 # Filter conditions that DO bound cardinality: an id-range cap against an
 # integer literal (the q90 "vec_id < N_QUERIES" query-set idiom — at most
-# N rows when the id is unique). A modulo sample (id % k = 0) does NOT
-# qualify: it stays proportional to the corpus.
+# N rows when the id is unique), or an IN over a literal list (the q76
+# K_SEEDS idiom — at most |list| rows). A modulo sample (id % k = 0) does
+# NOT qualify: it stays proportional to the corpus.
 _ID_RANGE_CAP = re.compile(
     r"\b(?:doc_id|vec_id|user_id|event_id)#\d+L? <=? (?:\d+|cast\(\d+ as \w+\))"
 )
+_ID_IN_LIST = re.compile(
+    r"(?:cast\()?\b(?:doc_id|vec_id|user_id|event_id)#\d+L?"
+    r"(?: as \w+\))? IN(?:SET)? \("
+)
+_ANY_IN_LIST = re.compile(
+    r"(?:cast\()?\b(\w+#\d+)L?(?: as \w+\))? IN(?:SET)? \("
+)
+
+
+def _list_is_literal(content: str, start: int) -> bool:
+    """Paren-balanced scan of an IN list from ``start``: literal-only when
+    no attribute ref (#) appears inside."""
+    depth, body = 1, []
+    for ch in content[start:]:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        body.append(ch)
+    return "#" not in "".join(body)
+
+
+def _in_list_is_literal(content: str) -> bool:
+    """True when a UNIQUE-id IN (...) predicate's list holds only
+    literals — bounds the ROW count (the q76 K_SEEDS idiom)."""
+    m = _ID_IN_LIST.search(content)
+    return bool(m) and _list_is_literal(content, m.end())
+
+
+def _in_literal_cols(content: str) -> set:
+    """Tokens of ANY column constrained to a literal IN list — bounds
+    that column's DISTINCT count (the qx01 ``term IN ('a','b')`` idiom),
+    not the row count."""
+    out = set()
+    for m in _ANY_IN_LIST.finditer(content):
+        if _list_is_literal(content, m.end()):
+            out.add(m.group(1))
+    return out
 
 _HINT_RE = re.compile(r"ResolvedHint \(strategy=broadcast")
 
@@ -139,61 +180,208 @@ def _tree_nodes(plan: str):
     return out
 
 
-def _agg_keys_bounded(content: str) -> bool:
-    """True when an ``Aggregate [keys], [aggs]`` groups only by
-    bounded-cardinality keys (or by nothing — a scalar aggregate)."""
-    m = re.match(r"Aggregate \[(.*?)\], \[", content)
-    if not m:
-        # single-bracket form = global aggregate (no grouping keys)
-        return True
-    keys = m.group(1)
-    return not any(
-        base in UNBOUNDED_KEYS for base in re.findall(r"(\w+)#\d+", keys)
-    )
+def _bracket_groups(content: str) -> list[str]:
+    """Top-level [...] groups of a node line (nesting-aware)."""
+    groups, depth, cur = [], 0, []
+    for ch in content:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = []
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append("".join(cur))
+                continue
+        if depth >= 1:
+            cur.append(ch)
+    return groups
 
 
-def _is_reduction(name: str, content: str) -> bool:
-    if name == "Aggregate":
-        return _agg_keys_bounded(content)
-    if name == "Join" and ("LeftSemi" in content or "LeftAnti" in content):
-        return True
-    if name in ("GlobalLimit", "LocalLimit"):
-        return True
-    if name == "Filter" and _ID_RANGE_CAP.search(content):
-        return True
-    return False
+def _split_top(s: str) -> list[str]:
+    """Split on commas not nested in () or []."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        out.append("".join(cur).strip())
+    return out
+
+
+_TOKEN = re.compile(r"\w+#\d+")
+_RANK_CAP = re.compile(r"\((\w+#\d+)L? (?:=|<=) (\d+)\)")
+_BOUNDED_LEAVES = {"OneRowRelation", "LocalRelation", "Range", "LogicalRDD"}
+
+
+class _Cardinality:
+    """Recursive bounded-cardinality analysis over an analyzed logical
+    tree. ``rows`` = output row count is corpus-independent; ``ids`` =
+    attribute tokens (name#id) PROVEN bounded by provenance (e.g. ``qid``
+    minted from an id-range-capped filter, or any token minted inside a
+    rows-bounded subtree). A token is treated as bounded when it is
+    proven, or when its base name is not in UNBOUNDED_KEYS (the
+    source/lang/dim/cid alphabet heuristic). Whenever a node's rows are
+    bounded, every token printed in its subtree is exported as proven —
+    attribute ids are plan-unique, so a bounded branch's aliases stay
+    bounded when a join carries them into corpus-sized frames (the
+    qx51 "window over qid from a capped filter" shape).
+
+    LogicalRDD leaves (localCheckpoint boundaries) count as bounded:
+    hints over session-checkpointed pair/edge artifacts follow the
+    repo's pairs-are-metadata convention, and a checkpointed CORPUS
+    frame under a hint cannot false-negative a fact scan because the
+    flag also requires a fact Relation in the hint subtree."""
+
+    def __init__(self, nodes):
+        self.nodes = nodes
+        self.facts: set[str] = set()
+
+    def _tok_bounded(self, ids: set, tok: str) -> bool:
+        return tok in ids or tok.split("#")[0] not in UNBOUNDED_KEYS
+
+    def _expr_bounded(self, ids: set, expr: str) -> bool:
+        return all(self._tok_bounded(ids, t) for t in _TOKEN.findall(expr))
+
+    def _subtree_end(self, i: int) -> int:
+        d = self.nodes[i][0]
+        end = i + 1
+        while end < len(self.nodes) and self.nodes[end][0] > d:
+            end += 1
+        return end
+
+    def _subtree_tokens(self, i: int) -> set:
+        return {
+            t
+            for j in range(i, self._subtree_end(i))
+            for t in _TOKEN.findall(self.nodes[j][2])
+        }
+
+    def _children(self, i: int) -> list[int]:
+        end = self._subtree_end(i)
+        if i + 1 >= end:
+            return []
+        cd = min(self.nodes[j][0] for j in range(i + 1, end))
+        return [j for j in range(i + 1, end) if self.nodes[j][0] == cd]
+
+    def analyze(self, i: int):
+        """-> (rows_bounded, bounded_ids set, rank_info dict tok->bool)."""
+        rows, ids, rank = self._analyze(i)
+        if rows:
+            ids = ids | self._subtree_tokens(i)
+        return (rows, ids, rank)
+
+    def _analyze(self, i: int):
+        _ind, name, content = self.nodes[i]
+
+        if name == "Relation":
+            cols = {t.split("#")[0] for t in _TOKEN.findall(content)}
+            for marker, table in FACT_MARKERS.items():
+                if marker in cols:
+                    self.facts.add(table)
+                    return (False, set(), {})
+            return (True, set(), {})
+        if name in _BOUNDED_LEAVES:
+            return (True, set(), {})
+
+        kids = [self.analyze(c) for c in self._children(i)]
+        if not kids:  # unknown leaf: assume corpus-scale
+            return (False, set(), {})
+        rows = all(k[0] for k in kids)
+        ids = set().union(*(k[1] for k in kids))
+        rank = {}
+        for k in kids:
+            rank.update(k[2])
+        c_rows, c_ids = kids[0][0], kids[0][1]
+
+        if name in ("GlobalLimit", "LocalLimit"):
+            return (True, ids, rank)
+        if name in ("Aggregate", "Deduplicate"):
+            groups = _bracket_groups(content)
+            if name == "Aggregate" and len(groups) < 2:
+                keys = []  # single-bracket form = global aggregate
+            else:
+                keys = [k for k in _split_top(groups[0]) if k]
+            agg_rows = c_rows or all(
+                self._expr_bounded(c_ids, k) for k in keys
+            )
+            return (agg_rows, ids, rank)
+        if name == "Filter":
+            cond_rows = c_rows
+            if _ID_RANGE_CAP.search(content) or _in_list_is_literal(content):
+                cond_rows = True
+            for tok, _k in _RANK_CAP.findall(content):
+                if rank.get(tok):
+                    cond_rows = True
+            # literal IN on any column bounds that column's DISTINCT count
+            return (cond_rows, ids | _in_literal_cols(content), rank)
+        if name == "Window":
+            groups = _bracket_groups(content)
+            part_ok = True
+            if len(groups) >= 2:
+                part_ok = all(
+                    self._expr_bounded(c_ids, p)
+                    for p in _split_top(groups[1])
+                    if p
+                )
+            for item in _split_top(groups[0]) if groups else []:
+                m = re.search(r" AS (\w+#\d+)", item)
+                if m and re.match(r"(row_number|rank|dense_rank)\(", item):
+                    rank[m.group(1)] = part_ok
+            return (c_rows, ids, rank)
+        if name == "Join":
+            jtype = content.split(" ", 2)[1].rstrip(",") if " " in content else ""
+            if jtype in ("LeftSemi", "LeftAnti"):
+                # output <= |left| AND <= matches of right's keys: bounded
+                # when either side is (the dedup.py:1710 semi-reduction)
+                return (kids[0][0] or kids[-1][0], ids, rank)
+            return (rows, ids, rank)
+        if name == "Project":
+            if c_rows:
+                return (True, ids, rank)
+            out = set(c_ids)
+            for item in _split_top(_bracket_groups(content)[0]):
+                m = re.search(r" AS (\w+#\d+)L?$", item)
+                if m and self._expr_bounded(c_ids, item[: m.start()]):
+                    out.add(m.group(1))
+            return (False, out, rank)
+        # Sort / Repartition / ResolvedHint / Generate / Union /
+        # SubqueryAlias / anything else: combined child state
+        if len(kids) == 1:
+            return (c_rows, c_ids, rank)
+        return (rows, ids, rank)
 
 
 def audit_forced_broadcast(analyzed: str) -> list[str]:
     """Flags ``forced-broadcast:<table>`` for every broadcast HINT whose
-    subtree scans a fact table with no cardinality reduction between the
-    scan and the hint. Session-checkpointed artifacts (LogicalRDD scans)
-    terminate lineage, so hints over checkpointed pair/edge lists pass."""
+    subtree scans a fact table AND whose output row count is not provably
+    corpus-independent — bounded aggregation, semi-join, limit, id-range
+    or IN-literal cap, or a rank-capped window over bounded partitions
+    all count as reductions; a hint lacking every one of them promises
+    Spark a <8 GB side that a corpus-proportional input cannot keep."""
     nodes = _tree_nodes(analyzed)
     flags: list[str] = []
     for hi, (hindent, hname, hcontent) in enumerate(nodes):
         if not (hname == "ResolvedHint" and _HINT_RE.search(hcontent)):
             continue
-        # subtree = following lines with strictly greater indent
-        j = hi + 1
-        stack: list[tuple[int, str, str]] = []
-        while j < len(nodes) and nodes[j][0] > hindent:
-            ind, name, content = nodes[j]
-            while stack and stack[-1][0] >= ind:
-                stack.pop()
-            if name == "Relation":
-                cols = set(re.findall(r"(\w+)#\d+", content))
-                for marker, table in FACT_MARKERS.items():
-                    if marker in cols:
-                        reduced = any(
-                            _is_reduction(n, c) for _i, n, c in stack
-                        )
-                        if not reduced:
-                            flag = f"forced-broadcast:{table}"
-                            if flag not in flags:
-                                flags.append(flag)
-            stack.append((ind, name, content))
-            j += 1
+        card = _Cardinality(nodes)
+        kids = [c for c in card._children(hi)]
+        if not kids:
+            continue
+        rows_bounded = card.analyze(kids[0])[0]
+        if not rows_bounded:
+            for table in sorted(card.facts):
+                flag = f"forced-broadcast:{table}"
+                if flag not in flags:
+                    flags.append(flag)
     return flags
 
 
