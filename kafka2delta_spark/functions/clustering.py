@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.sources.tables import load_table, sf_fingerprint
 
 K_SEEDS = [0, 17, 34, 51]  # fixed seed vec_ids (K = 4)
 N_ITERS = 2
@@ -286,7 +286,7 @@ _PQ_CACHE: dict = {}
 
 
 def pq_components(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, sf_fingerprint(sf_dir))
     if key not in _PQ_CACHE:
         emb = load_table(spark, sf_dir, "embeddings")
         vecs = emb.select("vec_id", _fixed_vec().alias("vi")).localCheckpoint(

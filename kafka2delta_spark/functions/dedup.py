@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.sources.tables import load_table, sf_fingerprint
 
 N_MINHASH = 8  # minhash permutations (seeds)
 BAND_SIZE = 2  # → 4 bands of 2 signatures each
@@ -525,7 +525,9 @@ def _shingle_pair_stats(
     shingle distribution (constant dropped fraction at any corpus size).
     Output is checkpointed per (session, sf_dir, cap): pair rows are
     bounded by n_shingles * C(cap, 2), tiny next to the corpus."""
-    key = (id(spark), sf_dir, cap)
+    # keyed on the directory CONTENT fingerprint too: a path-only key
+    # silently serves a stale checkpoint if files change mid-session
+    key = (id(spark), sf_dir, sf_fingerprint(sf_dir), cap)
     if key not in _PAIR_STATS_CACHE:
         _PAIR_STATS_CACHE[key] = _shingle_pair_stats_uncached(
             spark, sf_dir, cap
@@ -766,7 +768,7 @@ _EDGE_CACHE: dict = {}
 def _jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-checkpointed q88 output (doc_a, doc_b, jaccard) — ONE
     materialized pair table feeds every similarity-graph consumer."""
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, sf_fingerprint(sf_dir))
     if key not in _EDGE_CACHE:
         _EDGE_CACHE[key] = q88_jaccard_similar_pairs(
             spark, sf_dir
@@ -1934,7 +1936,7 @@ _PPJOIN_CACHE: dict = {}
 
 
 def _ppjoin_exact_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, sf_fingerprint(sf_dir))
     if key not in _PPJOIN_CACHE:
         _PPJOIN_CACHE[key] = _ppjoin_compute(spark, sf_dir).localCheckpoint(
             eager=True

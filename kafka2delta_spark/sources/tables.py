@@ -8,6 +8,8 @@ datasets (or Delta tables); nothing downstream assumes single-file inputs.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = [
@@ -22,6 +24,42 @@ TABLE_NAMES = [
     "documents",
     "embeddings",
 ]
+
+
+def sf_fingerprint(sf_dir: str) -> tuple:
+    """Content fingerprint of a data directory: (relative name, size,
+    mtime_ns) of every parquet file under it, one directory level deep.
+
+    Session caches of compute-once materializations (pair stats, edge
+    lists, PQ quantizers) key on this in addition to ``(id(spark),
+    sf_dir)``: a cache keyed on the PATH alone silently serves stale
+    checkpoints if files under the path are rewritten mid-session. The
+    scan is metadata-only (os.scandir stat calls, no data reads) — a few
+    dozen stats per cache probe. Missing directories fingerprint to an
+    empty tuple so cache probes never raise before Spark's own reader
+    does."""
+    entries = []
+    try:
+        with os.scandir(sf_dir) as it:
+            for e in sorted(it, key=lambda e: e.name):
+                if e.is_file() and e.name.endswith(".parquet"):
+                    st = e.stat()
+                    entries.append((e.name, st.st_size, st.st_mtime_ns))
+                elif e.is_dir() and e.name.endswith(".parquet"):
+                    with os.scandir(e.path) as inner:
+                        for f in sorted(inner, key=lambda f: f.name):
+                            if f.is_file():
+                                st = f.stat()
+                                entries.append(
+                                    (
+                                        f"{e.name}/{f.name}",
+                                        st.st_size,
+                                        st.st_mtime_ns,
+                                    )
+                                )
+    except OSError:
+        return ()
+    return tuple(entries)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
