@@ -179,18 +179,24 @@ def q54_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q55_stream_dedup_within_watermark",
-    # Values depend on watermark progression (which duplicate survives is
-    # arrival-order-dependent), but the output COUNT is exact: one row per
-    # distinct event_id. check_correctness verifies this count for a real
-    # rows_match verdict instead of a bare no_oracle error.
-    row_oracle="SELECT COUNT(DISTINCT event_id) FROM events",
+    # One output row per distinct event_id, projected to columns that are
+    # FUNCTIONS OF THE KEY. In general, WHICH arrival of a duplicated
+    # event_id survives dropDuplicatesWithinWatermark is watermark-
+    # progression-dependent (non-SQL-expressible) — but the projection
+    # below keeps only key-determined columns, and on the harness tables
+    # event_id is additionally unique at every SF (verified 1000/10000/
+    # 100000 distinct = total), so the full value oracle is exact. Rounds
+    # 4-6 carried a count-only row_oracle out of caution about the
+    # surviving-payload ambiguity; the projection makes that caution
+    # unnecessary and graduates q55 to a full hash-checked driver row.
+    oracle="SELECT event_id, user_id, event_type FROM events",
 )
 def q55_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicatesWithinWatermark on event_id — bounded-state
-    exact dedup for at-least-once sources. Non-SQL-expressible VALUES
-    (watermark progression picks the surviving duplicate), so the check is
-    rows-only — but a REAL one: the output count must equal
-    COUNT(DISTINCT event_id) (the row_oracle)."""
+    exact dedup for at-least-once sources. The projection returns only
+    key-determined columns, so the output is value-checkable against the
+    batch DISTINCT even though which physical arrival survives a true
+    duplicate is watermark-dependent (see the register comment)."""
     ev = _events_stream(spark, sf_dir)
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]

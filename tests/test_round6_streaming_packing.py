@@ -184,3 +184,45 @@ def test_bridging_batch_fuses_intervals(spark, tmp_path):
     assert len(st) == 1
     u, s, e = st[0]
     assert (e - s) == 50 * 60 * 1_000_000
+
+
+def test_q55_dedup_collapses_real_duplicates(spark, tmp_path):
+    """The harness events table has unique event_ids at every SF, so
+    q55's full value oracle never exercises the dedup itself — this
+    does: duplicate every event 3x with arrival times spread inside the
+    1-hour watermark, and the streamed output must still be exactly one
+    row per event_id with the key-determined columns intact."""
+    import pyspark.sql.functions as F
+
+    from kafka2delta_spark.queryset import QUERIES, load_all_querysets
+    from kafka2delta_spark.sources.tables import load_table
+
+    load_all_querysets()
+    d = str(tmp_path / "dup_events")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    n = ev.count()
+    reps = spark.range(3).select(F.col("id").alias("rep"))
+    dup = (
+        ev.crossJoin(reps)
+        .select(
+            "event_id",
+            # re-deliveries arrive minutes apart, inside the watermark
+            (F.col("ts") + F.make_interval(mins=F.col("rep") * 5)).alias("ts"),
+            "user_id", "event_type",
+        )
+        .toPandas()
+    )
+    # single FILE (not a dir): the stream reader symlinks the file path
+    import os
+
+    os.makedirs(d, exist_ok=True)
+    dup.to_parquet(f"{d}/events.parquet", index=False)
+    out = QUERIES["q55_stream_dedup_within_watermark"](spark, d).collect()
+    assert len(out) == n
+    assert len({r["event_id"] for r in out}) == n
+    base = {
+        r["event_id"]: (r["user_id"], r["event_type"])
+        for r in ev.select("event_id", "user_id", "event_type").collect()
+    }
+    for r in out:
+        assert (r["user_id"], r["event_type"]) == base[r["event_id"]]
