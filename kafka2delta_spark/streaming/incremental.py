@@ -954,3 +954,205 @@ def qx99_streaming_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return concurrency_from_intervals(store.read())
+
+
+# ---------------------------------------------------------------------------
+# qy10: streaming-maintained inter-arrival histogram — the EIGHTH member
+# of the maintained-aggregate family, and the first whose state carries
+# BOTH contracts at once: the (event_type, bucket) histogram cells are
+# additive with min/max-mergeable extremes (ledger load-bearing, the
+# q49/qx31/qx70 contract), while the per-(user, type) last-seen
+# timestamps are max-merge closures (idempotent, the qx92/qx99
+# contract). The cross-batch subtlety is the BOUNDARY GAP: each batch's
+# first event of a (user, type) pair must measure its gap against the
+# last event of that pair from EARLIER batches — qx46's tail-handoff
+# idiom with a 1-row tail. Micro-batches arrive in event-time order (the
+# same two-file split every drain here uses, with batch-1 timestamps
+# strictly above batch-0's), so staged gap chains equal the whole-table
+# lag exactly and qx96's oracle applies VERBATIM.
+# ---------------------------------------------------------------------------
+
+#: unified state schema: kind='cell' rows hold the histogram, kind='last'
+#: rows hold per-(user, type) latest event micros
+_GAP_STATE_SCHEMA = (
+    "kind string, event_type string, bucket int, n bigint, "
+    "min_gap_s bigint, max_gap_s bigint, user_id bigint, last_us bigint"
+)
+
+
+def apply_interarrival_batch(
+    store: ParquetStateStore, batch_df: DataFrame, batch_id: int
+) -> bool:
+    """Fold one micro-batch's same-type inter-arrival gaps into the
+    histogram state. Within-batch gaps come from the qx96 lag window;
+    each (user, type)'s FIRST batch event takes its gap from the stored
+    last-seen row instead (NULL when the pair is new)."""
+    from kafka2delta_spark.operators.behavior import _log2_bucket_sql
+
+    last = store.metadata().get("last_applied_batch_id", -1)
+    if batch_id <= last:
+        return False
+    spark = batch_df.sparkSession
+    wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    rows = batch_df.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.lag(F.unix_micros("ts")).over(wu).alias("prev_us"),
+    )
+    prior = (
+        store.read()
+        if store.exists()
+        else spark.createDataFrame([], _GAP_STATE_SCHEMA)
+    )
+    last_rows = prior.filter(F.col("kind") == "last").select(
+        "user_id", "event_type", "last_us"
+    )
+    # boundary handoff: batch-first events (prev_us NULL) read the stored
+    # last-seen micros; truly-new pairs stay NULL and emit no gap
+    gaps = (
+        rows.join(last_rows, ["user_id", "event_type"], "left")
+        .select(
+            "event_type",
+            (
+                (F.col("us") - F.coalesce("prev_us", "last_us"))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("gap_s"),
+        )
+        .filter(F.col("gap_s").isNotNull())
+    )
+    cells_partial = (
+        gaps.select(
+            "event_type",
+            "gap_s",
+            F.expr(_log2_bucket_sql("gap_s")).cast("int").alias("bucket"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("gap_s").cast("bigint").alias("max_gap_s"),
+        )
+    )
+    cells = (
+        prior.filter(F.col("kind") == "cell")
+        .select("event_type", "bucket", "n", "min_gap_s", "max_gap_s")
+        .unionByName(cells_partial)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.min("min_gap_s").cast("bigint").alias("min_gap_s"),
+            F.max("max_gap_s").cast("bigint").alias("max_gap_s"),
+        )
+    )
+    # last-seen roll-forward: max-merge (idempotent closure — batches are
+    # time-ordered, but max-merge stays correct even if they were not)
+    new_last = (
+        last_rows.unionByName(
+            rows.groupBy("user_id", "event_type").agg(
+                F.max("us").alias("last_us")
+            )
+        )
+        .groupBy("user_id", "event_type")
+        .agg(F.max("last_us").alias("last_us"))
+    )
+    merged = cells.select(
+        F.lit("cell").alias("kind"),
+        "event_type",
+        "bucket",
+        "n",
+        "min_gap_s",
+        "max_gap_s",
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("last_us"),
+    ).unionByName(
+        new_last.select(
+            F.lit("last").alias("kind"),
+            "event_type",
+            F.lit(None).cast("int").alias("bucket"),
+            F.lit(None).cast("bigint").alias("n"),
+            F.lit(None).cast("bigint").alias("min_gap_s"),
+            F.lit(None).cast("bigint").alias("max_gap_s"),
+            "user_id",
+            "last_us",
+        )
+    )
+    store.overwrite(merged, metadata={"last_applied_batch_id": batch_id})
+    return True
+
+
+def _qx96_oracle() -> str:
+    from kafka2delta_spark.queryset import ORACLES
+
+    return ORACLES["qx96_interarrival_histogram"]
+
+
+@register(
+    "qy10_streaming_interarrival",
+    # boundary gaps are chained through the per-(user, type) last-seen
+    # state and batches arrive in event-time order, so the maintained
+    # cells equal the whole-table lag histogram — qx96's oracle VERBATIM
+    oracle=_qx96_oracle(),
+)
+def qy10_streaming_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-maintained inter-arrival log₂ histogram: per micro-
+    batch, same-type gaps are bucketed by qx96's integer CASE ladder and
+    folded into (event_type, bucket) cells, with each batch's first
+    event per (user, type) measuring against the stored last-seen
+    timestamp (qx46's tail handoff, shrunk to a 1-row tail). The readout
+    derives per-type shares from the cells exactly as qx96 does, so the
+    shared oracle gates streaming == batch.
+
+    State is users×types last-seen rows plus an alphabet-bounded cell
+    table — nothing scales with event volume. Mixed replay contract,
+    documented per leg: cell counts are additive (the batch-id ledger is
+    load-bearing), cell extremes and last-seen are idempotent merges
+    (replay-harmless on their own)."""
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.drain import (
+        _checkpoint_dir,
+        drain_shuffle_partitions,
+    )
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        _events_multibatch_dir,
+    )
+
+    batch = load_table(spark, sf_dir, "events")
+    d = _events_multibatch_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .filter(F.col("user_id") != SENTINEL_USER)
+    )
+    store = ParquetStateStore(
+        spark, tempfile.mkdtemp(prefix="gap_state_") + "/state"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_interarrival_batch(store, batch_df, batch_id)
+
+    checkpoint = tempfile.mkdtemp(
+        prefix="gap_ckpt_", dir=_checkpoint_dir("gap")
+    )
+    with drain_shuffle_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cells = store.read().filter(F.col("kind") == "cell")
+    t = cells.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return cells.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "bucket",
+        "n",
+        "min_gap_s",
+        "max_gap_s",
+        F.expr("cast(n * 10000 div tot as bigint)").alias("share_e4"),
+    )
