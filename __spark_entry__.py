@@ -71,37 +71,42 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round driver rows plus this round's local tri-scale artifacts
 # (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
 # query (watermark progression by design).
-_ALIAS_PREFIX = "a6_"
+_ALIAS_PREFIX = "a7_"
 
-# Round 6 (``a6_``) targets, exactly 50:
-#   * never-driver-verified (7): q55 (now with a verified count-only
-#     row_oracle locally; the driver still records its weaker rows-only
-#     check), qx33/qx40 (round 5's two red rows — array columns are now
-#     '|'-joined strings), qx76..qx79 (round-5 additions past the a5_
-#     budget);
-#   * modified this round (3): qx53 (histogram rewrite), qx75 (recall
-#     zero guard), qx26 (retention_matrix refactor shared with qx92);
-#   * round-6 additions (20): qx80..qx99 — winnowing, streaks,
-#     concurrency sweep, KMV rollup cube, hard negatives, PQ encode,
-#     Markov eval, threshold sweep, WAV audit, seasonal triage, entropy,
-#     source modularity, streaming retention, length-bucketed batches,
-#     IVF-PQ ADC search, quality calibration, inter-arrival histograms,
-#     split vocabulary OOV, daily-count autocorrelation, streaming
-#     concurrency (gap-merged interval state, qx82's oracle verbatim);
-#   * stability re-verifies (20): the TPC-H-shape block q03..q22 whose
-#     last driver rows date to round 2 — the oldest green signatures in
-#     the registry.
-_A6_KEYS = (
-    {"q55", "qx33", "qx40", "qx76", "qx77", "qx78", "qx79"}
-    | {"qx53", "qx75", "qx26"}
-    | {f"qx{i}" for i in range(80, 100)}  # qx80..qx99
-    | {f"q{i:02d}" for i in range(3, 23)}
+# Round 7 (``a7_``) targets, exactly 50:
+#   * round-7 additions (10): qy01..qy10 — intra-doc repetition,
+#     filtered ANN, MMR re-ranking, snapshot diff, held-out bigram
+#     perplexity, session funnel, weighted reservoir sample, stratified
+#     quota split, label cohesion moments, streaming inter-arrival
+#     histogram (8th maintained-aggregate family member);
+#   * q55 — GRADUATED from rows-only: its key-determined projection now
+#     carries a full value oracle, so the driver can finally record a
+#     hash row for it (the one no_oracle row of rounds 4-6);
+#   * modified this round (17): q36 (multiset-free p90 via scaled-
+#     integer rank-bracket interpolation — oracle CHANGED), q75
+#     (global_ranks rewrite), q84/q87b/qx42/qx49 (forced-broadcast
+#     hints dropped), q88/qx24 (pair-stats join shape), qx22 (PageRank
+#     degree join), qx34/qx91/qx95 (edge-consumer joins, qx91 also
+#     zero-edge guard — oracle CHANGED), qx80 (winnow join shape), qx84
+#     (anchor cap + label join), qx87 (pair-stats heavy consumer), qx90
+#     (order-pinned entropy fold — oracle CHANGED), qx93 (integer
+#     bit-length widths — oracle CHANGED);
+#   * stability re-verifies (22): q24..q46 — the oldest remaining driver
+#     rows (rounds 2-3; q36 is counted under "modified", its slot in the
+#     range went to q46); q47..q52 rotate next round.
+_A7_KEYS = (
+    {f"qy{i:02d}" for i in range(1, 11)}  # qy01..qy10
+    | {"q55"}
+    | {"q36", "q75", "q84", "q87b", "q88"}
+    | {"qx22", "qx24", "qx34", "qx42", "qx49", "qx80", "qx84", "qx87",
+       "qx90", "qx91", "qx93", "qx95"}
+    | {f"q{i:02d}" for i in range(24, 47)}
 )
 
 
 def _alias_block() -> list[str]:
     return [
-        name for name in sorted(QUERIES) if name.split("_")[0] in _A6_KEYS
+        name for name in sorted(QUERIES) if name.split("_")[0] in _A7_KEYS
     ]
 
 

@@ -495,3 +495,94 @@ def test_anomaly_maintenance_restart_from_checkpoint(spark, tmp_path):
     assert _flags(store) == _flags(whole)
     assert any(r[1] == next(i for i, u, m, v in rows if v == 500.0)
                for r in _flags(store))
+
+
+# ---------------------------------------------------------------------------
+# qy10: streaming-maintained inter-arrival histogram (round 7)
+# ---------------------------------------------------------------------------
+
+
+def _gap_events(spark, rows):
+    """rows: (user_id, event_type, second_offset, event_id)."""
+    return spark.createDataFrame(
+        [
+            (u, e, dt.datetime(2024, 1, 1, 0, 0, 0)
+             + dt.timedelta(seconds=s), eid)
+            for (u, e, s, eid) in rows
+        ],
+        "user_id long, event_type string, ts timestamp, event_id long",
+    )
+
+
+def _cells(store):
+    return sorted(
+        tuple(r)
+        for r in store.read()
+        .filter("kind = 'cell'")
+        .select("event_type", "bucket", "n", "min_gap_s", "max_gap_s")
+        .collect()
+    )
+
+
+def test_interarrival_boundary_gap_crosses_batches(spark, tmp_path):
+    """A (user, type) pair split across batches must produce the SAME
+    cells as one batch holding everything — the 1-row tail handoff."""
+    from kafka2delta_spark.streaming.incremental import (
+        apply_interarrival_batch,
+    )
+
+    rows = [
+        (1, "click", 0, 10),
+        (1, "click", 3, 11),     # gap 3  -> bucket 2
+        (1, "click", 300, 12),   # gap 297 -> bucket 9 (256..512)
+        (2, "view", 5, 20),      # first ever: no gap
+        (2, "view", 5, 21),      # gap 0 (tie, ordered by event_id) -> bucket 0
+    ]
+    staged = ParquetStateStore(spark, str(tmp_path / "staged"))
+    apply_interarrival_batch(staged, _gap_events(spark, rows[:2]), 0)
+    apply_interarrival_batch(staged, _gap_events(spark, rows[2:]), 1)
+    single = ParquetStateStore(spark, str(tmp_path / "single"))
+    apply_interarrival_batch(single, _gap_events(spark, rows), 0)
+    assert _cells(staged) == _cells(single)
+    # and the boundary gap really landed: 297 s -> bucket 9
+    assert any(c[1] == 9 and c[2] == 1 for c in _cells(staged))
+
+
+def test_interarrival_replayed_batch_is_noop(spark, tmp_path):
+    from kafka2delta_spark.streaming.incremental import (
+        apply_interarrival_batch,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "gap"))
+    b0 = _gap_events(spark, [(1, "click", 0, 1), (1, "click", 2, 2)])
+    assert apply_interarrival_batch(store, b0, 0) is True
+    before = _cells(store)
+    # additive cell counts make the ledger load-bearing: replay must skip
+    assert apply_interarrival_batch(store, b0, 0) is False
+    assert _cells(store) == before
+
+
+def test_interarrival_last_seen_rolls_forward(spark, tmp_path):
+    from kafka2delta_spark.streaming.incremental import (
+        apply_interarrival_batch,
+    )
+
+    store = ParquetStateStore(spark, str(tmp_path / "gap2"))
+    apply_interarrival_batch(
+        store, _gap_events(spark, [(1, "click", 0, 1)]), 0
+    )
+    apply_interarrival_batch(
+        store, _gap_events(spark, [(1, "click", 7, 2)]), 1
+    )
+    last = (
+        store.read()
+        .filter("kind = 'last'")
+        .select("user_id", "event_type", "last_us")
+        .collect()
+    )
+    assert len(last) == 1
+    assert last[0]["last_us"] == int(
+        dt.datetime(2024, 1, 1, 0, 0, 7).timestamp() * 1_000_000
+    )
+    # the 7 s boundary gap landed in bucket 3 ([4, 8))
+    assert any(c[1] == 3 for c in _cells(store))
