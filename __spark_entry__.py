@@ -91,16 +91,21 @@ _ALIAS_PREFIX = "a7_"
 #     (anchor cap + label join), qx87 (pair-stats heavy consumer), qx90
 #     (order-pinned entropy fold — oracle CHANGED), qx93 (integer
 #     bit-length widths — oracle CHANGED);
-#   * stability re-verifies (22): q24..q46 — the oldest remaining driver
-#     rows (rounds 2-3; q36 is counted under "modified", its slot in the
-#     range went to q46); q47..q52 rotate next round.
+#   * round-7 second-wave additions (10): qz01..qz10 — exact ROC-AUC,
+#     split PSI drift, content-defined chunk dedup, LOO 1-NN accuracy,
+#     filter waterfall, RRF hybrid fusion, jackknife source means,
+#     IDF-weighted Jaccard, Hill tail exponent, label propagation;
+#   * stability re-verifies (12): q24..q35 — the oldest remaining driver
+#     rows (rounds 2-3); q37..q52 rotate next round (q36 is counted
+#     under "modified").
 _A7_KEYS = (
     {f"qy{i:02d}" for i in range(1, 11)}  # qy01..qy10
+    | {f"qz{i:02d}" for i in range(1, 11)}  # qz01..qz10
     | {"q55"}
     | {"q36", "q75", "q84", "q87b", "q88"}
     | {"qx22", "qx24", "qx34", "qx42", "qx49", "qx80", "qx84", "qx87",
        "qx90", "qx91", "qx93", "qx95"}
-    | {f"q{i:02d}" for i in range(24, 47)}
+    | {f"q{i:02d}" for i in range(24, 37)}
 )
 
 
