@@ -240,3 +240,21 @@ def test_unhinted_join_is_clean(spark):
     docs = _docs(spark)
     sizes = docs.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     assert _fb(docs.join(sizes, "doc_id")) == []
+
+
+def test_q36_plan_has_no_percentile_multiset(spark, sf_dir):
+    """Round-7 rewrite pin: q36's exact median/p90 must come from the
+    value-histogram closed form, never from a `percentile` aggregate
+    whose ObjectHashAggregate state buffers a group's whole value
+    multiset (O(n) in one task for a hot group at scale)."""
+    import contextlib
+    import io
+
+    from kafka2delta_spark.operators.analytic import q36_stats_by_returnflag
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q36_stats_by_returnflag(spark, sf_dir).explain("formatted")
+    plan = buf.getvalue()
+    assert "Percentile" not in plan and "percentile" not in plan
+    assert "ObjectHashAggregate" not in plan
