@@ -154,6 +154,48 @@ def merge_cdc_batch_evolving(
     )
 
 
+def delta_merge_spec(
+    changes_cols: list[str],
+    key_cols: list[str],
+    partition_cols: list[str] | None = None,
+    lsn_col: str = LSN_COL,
+    deleted_col: str = DELETED_COL,
+) -> dict:
+    """The complete Delta MERGE clause specification as plain strings —
+    pure and jar-free, so the dormant Delta leg's guarantees are testable
+    in environments without delta-spark (the jar-gated
+    :func:`apply_cdc_delta` consumes this verbatim):
+
+    * ``on`` equi-joins every key column AND every partition column —
+      partition pruning of the target during the MERGE join (ref
+      stream/stream.py:116-117; caveat preserved: partition cols must
+      derive from immutable columns or a moved key duplicates);
+    * the delete clause carries its own LSN guard (``s.lsn > t.lsn``) —
+      the reference's unguarded-delete replay gap, closed;
+    * the update clause carries the same guard, so stale updates are
+      no-ops;
+    * the insert clause suppresses tombstones for unseen keys;
+    * the SET/VALUES map assigns every source column EXCEPT the
+      ``deleted_col`` control column (it never lands in the target).
+    """
+    on = " AND ".join(
+        f"t.`{c}` = s.`{c}`" for c in list(key_cols) + list(partition_cols or [])
+    )
+    set_map = {c: f"s.`{c}`" for c in changes_cols if c != deleted_col}
+    return {
+        "on": on,
+        "delete_condition": (
+            f"s.`{deleted_col}` = 'true' AND s.`{lsn_col}` > t.`{lsn_col}`"
+        ),
+        "update_condition": (
+            f"NOT COALESCE(s.`{deleted_col}` = 'true', false) "
+            f"AND s.`{lsn_col}` > t.`{lsn_col}`"
+        ),
+        "insert_condition": f"NOT COALESCE(s.`{deleted_col}` = 'true', false)",
+        "set_map": set_map,
+    }
+
+
 def apply_cdc_delta(
     spark,
     target_table_or_path: str,
@@ -165,10 +207,9 @@ def apply_cdc_delta(
 ) -> None:
     """Single combined Delta MERGE (requires delta-spark on the classpath).
 
-    ON condition includes partition columns when given — enables partition
-    pruning of the target during the MERGE join (ref stream/stream.py:116-117;
-    caveat preserved: a key whose partition value changes would duplicate, so
-    only pass partition cols derived from immutable columns).
+    All clause conditions come from :func:`delta_merge_spec` — see its
+    docstring for the pruning/guard guarantees; the spec is unit-tested
+    jar-free and this function only binds it to the DeltaTable API.
     """
     from delta.tables import DeltaTable  # gated import
 
@@ -177,29 +218,18 @@ def apply_cdc_delta(
         if "/" in target_table_or_path
         else DeltaTable.forName(spark, target_table_or_path)
     )
-    on = " AND ".join(
-        f"t.`{c}` = s.`{c}`" for c in list(key_cols) + list(partition_cols or [])
+    spec = delta_merge_spec(
+        list(changes_df.columns), key_cols, partition_cols, lsn_col, deleted_col
     )
-    target_cols = [c for c in changes_df.columns if c != deleted_col]
-    set_map = {c: f"s.`{c}`" for c in target_cols}
     (
         target.alias("t")
-        .merge(changes_df.alias("s"), on)
-        .whenMatchedDelete(
-            condition=(
-                f"s.`{deleted_col}` = 'true' AND s.`{lsn_col}` > t.`{lsn_col}`"
-            )
-        )
+        .merge(changes_df.alias("s"), spec["on"])
+        .whenMatchedDelete(condition=spec["delete_condition"])
         .whenMatchedUpdate(
-            condition=(
-                f"NOT COALESCE(s.`{deleted_col}` = 'true', false) "
-                f"AND s.`{lsn_col}` > t.`{lsn_col}`"
-            ),
-            set=set_map,
+            condition=spec["update_condition"], set=spec["set_map"]
         )
         .whenNotMatchedInsert(
-            condition=f"NOT COALESCE(s.`{deleted_col}` = 'true', false)",
-            values=set_map,
+            condition=spec["insert_condition"], values=spec["set_map"]
         )
         .execute()
     )
