@@ -201,6 +201,28 @@ def apply_cdc_micro_batch(
         parsed.unpersist()
 
 
+def kafka_source_options(
+    bootstrap_servers: str,
+    topics: list[str],
+    starting_offset: str = "earliest",
+    fail_on_data_loss: bool = True,
+) -> dict[str, str]:
+    """The exact option map the Kafka readStream binding passes to the
+    connector (ref stream/stream.py:196-204) — pure and broker-free, so
+    the live-Kafka leg's configuration is testable in environments
+    without a broker or the kafka connector jar: comma-joined multi-topic
+    ``subscribe``, pass-through ``startingOffsets`` (``earliest`` |
+    ``latest`` | a JSON offset map), and ``failOnDataLoss`` rendered as
+    the lowercase string the connector expects (Python ``str(True)`` =
+    ``'True'`` is NOT valid connector input)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": ",".join(topics),
+        "startingOffsets": starting_offset,
+        "failOnDataLoss": str(fail_on_data_loss).lower(),
+    }
+
+
 def stream_to_delta(
     spark: SparkSession,
     query_name: str,
@@ -230,14 +252,15 @@ def stream_to_delta(
         for t, cfg in table_configs.items()
     }
     if source_df is None:
-        source_df = (
-            spark.readStream.format("kafka")
-            .option("kafka.bootstrap.servers", kafka_bootstrap_server_url)
-            .option("subscribe", ",".join(kafka_topics))
-            .option("startingOffsets", starting_offset)
-            .option("failOnDataLoss", str(fail_on_data_loss).lower())
-            .load()
-        )
+        reader = spark.readStream.format("kafka")
+        for k, v in kafka_source_options(
+            kafka_bootstrap_server_url,
+            kafka_topics,
+            starting_offset,
+            fail_on_data_loss,
+        ).items():
+            reader = reader.option(k, v)
+        source_df = reader.load()
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
         apply_cdc_micro_batch(batch_df, schema_registry, table_configs, stores)

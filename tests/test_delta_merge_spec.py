@@ -121,3 +121,26 @@ def test_spec_interpretation_equals_parquet_merge(spark, state, changes):
         map(tuple, _interpret_merge(spark, spec, tdf, cdf, target_cols).collect())
     )
     assert got == expected
+
+
+def test_kafka_source_options_spec():
+    """Broker-free pin of the live-Kafka leg's configuration (the
+    connector jar is absent here, so the option map is the testable
+    surface — the binding passes it verbatim)."""
+    from kafka2delta_spark.streaming.stream import kafka_source_options
+
+    opts = kafka_source_options(
+        "broker-1:9092,broker-2:9092",
+        ["postgres.public.users", "postgres.public.orders"],
+        starting_offset="latest",
+        fail_on_data_loss=False,
+    )
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "postgres.public.users,postgres.public.orders",
+        "startingOffsets": "latest",
+        # the connector rejects Python's str(False) capitalization
+        "failOnDataLoss": "false",
+    }
+    assert kafka_source_options("b:9092", ["t"])["failOnDataLoss"] == "true"
+    assert kafka_source_options("b:9092", ["t"])["startingOffsets"] == "earliest"
