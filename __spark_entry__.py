@@ -98,6 +98,9 @@ _ALIAS_PREFIX = "a7_"
 #   * stability re-verifies (12): q24..q35 — the oldest remaining driver
 #     rows (rounds 2-3); q37..q52 rotate next round (q36 is counted
 #     under "modified").
+# The post-rotation third wave (qz11..qz17, robustats.py) follows the
+# round-6 precedent: tri-scale local verification this round, gate slot
+# in a8_ next round.
 _A7_KEYS = (
     {f"qy{i:02d}" for i in range(1, 11)}  # qy01..qy10
     | {f"qz{i:02d}" for i in range(1, 11)}  # qz01..qz10

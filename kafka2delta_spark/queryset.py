@@ -66,6 +66,7 @@ def load_all_querysets() -> None:
     from kafka2delta_spark.functions import winnow  # noqa: F401
     from kafka2delta_spark.functions import evalops  # noqa: F401
     from kafka2delta_spark.functions import corpuseval  # noqa: F401
+    from kafka2delta_spark.functions import robustats  # noqa: F401
     from kafka2delta_spark.operators import cdc_queries  # noqa: F401
     from kafka2delta_spark.streaming import windows  # noqa: F401
     from kafka2delta_spark.streaming import stateful  # noqa: F401
