@@ -68,6 +68,12 @@ STRESSED = [
     "qx90_user_type_entropy",
     "qx96_interarrival_histogram",
     "qx98_daily_count_acf",
+    # round 7: the cumulative-histogram boundary reads (trimmed/
+    # winsorized partial sums, p99 bracket) when every (type, value)
+    # multiplicity is 16x and replica-shifted values interleave — the
+    # arg_min-at-boundary arithmetic must hold on much denser histograms
+    "qz11_trimmed_winsorized_mean",
+    "qz17_p99_interarrival",
 ]
 
 

@@ -37,6 +37,12 @@ STRESSED = [
     "qz05_filter_waterfall",
     "qz07_jackknife_source_mean",
     "qz09_hill_tail_exponent",
+    # round-7 third wave: KS on the 16x grid (integer cross-multiplied
+    # max over a 16x-denser value domain), the langid F1 report, and
+    # the apportionment (sum-== -budget must hold with 16x token counts)
+    "qz12_ks_source_drift",
+    "qz13_langid_f1_report",
+    "qz15_token_apportionment",
 ]
 
 
@@ -143,3 +149,39 @@ def test_waterfall_replication_scales_exactly(spark, scaled_doc_dir):
         s = scaled[src]
         for c in counters:
             assert s[c] == DOC_REPLICAS * b[c], (src, c)
+
+
+def test_ks_replication_invariance(spark, scaled_doc_dir):
+    """Uniform 16x replication scales cum_s, cum_rest, N_s, N_rest all by
+    16, so D's integer numerator scales by 256 and ks_e6 is EXACTLY
+    invariant — the scale-free property that makes KS a usable drift
+    gate on growing corpora."""
+    from kafka2delta_spark.functions.robustats import qz12_ks_source_drift
+
+    base = {r.source: r for r in qz12_ks_source_drift(spark, SRC).collect()}
+    scaled = {
+        r.source: r for r in qz12_ks_source_drift(spark, scaled_doc_dir).collect()
+    }
+    assert base.keys() == scaled.keys()
+    for src, b in base.items():
+        s = scaled[src]
+        assert s.n_source == DOC_REPLICAS * b.n_source, src
+        assert s.d_num == DOC_REPLICAS * DOC_REPLICAS * b.d_num, src
+        assert s.ks_e6 == b.ks_e6, src
+
+
+def test_apportionment_replication_invariance(spark, scaled_doc_dir):
+    """16x token counts scale every sqrt-weight by 4 uniformly, so the
+    quotas — and therefore the full integer allocation — are unchanged."""
+    from kafka2delta_spark.functions.robustats import qz15_token_apportionment
+
+    base = {r.source: r for r in qz15_token_apportionment(spark, SRC).collect()}
+    scaled = {
+        r.source: r
+        for r in qz15_token_apportionment(spark, scaled_doc_dir).collect()
+    }
+    assert base.keys() == scaled.keys()
+    for src, b in base.items():
+        s = scaled[src]
+        assert s.src_tokens == DOC_REPLICAS * b.src_tokens, src
+        assert s.alloc_tokens == b.alloc_tokens, src
