@@ -1,10 +1,11 @@
-"""Round-7 third wave (qz11..qz17): robust statistics & system evals.
+"""Round-7 third wave (qz11..qz18): robust statistics & system evals.
 
 Order-statistics-by-histogram applications (trimmed/winsorized means,
 p99 tails), two-sample distribution drift (Kolmogorov-Smirnov), rank
 correlation (Spearman via exact midranks, Kendall between retrieval
 systems), a classifier eval (language-ID confusion → per-class F1), and
-exact largest-remainder token apportionment for the q66 mixture — the
+exact largest-remainder token apportionment for the q66 mixture, and
+cluster-debiased sampling (qz18) — the
 statistics layer a data-quality dashboard computes over a 100 TB corpus
 without ever materializing a per-group multiset or a global window.
 
@@ -836,4 +837,102 @@ def qz17_p99_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(100 * __lo + ((99 * (__n - 1)) % 100)"
             " * (coalesce(__hi, __lo) - __lo) as bigint)"
         ).alias("p99_gap_cs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qz18: cluster-debiased weighted sampling — the dedup-aware alternative
+# to hard-dropping near-duplicates: every document stays eligible, but a
+# doc's sampling weight is divided by its q98 near-dup cluster size, so
+# a 40-copy boilerplate cluster gets ~one slot's worth of total
+# probability instead of 40. Composes q98's exact components with
+# qy07's deterministic A-ES sampler.
+# ---------------------------------------------------------------------------
+
+DEBIAS_K = 50  # sample size
+
+
+def _debias_oracle() -> str:
+    from kafka2delta_spark.functions.dedup import _JACCARD_PAIRS_SQL
+    from kafka2delta_spark.operators.advanced import kmv_hash_duck
+
+    return f"""
+    WITH RECURSIVE edges AS (
+        SELECT doc_a, doc_b FROM ({_JACCARD_PAIRS_SQL}) jp),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION ALL SELECT doc_b, doc_a FROM edges),
+    reach AS (
+        SELECT doc_id AS node, doc_id AS root FROM documents
+        UNION
+        SELECT u.b AS node, r.root FROM reach r JOIN und u ON u.a = r.node),
+    cl AS (SELECT node, MIN(root) AS root FROM reach GROUP BY node),
+    sz AS (SELECT root, COUNT(*) AS cluster_size FROM cl GROUP BY root),
+    w AS (
+        SELECT cl.node AS doc_id, sz.cluster_size,
+               1000000 // sz.cluster_size AS weight
+        FROM cl JOIN sz USING (root)),
+    k AS (
+        SELECT w.doc_id, d.source, w.cluster_size, w.weight,
+               ln(({kmv_hash_duck('w.doc_id')}) / {float(1 << 52)}) / w.weight
+                   AS key
+        FROM w JOIN documents d ON d.doc_id = w.doc_id),
+    t AS (
+        SELECT doc_id, source, cluster_size, weight, key
+        FROM k ORDER BY key DESC, doc_id LIMIT {DEBIAS_K})
+    SELECT doc_id, source,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           CAST(weight AS BIGINT) AS weight,
+           CAST(FLOOR(key * 1000000000) AS BIGINT) AS key_e9,
+           CAST(ROW_NUMBER() OVER (ORDER BY key DESC, doc_id) AS BIGINT)
+               AS rk
+    FROM t
+    """
+
+
+@register("qz18_cluster_debiased_sample", oracle=_debias_oracle())
+def qz18_cluster_debiased_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{DEBIAS_K} deterministic weighted sample with weight =
+    10⁶ div near-dup-cluster-size (q98's exact components): duplicated
+    content competes for ONE slot's worth of probability instead of one
+    per copy — the soft alternative to canonical-only dedup, preserving
+    intra-cluster diversity at de-duplicated rates.
+
+    Determinism/exactness: the qy07 A-ES recipe verbatim (u from the
+    portable md5 hash, key = ln(u)/w — one ln + one divide on identical
+    doubles), integer weights, floor-e9 keys, (key DESC, doc_id)
+    tiebreak. Plan: q98's session-checkpointed components (edge-sized
+    iterations) + one doc-keyed join + a distributed top-k
+    (TakeOrderedAndProject) — never a global sort; the final rank window
+    runs on {DEBIAS_K} rows."""
+    from kafka2delta_spark.functions.dedup import q98_neardup_clusters
+    from kafka2delta_spark.operators.advanced import kmv_hash_spark
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    cl = q98_neardup_clusters(spark, sf_dir).select(
+        "doc_id", "cluster_size"
+    )
+    w = cl.select(
+        "doc_id",
+        "cluster_size",
+        F.expr("1000000 div cluster_size").alias("weight"),
+    )
+    k = w.join(docs, "doc_id").select(
+        "doc_id",
+        "source",
+        "cluster_size",
+        "weight",
+        (
+            F.log(F.expr(kmv_hash_spark("doc_id")) / F.lit(float(1 << 52)))
+            / F.col("weight")
+        ).alias("key"),
+    )
+    top = k.orderBy(F.desc("key"), F.asc("doc_id")).limit(DEBIAS_K)
+    wr = W.orderBy(F.desc("key"), F.asc("doc_id"))
+    return top.select(
+        "doc_id",
+        "source",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.col("weight").cast("bigint").alias("weight"),
+        F.floor(F.col("key") * 1_000_000_000).cast("bigint").alias("key_e9"),
+        F.row_number().over(wr).cast("bigint").alias("rk"),
     )

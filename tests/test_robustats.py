@@ -168,3 +168,31 @@ def test_p99_vs_python(spark, sf_dir):
         assert r.n_gaps == n
         assert r.max_gap_s == g[-1]
         assert r.p99_gap_cs == 100 * lo + rem * (hi - lo)
+
+
+def test_cluster_debiased_sample_weights(spark, sf_dir):
+    from kafka2delta_spark.functions.dedup import q98_neardup_clusters
+    from kafka2delta_spark.functions.robustats import (
+        DEBIAS_K,
+        qz18_cluster_debiased_sample,
+    )
+
+    rows = qz18_cluster_debiased_sample(spark, sf_dir).collect()
+    assert len(rows) == DEBIAS_K
+    sizes = {
+        r.doc_id: r.cluster_size
+        for r in q98_neardup_clusters(spark, sf_dir).collect()
+    }
+    for r in rows:
+        assert r.cluster_size == sizes[r.doc_id]
+        assert r.weight == 1_000_000 // r.cluster_size
+    # ranking is by (key desc, doc_id): floor-e9 keys must be
+    # non-increasing along rk up to equal-key doc_id tiebreaks
+    by_rk = sorted(rows, key=lambda r: r.rk)
+    for a, b in zip(by_rk, by_rk[1:]):
+        assert a.key_e9 >= b.key_e9
+    # debiasing pressure: the sample's mean cluster size must not exceed
+    # the corpus mean (duplicated docs are downweighted, never upweighted)
+    corpus_mean = sum(sizes.values()) / len(sizes)
+    sample_mean = sum(r.cluster_size for r in rows) / len(rows)
+    assert sample_mean <= corpus_mean + 1e-9
