@@ -78,3 +78,35 @@ def test_pq_cache_invalidates_on_mutation(spark, tmp_path):
 
     vecs2, *_ = pq_components(spark, d)
     assert vecs2.count() == len(emb) // 2 != n1
+
+
+def test_shingle_rows_cache_matches_uncached_and_invalidates(spark, tmp_path):
+    """The shared postings materialization (round-7 shingle_rows_cached)
+    must return exactly shingle_rows' rows, and a mutated table under a
+    cached dir must yield a fresh postings set, not the stale one."""
+    import pyspark.sql.functions as F
+
+    from kafka2delta_spark.functions.dedup import (
+        shingle_rows,
+        shingle_rows_cached,
+    )
+
+    d = _clone_sf(tmp_path)
+    cached = {
+        (r.doc_id, r.shingle) for r in shingle_rows_cached(spark, d).collect()
+    }
+    direct = {
+        (r.doc_id, r.shingle) for r in shingle_rows(spark, d).collect()
+    }
+    assert cached == direct and cached
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = docs.count()
+    half = docs.filter(F.col("doc_id") < n // 2).toPandas()
+    half.to_parquet(f"{d}/documents.parquet", index=False)
+
+    after = {
+        (r.doc_id, r.shingle) for r in shingle_rows_cached(spark, d).collect()
+    }
+    assert after != cached  # fresh materialization, not the checkpoint
+    assert {i for i, _ in after} == {i for i, _ in cached if i < n // 2}
