@@ -136,6 +136,7 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hold."""
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
     from kafka2delta_spark.sources.tables import load_table
@@ -144,7 +145,7 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )
@@ -167,7 +168,7 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx13_store_change_feed",
     oracle="""
     WITH mid AS (
-        SELECT CAST(quantile_cont(epoch_us(ts), 0.5) AS BIGINT) AS m
+        SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS m
         FROM events),
     b0 AS (
         SELECT user_id,
@@ -200,8 +201,11 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def qx13_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Change Data Feed over the state store (Delta ``readChangeFeed``
-    parity): apply the rollup in two batches (the same time-median split
-    the streaming queries use), then read the row-level diff between
+    parity): apply the rollup in two batches (the same (min+max)/2
+    time-midpoint split the streaming scaffold uses — two O(1)
+    aggregates, no percentile() multiset; the oracle computes the
+    identical midpoint, and both sides use integer floor-division on
+    non-negative epoch-microseconds), then read the row-level diff between
     snapshot v1 and v2 — inserts for users first seen in batch 1,
     pre/post images for users whose aggregate advanced. The downstream
     shape: incremental consumers chain off the CHANGES (keyed joins over
@@ -210,10 +214,13 @@ def qx13_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    mid = ev.agg(
-        F.expr("percentile(unix_micros(ts), 0.5)").alias("m")
-    ).collect()[0]["m"]
-    mid = int(mid)
+    mid = int(
+        ev.agg(
+            F.expr(
+                "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            ).alias("m")
+        ).collect()[0]["m"]
+    )
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="cdf_state_") + "/state",
         retain_versions=2,
@@ -273,6 +280,7 @@ def qx23_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.sources.tables import load_table
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
 
@@ -280,7 +288,7 @@ def qx23_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )
@@ -359,6 +367,7 @@ def qx31_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
 
@@ -366,7 +375,7 @@ def qx31_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )
@@ -500,6 +509,7 @@ def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
 
@@ -507,7 +517,7 @@ def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )
@@ -711,6 +721,7 @@ def qx70_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
 
@@ -718,7 +729,7 @@ def qx70_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )
@@ -814,6 +825,7 @@ def qx92_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
 
@@ -821,7 +833,7 @@ def qx92_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )
@@ -924,6 +936,7 @@ def qx99_streaming_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
 
@@ -931,7 +944,7 @@ def qx99_streaming_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )
@@ -1117,6 +1130,7 @@ def qy10_streaming_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from kafka2delta_spark.streaming.stateful import (
         SENTINEL_USER,
+        SPLIT_SHARDS,
         _events_multibatch_dir,
     )
 
@@ -1124,7 +1138,7 @@ def qy10_streaming_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _events_multibatch_dir(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
         .filter(F.col("user_id") != SENTINEL_USER)
     )

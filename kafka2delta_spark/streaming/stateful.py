@@ -8,9 +8,10 @@ interval join, and an arbitrary-stateful operator built on
 event-time timeouts).
 
 Both run as TRUE multi-micro-batch streaming queries: the events table is
-split into two time-ordered files consumed with ``maxFilesPerTrigger=1``,
-so join state and session state genuinely carry across micro-batches. A
-far-future sentinel event rides at the end of the second file; its
+split into two time-ordered sharded halves consumed one half per trigger
+(``maxFilesPerTrigger=SPLIT_SHARDS``), so join state and session state
+genuinely carry across micro-batches. A
+far-future sentinel event rides at the end of the second half; its
 watermark advance (applied at batch end) flushes every open session /
 unmatched outer row through the timeout-eviction path in the trailing
 no-data batch — one fewer data trigger than a separate sentinel file.
@@ -42,43 +43,67 @@ from kafka2delta_spark.streaming.drain import drain_to_memory
 SESSION_GAP_MIN = 30
 SENTINEL_USER = 99_999_999
 
+# shard files per half-split (= files per micro-batch). Each half is
+# written by SPLIT_SHARDS parallel tasks — no coalesce(1) single-task
+# funnel — and the stream consumes exactly SPLIT_SHARDS files per
+# trigger, so the micro-batch boundary still falls between the halves.
+SPLIT_SHARDS = 4
+
 _SPLIT_DIRS: dict[str, str] = {}
 
 
 def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Split the events table into two time-ordered parquet files — the
+    """Split the events table into two time-ordered parquet halves — the
     second carrying a far-future sentinel event appended after the real
-    tail — in a scratch dir. With maxFilesPerTrigger=1 the file source
-    turns each file into its own micro-batch, in name order, so state
-    genuinely crosses a batch boundary; the sentinel advances the
-    watermark at the END of b1's batch and the trailing no-data batch
-    (noDataMicroBatches, on by default) runs the timeout/eviction flush.
-    Folding the sentinel into b1 instead of a third file drops one full
-    data micro-batch — per-trigger checkpoint and planning cost is the
-    dominant term of every drain, so each streaming query saves a fixed
-    ~1 trigger. Watermarks only ever update at batch end, so b1's real
-    rows are processed under the post-b0 watermark either way — result
-    sets are unchanged (oracle-verified)."""
+    tail — in a scratch dir. With maxFilesPerTrigger=SPLIT_SHARDS the
+    file source turns each SPLIT_SHARDS-file half into its own
+    micro-batch, so state genuinely crosses a batch boundary; the
+    sentinel advances the watermark at the END of b1's batch and the
+    trailing no-data batch (noDataMicroBatches, on by default) runs the
+    timeout/eviction flush. Folding the sentinel into b1 instead of a
+    third half drops one full data micro-batch — per-trigger checkpoint
+    and planning cost is the dominant term of every drain.
+
+    Scale hygiene (both fixture-only sites, but they execute inside
+    registered queries at bench time, so they obey the repo's rules):
+
+    * the split point is the (min+max)/2 timestamp midpoint — two O(1)
+      aggregates, NOT a ``percentile()`` multiset (O(n) value buffers in
+      one task). A split point only has to land strictly inside the time
+      range; watermarks update at batch end, so b1's real rows are
+      processed under the post-b0 watermark wherever the boundary falls
+      — result sets are invariant to it (oracle-verified tri-scale).
+    * each half is written with ``repartition(SPLIT_SHARDS)``
+      (round-robin → all shards non-empty at every SF, verified by the
+      loud count check below), not ``coalesce(1)`` — no single-task
+      write funnel.
+
+    Batch order is pinned explicitly: FileStreamSource processes new
+    files oldest-mtime-first (path-order for ties), so the b0 shard
+    files get an mtime strictly older than b1's, and the symlink names
+    sort b0 first as a tie-breaker."""
     if sf_dir in _SPLIT_DIRS:
         return _SPLIT_DIRS[sf_dir]
     # deterministic scratch path keyed by the source dir -> built once per
     # machine, reused across processes (bench runs pay the split only once)
     key = sf_dir.strip("/").replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"events_split2_{key}")
+    d = os.path.join(tempfile.gettempdir(), f"events_split3_{key}")
     stream_dir = f"{d}/stream"
-    if os.path.isdir(stream_dir) and len(os.listdir(stream_dir)) == 2:
+    if os.path.isdir(stream_dir) and len(os.listdir(stream_dir)) == 2 * SPLIT_SHARDS:
         _SPLIT_DIRS[sf_dir] = stream_dir
         return stream_dir
     ev = load_table(spark, sf_dir, "events")
     os.makedirs(d, exist_ok=True)
     mid_us = int(
-        ev.agg(F.expr("percentile(unix_micros(ts), 0.5)").alias("mid")).collect()[0][
-            "mid"
-        ]
+        ev.agg(
+            F.expr(
+                "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
+            ).alias("mid")
+        ).collect()[0]["mid"]
     )
-    ev.filter(F.unix_micros("ts") < mid_us).coalesce(1).write.mode("overwrite").parquet(
-        f"{d}/b0"
-    )
+    ev.filter(F.unix_micros("ts") < mid_us).repartition(SPLIT_SHARDS).write.mode(
+        "overwrite"
+    ).parquet(f"{d}/b0")
     # sentinel = one event 10h after the real max ts, appended to b1
     sent = (
         ev.orderBy(F.desc("ts"))
@@ -95,13 +120,26 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
     b1 = ev.filter(F.unix_micros("ts") >= mid_us).unionByName(
         sent.select(*ev.columns)
     )
-    b1.coalesce(1).write.mode("overwrite").parquet(f"{d}/b1")
+    b1.repartition(SPLIT_SHARDS).write.mode("overwrite").parquet(f"{d}/b1")
     tmp_stream = f"{d}/stream.tmp"
     shutil.rmtree(tmp_stream, ignore_errors=True)
     os.makedirs(tmp_stream)
-    for i, sub in enumerate(["b0", "b1"]):
-        (src,) = [f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")]
-        os.symlink(f"{d}/{sub}/{src}", f"{tmp_stream}/part-{i:03d}.parquet")
+    base_mtime = os.path.getmtime(d)
+    for bi, sub in enumerate(["b0", "b1"]):
+        srcs = sorted(
+            f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")
+        )
+        if len(srcs) != SPLIT_SHARDS:
+            raise RuntimeError(
+                f"events split half {sub} produced {len(srcs)} shard files, "
+                f"expected {SPLIT_SHARDS} — half too small for the "
+                "round-robin repartition? (events table anomalously tiny)"
+            )
+        for si, src in enumerate(srcs):
+            tgt = f"{d}/{sub}/{src}"
+            # pin batch order: all b0 shards strictly older than b1's
+            os.utime(tgt, (base_mtime + 10 * bi, base_mtime + 10 * bi))
+            os.symlink(tgt, f"{tmp_stream}/part-{bi:03d}-{si:03d}.parquet")
     shutil.rmtree(stream_dir, ignore_errors=True)
     os.replace(tmp_stream, stream_dir)
     _SPLIT_DIRS[sf_dir] = stream_dir
@@ -109,16 +147,19 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _open_stream(
-    spark: SparkSession, sf_dir: str, files_per_trigger: int | None = 1
+    spark: SparkSession,
+    sf_dir: str,
+    files_per_trigger: int | None = SPLIT_SHARDS,
 ) -> DataFrame:
-    """Events file-source stream over the 2-file time-ordered split.
+    """Events file-source stream over the 2-half time-ordered split.
 
-    ``files_per_trigger=1`` (default) forces one micro-batch per file so
-    state genuinely crosses a batch boundary; ``None`` lets the
-    availableNow drain take both files in ONE data trigger — per-trigger
-    planning + state-commit cost is the dominant drain term, so queries
-    whose cross-batch behavior is already covered elsewhere (kill/resume
-    property tests, the maintenance family) drop a full trigger."""
+    ``files_per_trigger=SPLIT_SHARDS`` (default) forces one micro-batch
+    per half so state genuinely crosses a batch boundary; ``None`` lets
+    the availableNow drain take both halves in ONE data trigger —
+    per-trigger planning + state-commit cost is the dominant drain term,
+    so queries whose cross-batch behavior is already covered elsewhere
+    (kill/resume property tests, the maintenance family) drop a full
+    trigger."""
     batch = load_table(spark, sf_dir, "events")
     d = _events_multibatch_dir(spark, sf_dir)
     reader = spark.readStream.schema(batch.schema)
