@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.operators.hints import dim_broadcast
 
 #: minimum number of co-occurrences for a brand pair to be reported —
 #: the classic min-support cut that bounds output (and downstream rule
@@ -72,7 +73,7 @@ def qx36_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     basket = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(dim_broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.operators.hints import dim_broadcast
 
 
 # ---------------------------------------------------------------------------
@@ -99,7 +100,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
@@ -148,9 +149,9 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(dim_broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supplier),
+            dim_broadcast(supplier),
             (li.l_suppkey == supplier.s_suppkey)
             & (cust.c_nationkey == supplier.s_nationkey),
         )

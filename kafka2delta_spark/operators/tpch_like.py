@@ -32,6 +32,7 @@ from pyspark.sql.window import Window
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.operators.hints import dim_broadcast
 
 
 def _ts(s: str) -> F.Column:
@@ -93,7 +94,7 @@ def q02_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice") / F.col("l_quantity") * 100000
     ).cast("bigint")
     ps = (
-        li.join(F.broadcast(part5), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim_broadcast(part5), F.col("l_partkey") == F.col("p_partkey"))
         .withColumn("__r5", r5)
         .groupBy("p_partkey", "p_brand", F.col("l_suppkey").alias("suppkey"))
         .agg(
@@ -106,7 +107,7 @@ def q02_min_price_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ps.withColumn("min_price", F.min("unit_price_cents").over(w))
         .filter(F.col("unit_price_cents") == F.col("min_price"))
-        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey",
             "p_brand",
@@ -233,8 +234,8 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .filter(pair)
@@ -292,9 +293,9 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = _revenue().alias("volume")
     base = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dim_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
         .join(F.broadcast(region), F.col("n2_rkey") == F.col("r_regionkey"))
@@ -346,8 +347,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("decimal(18,4)")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(dim_broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -384,7 +385,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .agg(F.round(100.0 * promo / F.sum(_revenue()), 4).alias("promo_revenue"))
     )
 
@@ -423,7 +424,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
+        .join(dim_broadcast(supp), F.col("suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -460,8 +461,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim_broadcast(bad_supp), li.l_suppkey == bad_supp.s_suppkey, "left_anti")
+        .join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -491,7 +492,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.5 * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_q, F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -529,7 +530,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         heavy.join(orders, heavy.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(dim_broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_name",
             "o_orderkey",
@@ -575,7 +576,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30)
     )
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(pred)
         .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
     )
@@ -693,7 +694,7 @@ def q28_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         sole_late.join(
-            F.broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+            dim_broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
         )
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

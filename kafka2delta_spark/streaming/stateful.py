@@ -36,6 +36,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from kafka2delta_spark.operators.hints import dim_broadcast
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_table
 from kafka2delta_spark.streaming.drain import drain_to_memory
@@ -472,8 +473,10 @@ def qx12_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
     static side is re-planned per micro-batch, broadcast when small — no
     watermark, no join state, unlike q56/q58), so enriched rows emit
     eagerly and append mode equals the batch join. At 100 TB the static
-    dim is a broadcast or a bucketed storage-side join; the stream never
-    shuffles for the join when the dim broadcasts."""
+    dim is a broadcast ONLY while it fits — customer scales with SF, so
+    the hint is size-gated (``dim_broadcast``); past the cap the
+    alternative is a bucketed storage-side join or a per-batch shuffled
+    hash join, which AQE picks without the hint."""
     ev = _open_stream(spark, sf_dir, files_per_trigger=None).filter(
         F.col("user_id") != SENTINEL_USER
     )
@@ -481,7 +484,7 @@ def qx12_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("c_custkey"), F.col("c_nationkey")
     )
     enriched = ev.join(
-        F.broadcast(dim), F.col("user_id") == F.col("c_custkey")
+        dim_broadcast(dim), F.col("user_id") == F.col("c_custkey")
     ).select(
         "event_id",
         "user_id",

@@ -1,0 +1,189 @@
+"""The dim-broadcast policy, enforced structurally and behaviorally.
+
+Policy (see ``kafka2delta_spark/operators/hints.py``): a raw
+``F.broadcast`` hint is a promise the hinted side stays under Spark's
+broadcast cap at ANY scale. SF-scaled tables (customer/supplier/part and
+the facts) cannot keep that promise, so every broadcast of a frame
+derived from one must go through the size-gated ``dim_broadcast`` helper.
+Raw hints stay legal for literally-bounded sides: region/nation scans,
+scalar/grouped aggregates over bounded key domains, capped samples.
+
+The structural test walks the AST of every engine module: inside each
+function it taints variables bound (directly or through a
+select/filter/alias chain in the same statement) from
+``load_table(..., <SF-scaled table>)``, and fails on ``F.broadcast``
+applied to a tainted name or to a ``load_table`` call inline. That is
+exactly the shape the round-7 audit exempted by convention; the helper
+plus this test replace the convention with enforcement.
+"""
+
+from __future__ import annotations
+
+import ast
+import glob
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Tables whose row count grows with the scale factor. region (5 rows) and
+# nation (25 rows) are the only literally-bounded base tables.
+SF_SCALED = {
+    "customer",
+    "supplier",
+    "part",
+    "partsupp",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+}
+
+ENGINE_MODULES = sorted(
+    glob.glob(os.path.join(REPO, "kafka2delta_spark", "**", "*.py"), recursive=True)
+)
+
+
+def _load_table_target(node: ast.AST) -> str | None:
+    """If ``node`` is (a chain ending in) ``load_table(_, _, "name")``,
+    return the table name."""
+    while isinstance(node, ast.Call):
+        fn = node.func
+        if isinstance(fn, ast.Name) and fn.id == "load_table":
+            for arg in node.args[2:3]:
+                if isinstance(arg, ast.Constant) and isinstance(arg.value, str):
+                    return arg.value
+            return None
+        # walk down a method chain: load_table(...).select(...).filter(...)
+        if isinstance(fn, ast.Attribute):
+            node = fn.value
+            continue
+        return None
+    return None
+
+
+def _violations_in_function(fn: ast.FunctionDef) -> list[str]:
+    tainted: set[str] = set()
+    out: list[str] = []
+    for node in ast.walk(fn):
+        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+            tgt = node.targets[0]
+            if isinstance(tgt, ast.Name):
+                table = _load_table_target(node.value)
+                if table in SF_SCALED:
+                    tainted.add(tgt.id)
+    for node in ast.walk(fn):
+        if not isinstance(node, ast.Call):
+            continue
+        f = node.func
+        is_raw_broadcast = (
+            isinstance(f, ast.Attribute)
+            and f.attr == "broadcast"
+            and isinstance(f.value, ast.Name)
+            and f.value.id == "F"
+        )
+        if not is_raw_broadcast or not node.args:
+            continue
+        arg = node.args[0]
+        if isinstance(arg, ast.Name) and arg.id in tainted:
+            out.append(
+                f"{fn.name}:{node.lineno} F.broadcast({arg.id}) — "
+                f"{arg.id} is loaded from an SF-scaled table; use dim_broadcast"
+            )
+        inline = _load_table_target(arg)
+        if inline in SF_SCALED:
+            out.append(
+                f"{fn.name}:{node.lineno} F.broadcast(load_table(.., '{inline}')) "
+                "— use dim_broadcast"
+            )
+    return out
+
+
+def test_no_raw_broadcast_of_sf_scaled_tables():
+    violations: list[str] = []
+    for path in ENGINE_MODULES:
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                for v in _violations_in_function(node):
+                    violations.append(f"{os.path.relpath(path, REPO)}::{v}")
+    assert not violations, "raw F.broadcast on SF-scaled tables:\n" + "\n".join(
+        violations
+    )
+
+
+def test_detector_catches_the_banned_shape():
+    """The AST taint-walk actually flags the shape it bans (both the
+    named-variable and the inline form), and ignores the legal ones."""
+    src = '''
+def bad_named(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    return fact.join(F.broadcast(cust), "c_custkey")
+
+def bad_inline(spark, sf_dir):
+    return fact.join(F.broadcast(load_table(spark, sf_dir, "part")), "p")
+
+def fine_bounded(spark, sf_dir):
+    nation = load_table(spark, sf_dir, "nation")
+    return fact.join(F.broadcast(nation), "n_nationkey")
+
+def fine_gated(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return fact.join(dim_broadcast(cust), "c_custkey")
+'''
+    tree = ast.parse(src)
+    flagged = {}
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef):
+            flagged[node.name] = _violations_in_function(node)
+    assert flagged["bad_named"], "named taint not caught"
+    assert flagged["bad_inline"], "inline load_table not caught"
+    assert not flagged["fine_bounded"], "bounded nation wrongly flagged"
+    assert not flagged["fine_gated"], "dim_broadcast wrongly flagged"
+
+
+# ---------------------------------------------------------------------------
+# behavioral: the helper hints under the cap and declines over it
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    from kafka2delta_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+
+
+def test_plan_size_estimate_is_positive(customer):
+    from kafka2delta_spark.operators.hints import plan_size_estimate
+
+    size = plan_size_estimate(customer)
+    assert isinstance(size, int) and size > 0
+
+
+def test_dim_broadcast_hints_under_cap(spark, sf_dir, customer):
+    from kafka2delta_spark.operators.hints import dim_broadcast
+    from kafka2delta_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    joined = ev.join(dim_broadcast(customer), ev.user_id == customer.c_custkey)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" in plan, "hint missing for an under-cap dim"
+
+
+def test_dim_broadcast_declines_over_cap(spark, sf_dir, customer):
+    from kafka2delta_spark.operators.hints import dim_broadcast
+    from kafka2delta_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    gated = dim_broadcast(customer, cap_bytes=1)  # everything is over 1 byte
+    joined = ev.join(gated, ev.user_id == customer.c_custkey)
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in plan, "hint forced past the size cap"
+    # correctness is strategy-invariant: gated and hinted joins agree
+    hinted = ev.join(dim_broadcast(customer), ev.user_id == customer.c_custkey)
+    assert joined.count() == hinted.count()

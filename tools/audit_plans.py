@@ -92,8 +92,15 @@ def audit(name: str, plan: str) -> list[str]:
 # tree shows file paths, the logical tree shows schemas).
 # ---------------------------------------------------------------------------
 
-# marker column -> fact table (tables whose row count grows with the data;
-# region/nation/supplier/part/customer follow the repo's dim convention)
+# marker column -> fact table (tables whose row count grows with the data).
+# supplier/part/customer are NOT exempt by convention anymore: they also
+# scale with SF, so every broadcast of them goes through the size-gated
+# ``dim_broadcast`` helper (operators/hints.py), and
+# tests/test_broadcast_policy.py structurally bans raw F.broadcast on any
+# SF-scaled load_table frame. They are absent from this marker map only
+# because at audit SF a dim_broadcast hint on them is legitimate (the
+# helper verified the size), so flagging every such hint would be noise —
+# the scale guarantee lives in the helper + the structural test, not here.
 FACT_MARKERS = {
     "l_orderkey": "lineitem",
     "o_orderkey": "orders",
