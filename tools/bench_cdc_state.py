@@ -22,6 +22,13 @@ over total state rows (the fraction the selective merge actually reads;
 0x/4x/16x while read fraction stays ~0.25, pruning works; cost growing
 linearly with total state would mean the merge reads everything.
 
+A 4th point stresses KEY SKEW: the same event count with one hot PK
+taking 50% of the batch, merged into the 16x state. Because the
+latest-per-key dedup is a max_by hash aggregation, the hot key collapses
+map-side before the shuffle; the reported per-stage straggler ratio
+(max/median task duration inside the timed window) shows whether salting
+would be needed — a ratio near the uniform point's means no.
+
 Prints one JSON line and writes BENCH_CDC_STATE.json at the repo root.
 """
 
@@ -45,6 +52,7 @@ N_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "200000"))
 N_KEYS = int(os.environ.get("SPARK_GRAFT_CDC_KEYS", "50000"))
 SEED_MULTS = (0, 4, 16)
 BATCH_MONTHS = (1, 2, 3)
+SKEW_HOT_UID = 0  # month 1 — inside BATCH_MONTHS; gets 50% of the skew batch
 TOPIC = "postgres.public.users"
 EXTRA_UID0 = 10_000_000  # seed-extra uid space, disjoint from batch keys
 BATCH_LSN0 = 1_000_000   # batch LSNs sit above every seed LSN
@@ -107,6 +115,12 @@ def _encode_partition(ksid: int, vsid: int, kind: str):
                 i = int(i)
                 if kind == "bootstrap":
                     uid, lsn, deleted = _batch_uid(i), i, "false"
+                elif kind == "skew":
+                    # the Debezium hotspot: one PK takes half the batch
+                    # (every i % 50 == 49 delete is odd, so never the hot key)
+                    uid = SKEW_HOT_UID if i % 2 == 0 else _batch_uid(i)
+                    lsn = BATCH_LSN0 + i
+                    deleted = "true" if (i % 50 == 49) else "false"
                 else:
                     uid = _batch_uid(i)
                     lsn = BATCH_LSN0 + i
@@ -140,12 +154,62 @@ def _encode_partition(ksid: int, vsid: int, kind: str):
     return encode
 
 
-def _run_point(spark, reg, ksid, vsid, mult: int, batch_src: str) -> dict:
+def _task_straggler(spark, t0_ms: float, t1_ms: float) -> dict | None:
+    """Worst max/median task-duration ratio over stages that ran inside
+    [t0_ms, t1_ms] — the skew signal the UI's task table would show.
+
+    Reads the live AppStatusStore through py4j (``taskList(stageId,
+    attempt, max)``); stage ids are globally increasing ints, so a bounded
+    numeric probe finds every stage without the UI. Returns None when the
+    store API is unavailable (degrades to wall-clock-only reporting)."""
+    import statistics
+
+    try:
+        store = spark.sparkContext._jsc.sc().statusStore()
+        worst = None
+        for sid in range(0, 4000):
+            try:
+                tl = store.taskList(sid, 0, 100000)
+            except Exception:
+                continue
+            n = tl.size()
+            if n < 4:
+                continue
+            durs, launched = [], []
+            for j in range(n):
+                t = tl.apply(j)
+                d = t.duration()
+                if hasattr(d, "isDefined"):
+                    if not d.isDefined():
+                        continue
+                    d = d.get()
+                durs.append(int(d))
+                launched.append(t.launchTime().getTime())
+            if not durs or not (t0_ms <= min(launched) and max(launched) <= t1_ms):
+                continue
+            med = statistics.median(durs) or 1
+            ratio = max(durs) / med
+            if worst is None or ratio > worst["straggler_ratio"]:
+                worst = {
+                    "stage_id": sid,
+                    "n_tasks": len(durs),
+                    "max_task_ms": max(durs),
+                    "median_task_ms": med,
+                    "straggler_ratio": round(ratio, 2),
+                }
+        return worst
+    except Exception:
+        return None
+
+
+def _run_point(
+    spark, reg, ksid, vsid, mult: int, batch_src: str, tag: str = ""
+) -> dict:
     from pyspark.sql import functions as F
 
     from kafka2delta_spark import ParquetStateStore, TableConfig, stream_to_delta
 
-    tmp = tempfile.mkdtemp(prefix=f"bench_cdc_state_{mult}x_")
+    tmp = tempfile.mkdtemp(prefix=f"bench_cdc_state_{mult}x{tag}_")
     store_path = f"{tmp}/users"
     cfg = TableConfig(
         "cdc",
@@ -168,7 +232,7 @@ def _run_point(spark, reg, ksid, vsid, mult: int, batch_src: str) -> dict:
         .parquet(boot_src)
     )
     q = stream_to_delta(
-        spark, f"boot_{mult}x", "unused:9092", [TOPIC], {TOPIC: cfg},
+        spark, f"boot_{mult}x{tag}", "unused:9092", [TOPIC], {TOPIC: cfg},
         f"{tmp}/ckpt_boot",
         reg, source_df=spark.readStream.schema(KAFKA_SCHEMA).parquet(boot_src),
         store_backend="parquet",
@@ -210,8 +274,9 @@ def _run_point(spark, reg, ksid, vsid, mult: int, batch_src: str) -> dict:
 
     # phase C (TIMED): one fixed batch file through the live pipeline
     t0 = time.time()
+    t0_ms = t0 * 1000
     q = stream_to_delta(
-        spark, f"merge_{mult}x", "unused:9092", [TOPIC], {TOPIC: cfg},
+        spark, f"merge_{mult}x{tag}", "unused:9092", [TOPIC], {TOPIC: cfg},
         f"{tmp}/ckpt_batch",
         reg,
         source_df=spark.readStream.schema(KAFKA_SCHEMA)
@@ -222,6 +287,7 @@ def _run_point(spark, reg, ksid, vsid, mult: int, batch_src: str) -> dict:
     q.processAllAvailable()
     q.stop()
     sec = time.time() - t0
+    straggler = _task_straggler(spark, t0_ms, time.time() * 1000)
 
     final_rows = store.read().count()
     shutil.rmtree(tmp, ignore_errors=True)
@@ -234,6 +300,8 @@ def _run_point(spark, reg, ksid, vsid, mult: int, batch_src: str) -> dict:
         "sec": round(sec, 2),
         "merge_rows_per_sec": round(N_EVENTS / sec, 1),
         "final_state_rows": final_rows,
+        "skewed": tag == "_skew",
+        "straggler": straggler,
     }
 
 
@@ -259,6 +327,24 @@ def main() -> None:
     points = [
         _run_point(spark, reg, ksid, vsid, m, batch_src) for m in SEED_MULTS
     ]
+
+    # 4th point (VERDICT r07 item 6): key skew — same event count, but one
+    # hot PK takes 50% of the batch (the realistic Debezium hotspot),
+    # merged into the deepest (16x) state. The latest-per-key dedup is a
+    # max_by hash-agg, so the hot key collapses in the map-side partial
+    # aggregate BEFORE the shuffle — the straggler ratio is the proof.
+    skew_src = f"{batch_tmp}/batch_skew"
+    (
+        spark.range(N_EVENTS)
+        .toDF("id")
+        .repartition(1)
+        .mapInPandas(_encode_partition(ksid, vsid, "skew"), KAFKA_SCHEMA)
+        .write.mode("overwrite")
+        .parquet(skew_src)
+    )
+    points.append(
+        _run_point(spark, reg, ksid, vsid, 16, skew_src, tag="_skew")
+    )
     shutil.rmtree(batch_tmp, ignore_errors=True)
     out = {
         "metric": "cdc_merge_vs_state",
