@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round driver rows plus this round's local tri-scale artifacts
 # (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
 # query (watermark progression by design).
-_ALIAS_PREFIX = "a7_"
+_ALIAS_PREFIX = "a8_"
 
 # Round 7 (``a7_``) targets, exactly 50:
 #   * round-7 additions (10): qy01..qy10 — intra-doc repetition,
@@ -101,20 +101,45 @@ _ALIAS_PREFIX = "a7_"
 # The post-rotation third wave (qz11..qz17, robustats.py) follows the
 # round-6 precedent: tri-scale local verification this round, gate slot
 # in a8_ next round.
-_A7_KEYS = (
-    {f"qy{i:02d}" for i in range(1, 11)}  # qy01..qy10
-    | {f"qz{i:02d}" for i in range(1, 11)}  # qz01..qz10
-    | {"q55"}
-    | {"q36", "q75", "q84", "q87b", "q88"}
-    | {"qx22", "qx24", "qx34", "qx42", "qx49", "qx80", "qx84", "qx87",
-       "qx90", "qx91", "qx93", "qx95"}
-    | {f"q{i:02d}" for i in range(24, 37)}
+# Round 8 (``a8_``) targets, exactly 50 — the round-7 verdict's "close
+# the union" round: after this gate every one of the 228 registered
+# queries has had a driver-green CORRECTNESS row at least once.
+#   * the 8 never-gated third-wave queries: qz11..qz18 (robustats.py —
+#     trimmed/winsorized means, KS drift, lang-ID F1, Spearman, token
+#     apportionment, Kendall tau-b, p99 tails, cluster-debiased sample);
+#   * the q37..q52 stability block (16): the oldest remaining driver
+#     rows (rounds 2-3), flagged for rotation by the round-7 comment;
+#   * q23 (1): the one other round-2 row;
+#   * modified this round (14): the streaming split-scaffold consumers —
+#     the two-batch fixture now splits on the O(1) (min+max)/2 midpoint
+#     and writes SPLIT_SHARDS files per half (no percentile multiset, no
+#     coalesce(1)); results are watermark-invariant to the boundary but
+#     the whole family re-gates on principle: q56 q57 q58 qx08 qx12
+#     qx23 qx31 qx46 qx58 qx70 qx92 qx99 qy10, plus qx13 whose oracle
+#     CHANGED (both engines now compute the identical midpoint);
+#   * oldest-row fill (11): q60..q63 q65..q70 q72 — the next-oldest
+#     driver rows (round 3).
+# Queries modified this round whose semantics and oracles are UNCHANGED
+# (the dim_broadcast size-gate swap in tpch_like/relational/mining —
+# plan-level only, hint applies identically at gate SF) rely on their
+# r07/earlier rows + this round's local tri-scale artifacts + the
+# 0-flagged plan audit; q49's scaffold change is covered inside the
+# q37..q52 block.
+_A8_KEYS = (
+    {f"qz{i:02d}" for i in range(11, 19)}  # qz11..qz18
+    | {f"q{i:02d}" for i in range(37, 53)}  # q37..q52
+    | {"q23"}
+    | {"q56", "q57", "q58"}
+    | {"qx08", "qx12", "qx13", "qx23", "qx31", "qx46", "qx58", "qx70",
+       "qx92", "qx99"}
+    | {"qy10"}
+    | {f"q{i:02d}" for i in (60, 61, 62, 63, 65, 66, 67, 68, 69, 70, 72)}
 )
 
 
 def _alias_block() -> list[str]:
     return [
-        name for name in sorted(QUERIES) if name.split("_")[0] in _A7_KEYS
+        name for name in sorted(QUERIES) if name.split("_")[0] in _A8_KEYS
     ]
 
 
