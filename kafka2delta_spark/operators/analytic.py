@@ -1164,9 +1164,10 @@ def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT grouped quantiles (p25/median/p75 + IQR) via Spark's
-    ``percentile`` against DuckDB's ``quantile_cont`` — both type-7
-    linear interpolation. Restricted to DYADIC percentiles on integer
+    """EXACT grouped quantiles (p25/median/p75 + IQR), matching DuckDB's
+    ``quantile_cont`` — type-7 linear interpolation computed by rank
+    (see Plan below; no ``percentile`` multiset aggregate anywhere).
+    Restricted to DYADIC percentiles on integer
     inputs, where every intermediate ((n-1)*p index, interpolation
     weight, weighted sum) is exactly representable in binary doubles, so
     the values hash-match across engines; 0.95 would not (the weight

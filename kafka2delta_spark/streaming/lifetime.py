@@ -40,7 +40,11 @@ FLUSH_DELAY_MS = 3_600_000  # timer at last_seen + 1h — before the sentinel's
 
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf for its state
-    server; absent in this sandbox (no installs)."""
+    server; absent in this sandbox (no installs). Re-probed round 8
+    (2026-08-15): ``import google.protobuf`` still fails while
+    ``pyspark.sql.streaming.stateful_processor.StatefulProcessor`` imports
+    fine — the Python-side API is present, only the state-server wire
+    dependency is missing, so the gate stands."""
     try:
         import google.protobuf  # noqa: F401
 
