@@ -1,0 +1,119 @@
+"""Shape tests for the two-batch events split scaffold (round-8 form).
+
+The scaffold feeds every multi-micro-batch streaming query, so its
+contract is load-bearing: two time-ordered halves, SPLIT_SHARDS files
+each, b0 strictly older than b1 (batch order is mtime-pinned), a single
+sentinel riding in b1, and a split point computed by O(1) aggregates
+(the (min+max)/2 midpoint — no percentile multiset, see
+stateful.py::_events_multibatch_dir). A drain with
+maxFilesPerTrigger=SPLIT_SHARDS must see exactly one batch boundary
+between the halves.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def split_dir(spark):
+    from kafka2delta_spark.streaming.stateful import _events_multibatch_dir
+
+    return _events_multibatch_dir(spark, SF_DIR)
+
+
+def test_split_dir_shape(split_dir):
+    from kafka2delta_spark.streaming.stateful import SPLIT_SHARDS
+
+    files = sorted(os.listdir(split_dir))
+    assert len(files) == 2 * SPLIT_SHARDS
+    b0 = [f for f in files if f.startswith("part-000-")]
+    b1 = [f for f in files if f.startswith("part-001-")]
+    assert len(b0) == SPLIT_SHARDS and len(b1) == SPLIT_SHARDS
+
+
+def test_batch_order_is_mtime_pinned(split_dir):
+    """Every b0 shard's target mtime is strictly older than every b1
+    shard's — the property FileStreamSource's oldest-first ordering
+    keys on."""
+    files = sorted(os.listdir(split_dir))
+    mtime = {f: os.stat(os.path.join(split_dir, f)).st_mtime for f in files}
+    b0_max = max(v for f, v in mtime.items() if f.startswith("part-000-"))
+    b1_min = min(v for f, v in mtime.items() if f.startswith("part-001-"))
+    assert b0_max < b1_min
+
+
+def test_halves_partition_events_at_the_midpoint(spark, split_dir):
+    """b0 ∪ b1 = events ∪ {sentinel}; b0 < midpoint <= b1; exactly one
+    sentinel and it holds the global max timestamp."""
+    from pyspark.sql import functions as F
+
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.stateful import SENTINEL_USER
+
+    ev = load_table(spark, SF_DIR, "events")
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    ).collect()[0]["m"]
+
+    both = spark.read.parquet(split_dir)
+    n_total = both.count()
+    assert n_total == ev.count() + 1  # + the sentinel
+
+    b0 = spark.read.parquet(f"{os.path.dirname(split_dir)}/b0")
+    b1 = spark.read.parquet(f"{os.path.dirname(split_dir)}/b1")
+    assert b0.filter(F.unix_micros("ts") >= mid).count() == 0
+    real_b1 = b1.filter(F.col("user_id") != SENTINEL_USER)
+    assert real_b1.filter(F.unix_micros("ts") < mid).count() == 0
+
+    sentinels = both.filter(F.col("user_id") == SENTINEL_USER).collect()
+    assert len(sentinels) == 1
+    max_real = ev.agg(F.max("ts")).collect()[0][0]
+    assert sentinels[0]["ts"] > max_real
+
+
+def test_drain_sees_exactly_two_data_batches(spark, split_dir):
+    """A foreachBatch drain over the split with the scaffold's trigger
+    size observes exactly 2 non-empty micro-batches, in half order."""
+    from pyspark.sql import functions as F
+
+    from kafka2delta_spark.sources.tables import load_table
+    from kafka2delta_spark.streaming.stateful import (
+        SENTINEL_USER,
+        SPLIT_SHARDS,
+    )
+
+    batch = load_table(spark, SF_DIR, "events")
+    seen: list[tuple[int, int, int]] = []  # (batch_id, rows, max_us)
+
+    def sink(df, bid):
+        rows = df.count()
+        if rows:
+            mx = df.filter(F.col("user_id") != SENTINEL_USER).agg(
+                F.max(F.unix_micros("ts"))
+            ).collect()[0][0]
+            seen.append((bid, rows, mx))
+
+    q = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", SPLIT_SHARDS)
+        .parquet(split_dir)
+        .writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        # fresh checkpoint each run — a reused one would mark the files
+        # consumed and the re-run would observe zero batches
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_shape_"))
+        .start()
+    )
+    q.awaitTermination()
+    assert len(seen) == 2, seen
+    (b0_id, b0_rows, b0_max), (b1_id, b1_rows, b1_max) = seen
+    assert b0_id < b1_id
+    assert b0_rows + b1_rows == batch.count() + 1
+    # time-ordered halves: everything in batch 0 precedes batch 1's max
+    assert b0_max < b1_max
