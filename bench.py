@@ -53,6 +53,27 @@ def main() -> None:
         "overwrite"
     ).save()
 
+    # Host-speed calibration: a fixed, data-independent Spark workload
+    # timed the same way as the queries. The VM's effective speed moves
+    # by ±30%+ across a day (round-8 observation: three runs of identical
+    # code measured 164/189/202 s), so raw totals from different sessions
+    # are not comparable; dividing by calib_sec is. The workload is a
+    # deterministic shuffle+agg over spark.range — no I/O, no testdata.
+    calib_runs: list[float] = []
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(30_000_000)
+            .selectExpr("id % 100000 AS k", "id AS v")
+            .groupBy("k")
+            .agg({"v": "sum"})
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        calib_runs.append(time.time() - t0)
+    calib_sec = round(statistics.median(calib_runs), 3)
+
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
@@ -81,6 +102,10 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": n_runs,
         "spread": spread,
+        # fixed-workload host-speed probe (median of 3); divide `value`
+        # by this before comparing totals across sessions/rounds
+        "calib_sec": calib_sec,
+        "calib_spread": [round(min(calib_runs), 3), round(max(calib_runs), 3)],
     }
     line = json.dumps(payload)
     # stdout may get truncated/interleaved by the harness capturing it —
