@@ -48,14 +48,32 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 ONLY = set(sys.argv[2:])
 
-# queries that start a real streaming query (side effects) — plan at call time
-STREAMING = {
-    "q53_stream_tumbling_counts",
-    "q54_stream_latest_state",
-    "q55_stream_dedup_within_watermark",
-    "q56_stream_stream_interval_join",
-    "q57_stateful_sessionize",
-}
+# Queries implemented in the streaming modules execute on call (they
+# drain a real streaming query or drive a multi-batch state-store apply,
+# with side effects); the DataFrame they RETURN is a memory-sink or
+# state-store read whose plan says nothing about the streaming plan the
+# engine fixed. Skipping by implementing module (not a hand-kept name
+# list — the round-8 sweep found the old 5-name list had drifted 13
+# queries behind the registry). Explicitly-named queries still audit.
+def _executes_on_call(fn) -> bool:
+    if ".streaming." not in getattr(fn, "__module__", ""):
+        return False
+    # batch-shaped queries also live in the streaming modules (q50..q52
+    # window aggregations return lazy DataFrames) — only skip functions
+    # that actually open/drain a stream or drive the state store
+    import inspect
+
+    try:
+        src = inspect.getsource(fn)
+    except OSError:
+        return True  # can't prove lazy -> don't execute it blind
+    return bool(
+        re.search(
+            r"readStream|drain_to_memory|_open_stream|ParquetStateStore"
+            r"|processAllAvailable|awaitTermination",
+            src,
+        )
+    )
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "events": 6}
 
@@ -478,8 +496,8 @@ def main() -> int:
     for name, fn in sorted(QUERIES.items()):
         if ONLY and name not in ONLY:
             continue
-        if name in STREAMING and not ONLY:
-            print(f"SKIP  {name} (streaming)")
+        if _executes_on_call(fn) and not ONLY:
+            print(f"SKIP  {name} (streaming module: executes on call)")
             continue
         try:
             df = fn(spark, SF_DIR)
