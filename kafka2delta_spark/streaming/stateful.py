@@ -85,9 +85,17 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
     sort b0 first as a tie-breaker."""
     if sf_dir in _SPLIT_DIRS:
         return _SPLIT_DIRS[sf_dir]
-    # deterministic scratch path keyed by the source dir -> built once per
-    # machine, reused across processes (bench runs pay the split only once)
-    key = sf_dir.strip("/").replace("/", "_")
+    # deterministic scratch path keyed by the source dir AND the events
+    # file's identity (mtime_ns, size) -> built once per machine, reused
+    # across processes (bench runs pay the split only once), but a
+    # REGENERATED events table gets a fresh split instead of a stale one
+    # (the same staleness contract as the shingle postings cache's
+    # content fingerprint — see test_cache_fingerprint.py)
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    key = (
+        f"{sf_dir.strip('/').replace('/', '_')}"
+        f"_{st.st_mtime_ns}_{st.st_size}"
+    )
     d = os.path.join(tempfile.gettempdir(), f"events_split3_{key}")
     stream_dir = f"{d}/stream"
     if os.path.isdir(stream_dir) and len(os.listdir(stream_dir)) == 2 * SPLIT_SHARDS:

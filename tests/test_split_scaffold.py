@@ -117,3 +117,31 @@ def test_drain_sees_exactly_two_data_batches(spark, split_dir):
     assert b0_rows + b1_rows == batch.count() + 1
     # time-ordered halves: everything in batch 0 precedes batch 1's max
     assert b0_max < b1_max
+
+
+def test_split_dir_refreshes_when_events_regenerate(spark, tmp_path):
+    """Cross-process staleness contract: the persistent split scratch dir
+    is keyed by the events file's (mtime_ns, size) identity, so a
+    regenerated events table gets a fresh split instead of silently
+    reusing the old one (testdata is driver-regenerated between rounds)."""
+    import shutil
+
+    import kafka2delta_spark.streaming.stateful as st
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    shutil.copy(os.path.join(SF_DIR, "events.parquet"), f"{sf}/events.parquet")
+    d1 = st._events_multibatch_dir(spark, sf)
+
+    # "regenerate" the table: same path, different file identity
+    st._SPLIT_DIRS.pop(sf, None)  # simulate a fresh process
+    os.utime(f"{sf}/events.parquet")
+    d2 = st._events_multibatch_dir(spark, sf)
+    assert d1 != d2, "stale split dir reused after events regenerated"
+
+    # same identity from a fresh process -> same dir (the cache works)
+    st._SPLIT_DIRS.pop(sf, None)
+    d3 = st._events_multibatch_dir(spark, sf)
+    assert d3 == d2
+    for d in (d1, d2):
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)
