@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round driver rows plus this round's local tri-scale artifacts
 # (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
 # query (watermark progression by design).
-_ALIAS_PREFIX = "a8_"
+_ALIAS_PREFIX = "a9_"
 
 # Round 7 (``a7_``) targets, exactly 50:
 #   * round-7 additions (10): qy01..qy10 — intra-doc repetition,
@@ -136,10 +136,36 @@ _A8_KEYS = (
     | {f"q{i:02d}" for i in (60, 61, 62, 63, 65, 66, 67, 68, 69, 70, 72)}
 )
 
+# Round 9 (``a9_``) targets, exactly 50 — the round-8 verdict's
+# "oldest-first staleness refresh": the union of driver-green rows closed
+# in r08, so the budget now cycles the queries whose NEWEST driver row is
+# oldest. Computed from CORRECTNESS_r01..r08 on round-9 session start:
+#   * all 20 queries whose newest row is r03: q73 q74 q77..q83 q85 q87
+#     q89..q92 q95 q95b q96 q97 q99 (the dedup/text/retrieval core that
+#     shared-helper refactors have touched most since);
+#   * 30 of the 32 queries whose newest row is r04: q53 q54 q59 q64 q71
+#     q76 q86 q93 q94 q98 and the qx01..qx28 band (18 keys: qx01..qx07,
+#     qx09..qx11, qx14..qx16, qx18..qx21, qx25).
+# The staleness backlog is 52 for a 50-row budget; the two deferred to
+# the r10 gate are q01 (re-verified EVERY round via the ``entry()``
+# flagship smoke at sf0.001) and q02 (untouched TPC-H min-cost-supplier
+# join; local tri-scale artifacts cover it on current code). After this
+# gate no query's newest driver row predates r04, and only those two
+# predate r05.
+_A9_KEYS = (
+    {"q73", "q74", "q77", "q78", "q79", "q80", "q81", "q82", "q83",
+     "q85", "q87", "q89", "q90", "q91", "q92", "q95", "q95b", "q96",
+     "q97", "q99"}
+    | {"q53", "q54", "q59", "q64", "q71", "q76", "q86", "q93", "q94",
+       "q98"}
+    | {f"qx{i:02d}" for i in (1, 2, 3, 4, 5, 6, 7, 9, 10, 11, 14, 15,
+                              16, 18, 19, 20, 21, 25, 27, 28)}
+)
+
 
 def _alias_block() -> list[str]:
     return [
-        name for name in sorted(QUERIES) if name.split("_")[0] in _A8_KEYS
+        name for name in sorted(QUERIES) if name.split("_")[0] in _A9_KEYS
     ]
 
 

@@ -21,6 +21,8 @@ Analytics surface (harness extensions): see ``kafka2delta_spark.operators``,
 ``kafka2delta_spark.functions``.
 """
 
+__version__ = "0.9.0"
+
 from kafka2delta_spark.config import TableConfig
 from kafka2delta_spark.cdc.wire import schema_id_col, avro_payload_col, parse_confluent_envelope
 from kafka2delta_spark.cdc.debezium import cast_debezium_columns
