@@ -40,11 +40,16 @@ FLUSH_DELAY_MS = 3_600_000  # timer at last_seen + 1h — before the sentinel's
 
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf for its state
-    server; absent in this sandbox (no installs). Re-probed round 8
-    (2026-08-15): ``import google.protobuf`` still fails while
-    ``pyspark.sql.streaming.stateful_processor.StatefulProcessor`` imports
-    fine — the Python-side API is present, only the state-server wire
-    dependency is missing, so the gate stands."""
+    server; absent in this sandbox (no installs). Re-probed round 9
+    (2026-08-15): ``import google.protobuf`` still fails; a full-disk
+    sweep found only a renamed-namespace protobuf 4.23.2
+    (``cloudsdk.google.protobuf`` inside the gcloud SDK) while pyspark's
+    generated ``StateMessage_pb2`` hard-validates runtime >= 6.33.0
+    (``ValidateProtobufRuntimeVersion(PUBLIC, 6, 33, 0)``), so even a
+    PYTHONPATH shim of the on-disk copy cannot satisfy it.
+    ``StatefulProcessor`` itself imports fine — the Python-side API is
+    present, only the state-server wire dependency is missing, so the
+    gate stands."""
     try:
         import google.protobuf  # noqa: F401
 

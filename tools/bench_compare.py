@@ -1,10 +1,20 @@
 #!/usr/bin/env python
 """Compare two bench artifacts and report real movements.
 
-A per-query delta only counts as a regression/improvement when the two
-runs' [min, max] spreads do NOT overlap — the host-VM run-to-run variance
-on identical code has measured up to +/-25%, so point medians alone are
-not evidence (ROUNDLOG round 4). Usage:
+Two defenses against host-VM noise (measured up to ±30% on identical code —
+ROUNDLOG rounds 4/8):
+
+* **Spread separation** — a per-query delta only counts when the two runs'
+  [min, max] spreads do NOT overlap; point medians alone are not evidence.
+* **Calibration normalization** — artifacts written by bench.py since round 8
+  carry ``calib_sec`` (median of 3 runs of a fixed, data-independent
+  shuffle+agg timed like the queries). When BOTH artifacts have it, totals
+  and per-query ratios are additionally reported in calibrated units
+  (sec / calib_sec), and only calibrated regressions > 1.2x are flagged as
+  real. Older artifacts (r7 and earlier) lack calib; the tool says so
+  rather than guessing a correction.
+
+Usage:
 
     python tools/bench_compare.py BENCH_old.json BENCH_new.json [top_n]
 """
@@ -14,6 +24,8 @@ from __future__ import annotations
 import json
 import sys
 
+CALIBRATED_REGRESSION_THRESHOLD = 1.2
+
 
 def main() -> int:
     old_path, new_path = sys.argv[1], sys.argv[2]
@@ -22,6 +34,7 @@ def main() -> int:
     new = json.load(open(new_path))
     oq, nq = old.get("queries", {}), new.get("queries", {})
     osp, nsp = old.get("spread", {}), new.get("spread", {})
+    ocal, ncal = old.get("calib_sec"), new.get("calib_sec")
 
     common = sorted(set(oq) & set(nq))
     added = sorted(set(nq) - set(oq))
@@ -30,8 +43,22 @@ def main() -> int:
     tot_new = sum(nq[q] for q in common if nq[q] >= 0)
     print(
         f"common {len(common)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
-        f"({tot_new / tot_old:.2f}x)" if tot_old else "no common queries"
+        f"(raw {tot_new / tot_old:.2f}x)" if tot_old else "no common queries"
     )
+    if ocal and ncal:
+        cal_old, cal_new = tot_old / ocal, tot_new / ncal
+        print(
+            f"calibrated (sec/calib): {cal_old:.1f} -> {cal_new:.1f} "
+            f"({cal_new / cal_old:.2f}x)  [calib_sec {ocal:.3f} -> {ncal:.3f}; "
+            f"host-speed ratio {ncal / ocal:.2f}x]"
+        )
+    else:
+        missing = [p for p, c in ((old_path, ocal), (new_path, ncal)) if not c]
+        print(
+            "calibration: NOT COMPARABLE — no calib_sec in "
+            + ", ".join(missing)
+            + " (pre-round-8 artifact); raw ratios above include host drift"
+        )
     if added:
         add_t = sum(nq[q] for q in added if nq[q] >= 0)
         print(f"added {len(added)} queries (+{add_t:.1f}s): {', '.join(added[:8])}"
@@ -39,6 +66,7 @@ def main() -> int:
     if removed:
         print(f"removed {len(removed)}: {', '.join(removed[:8])}")
 
+    calibrated = bool(ocal and ncal)
     moved = []
     for q in common:
         a, b = oq.get(q, -1), nq.get(q, -1)
@@ -46,14 +74,26 @@ def main() -> int:
             continue
         sa, sb = osp.get(q) or [a, a], nsp.get(q) or [b, b]
         overlap = not (sb[0] > sa[1] or sb[1] < sa[0])
-        if not overlap and abs(b - a) >= 0.1:
-            moved.append((b - a, q, a, b, sa, sb))
-    moved.sort(reverse=True)
+        if overlap or abs(b - a) < 0.1:
+            continue
+        if calibrated:
+            ratio = (b / ncal) / (a / ocal) if a else float("inf")
+            # Only a calibrated ratio past the threshold is a real movement;
+            # spread-separated raw drift inside it is host envelope.
+            if max(ratio, 1 / ratio) <= CALIBRATED_REGRESSION_THRESHOLD:
+                continue
+            moved.append((ratio, q, a, b, sa, sb))
+        else:
+            moved.append((b / a if a else float("inf"), q, a, b, sa, sb))
+    moved.sort(key=lambda t: t[0], reverse=True)
+    unit = "calibrated" if calibrated else "RAW (uncalibrated)"
     if not moved:
-        print("no spread-separated per-query movements")
-    for d, q, a, b, sa, sb in moved[:top_n]:
-        kind = "REGRESSION" if d > 0 else "improvement"
-        print(f"{kind:<12} {q}: {a:.2f}s {sa} -> {b:.2f}s {sb}  ({d:+.2f}s)")
+        print(f"no spread-separated {unit} per-query movements"
+              + (f" past {CALIBRATED_REGRESSION_THRESHOLD}x" if calibrated else ""))
+    for r, q, a, b, sa, sb in moved[:top_n]:
+        kind = "REGRESSION" if r > 1 else "improvement"
+        print(f"{kind:<12} {q}: {a:.2f}s {sa} -> {b:.2f}s {sb}  "
+              f"({unit} {r:.2f}x)")
     return 0
 
 
