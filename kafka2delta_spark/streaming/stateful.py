@@ -138,11 +138,44 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
         srcs = sorted(
             f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")
         )
+        if not srcs:
+            # a zero-file half means the (min+max)/2 midpoint degenerated
+            # (e.g. every event shares one timestamp) — there is no
+            # two-batch split to build, so fail loudly rather than hand
+            # the streaming families a one-batch fixture that silently
+            # stops exercising cross-batch state
+            raise RuntimeError(
+                f"events split half {sub} produced no shard files — the "
+                "midpoint split degenerated (all timestamps equal?); "
+                "the two-batch scaffold cannot be built"
+            )
+        if len(srcs) < SPLIT_SHARDS:
+            # time-skewed events: one half carried so few rows the
+            # repartition left empty partitions unwritten. Degrade
+            # gracefully (round-9 ADVICE) — but by PADDING with empty
+            # schema-only shards, not by accepting fewer files: the
+            # consumers read maxFilesPerTrigger=SPLIT_SHARDS, so a short
+            # b0 would otherwise pull b1 files into trigger 1 and break
+            # the batch boundary the mtime pinning exists to guarantee.
+            pad_dir = f"{d}/{sub}_pad"
+            spark.createDataFrame([], ev.schema).repartition(1).write.mode(
+                "overwrite"
+            ).parquet(pad_dir)
+            pad_src = next(
+                f"{pad_dir}/{f}"
+                for f in sorted(os.listdir(pad_dir))
+                if f.endswith(".parquet")
+            )
+            for pi in range(SPLIT_SHARDS - len(srcs)):
+                pad_tgt = f"{d}/{sub}/pad-{pi:03d}.parquet"
+                shutil.copyfile(pad_src, pad_tgt)
+            srcs = sorted(
+                f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")
+            )
         if len(srcs) != SPLIT_SHARDS:
             raise RuntimeError(
-                f"events split half {sub} produced {len(srcs)} shard files, "
-                f"expected {SPLIT_SHARDS} — half too small for the "
-                "round-robin repartition? (events table anomalously tiny)"
+                f"events split half {sub} has {len(srcs)} shard files "
+                f"after padding, expected {SPLIT_SHARDS}"
             )
         for si, src in enumerate(srcs):
             tgt = f"{d}/{sub}/{src}"

@@ -64,16 +64,60 @@ def _load_table_target(node: ast.AST) -> str | None:
     return None
 
 
+# Chain methods that collapse an SF-scaled frame to a bounded one: the
+# policy explicitly legalizes raw hints on grouped/scalar aggregates over
+# bounded key domains and on capped samples, so taint stops at these.
+# Anything else (select/filter/alias/join/withColumn/...) preserves scale.
+_CARDINALITY_COLLAPSING = {
+    "groupBy", "agg", "distinct", "dropDuplicates", "limit", "summary",
+    "describe", "sample", "toLocalIterator", "head", "take",
+}
+
+
+def _chain_root(node: ast.AST) -> tuple[str | None, set[str]]:
+    """Walk a ``name.method(...).method(...)`` chain to its root Name;
+    return (root name, set of method names seen along the chain)."""
+    attrs: set[str] = set()
+    while True:
+        if isinstance(node, ast.Call):
+            node = node.func
+        elif isinstance(node, ast.Attribute):
+            attrs.add(node.attr)
+            node = node.value
+        elif isinstance(node, ast.Name):
+            return node.id, attrs
+        else:
+            return None, attrs
+
+
+def _tainted_chain_root(node: ast.AST, tainted: set[str]) -> str | None:
+    """Root name if ``node`` is a method chain rooted at a tainted name
+    that never passes through a cardinality-collapsing call."""
+    root, attrs = _chain_root(node)
+    if root in tainted and not (attrs & _CARDINALITY_COLLAPSING):
+        return root
+    return None
+
+
 def _violations_in_function(fn: ast.FunctionDef) -> list[str]:
     tainted: set[str] = set()
     out: list[str] = []
-    for node in ast.walk(fn):
-        if isinstance(node, ast.Assign) and len(node.targets) == 1:
+    # Fixpoint taint pass: direct load_table binds, then propagation
+    # through assignments whose RHS is a scale-preserving chain rooted at
+    # a tainted name (cust2 = cust.select(...) — round-9 ADVICE).
+    changed = True
+    while changed:
+        changed = False
+        for node in ast.walk(fn):
+            if not (isinstance(node, ast.Assign) and len(node.targets) == 1):
+                continue
             tgt = node.targets[0]
-            if isinstance(tgt, ast.Name):
-                table = _load_table_target(node.value)
-                if table in SF_SCALED:
-                    tainted.add(tgt.id)
+            if not isinstance(tgt, ast.Name) or tgt.id in tainted:
+                continue
+            table = _load_table_target(node.value)
+            if table in SF_SCALED or _tainted_chain_root(node.value, tainted):
+                tainted.add(tgt.id)
+                changed = True
     for node in ast.walk(fn):
         if not isinstance(node, ast.Call):
             continue
@@ -92,13 +136,43 @@ def _violations_in_function(fn: ast.FunctionDef) -> list[str]:
                 f"{fn.name}:{node.lineno} F.broadcast({arg.id}) — "
                 f"{arg.id} is loaded from an SF-scaled table; use dim_broadcast"
             )
+            continue
         inline = _load_table_target(arg)
         if inline in SF_SCALED:
             out.append(
                 f"{fn.name}:{node.lineno} F.broadcast(load_table(.., '{inline}')) "
                 "— use dim_broadcast"
             )
+            continue
+        chain_root = _tainted_chain_root(arg, tainted)
+        if chain_root:
+            out.append(
+                f"{fn.name}:{node.lineno} F.broadcast({chain_root}.…) — "
+                f"scale-preserving chain rooted at SF-scaled {chain_root}; "
+                "use dim_broadcast"
+            )
     return out
+
+
+# Adjudicated allowlist (same contract as test_hash_split_policy): sites the
+# propagated taint flags but the policy explicitly legalizes, each with a
+# written reason. All eight are the bounded-PROBE broadcast shape: the
+# hinted side is filtered to a compile-time-constant id range
+# (vec_id < N_QUERIES / LOO_PROBES — 5 rows regardless of SF) or to a
+# constant grid derived from one (probes ≤ N_QUERIES×N_PROBE rows, qtop ≤
+# N_QUERIES×TOP_K rows). The detector cannot see that a filter predicate is
+# a constant cap — a filter is scale-preserving in general — so these are
+# exempted by name, with the cap constant in the reason.
+ALLOWED_PROBE_BROADCASTS = {
+    "q90_cosine_topk_bruteforce": "q = filter(vec_id < N_QUERIES=5)",
+    "q91_ann_lsh_topk": "q = filter(vec_id < N_QUERIES=5) hashed probes",
+    "q93_ann_ivf_topk": "probes = filter(vec_id < N_QUERIES & crk <= N_PROBE)",
+    "qx51_quantized_ann_recall":
+        "qq = filter(vec_id < N_QUERIES); qtop = rk <= TOP_K per probe",
+    "qy02_filtered_ann_topk": "q = filter(vec_id < N_QUERIES=5)",
+    "qy03_mmr_diversified_topk": "q = filter(vec_id < N_QUERIES=5)",
+    "qz04_loo_1nn_accuracy": "q = filter(vec_id < LOO_PROBES)",
+}
 
 
 def test_no_raw_broadcast_of_sf_scaled_tables():
@@ -107,10 +181,34 @@ def test_no_raw_broadcast_of_sf_scaled_tables():
         tree = ast.parse(open(path).read())
         for node in ast.walk(tree):
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                if node.name in ALLOWED_PROBE_BROADCASTS:
+                    continue
                 for v in _violations_in_function(node):
                     violations.append(f"{os.path.relpath(path, REPO)}::{v}")
     assert not violations, "raw F.broadcast on SF-scaled tables:\n" + "\n".join(
         violations
+    )
+
+
+def test_allowlist_entries_still_exist_and_still_flag():
+    """Every allowlist entry must still (a) exist in the engine and (b) be
+    flagged by the detector — a stale entry is a hole the next refactor
+    could silently widen."""
+    flagged_names: set[str] = set()
+    defined_names: set[str] = set()
+    for path in ENGINE_MODULES:
+        tree = ast.parse(open(path).read())
+        for node in ast.walk(tree):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                defined_names.add(node.name)
+                if _violations_in_function(node):
+                    flagged_names.add(node.name)
+    missing = set(ALLOWED_PROBE_BROADCASTS) - defined_names
+    assert not missing, f"allowlist names no longer defined: {sorted(missing)}"
+    stale = set(ALLOWED_PROBE_BROADCASTS) - flagged_names
+    assert not stale, (
+        f"allowlist entries the detector no longer flags (drop them): "
+        f"{sorted(stale)}"
     )
 
 
@@ -132,6 +230,20 @@ def fine_bounded(spark, sf_dir):
 def fine_gated(spark, sf_dir):
     cust = load_table(spark, sf_dir, "customer")
     return fact.join(dim_broadcast(cust), "c_custkey")
+
+def bad_derived_var(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    cust2 = cust.select("c_custkey").filter(cust.c_acctbal > 0)
+    return fact.join(F.broadcast(cust2), "c_custkey")
+
+def bad_inline_chain(spark, sf_dir):
+    cust = load_table(spark, sf_dir, "customer")
+    return fact.join(F.broadcast(cust.select("c_custkey")), "c_custkey")
+
+def fine_bounded_agg(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(F.count("*").alias("n"))
+    return fact.join(F.broadcast(per_type), "event_type")
 '''
     tree = ast.parse(src)
     flagged = {}
@@ -140,8 +252,14 @@ def fine_gated(spark, sf_dir):
             flagged[node.name] = _violations_in_function(node)
     assert flagged["bad_named"], "named taint not caught"
     assert flagged["bad_inline"], "inline load_table not caught"
+    assert flagged["bad_derived_var"], "derived-variable taint not caught"
+    assert flagged["bad_inline_chain"], "inline tainted chain not caught"
     assert not flagged["fine_bounded"], "bounded nation wrongly flagged"
     assert not flagged["fine_gated"], "dim_broadcast wrongly flagged"
+    assert not flagged["fine_bounded_agg"], (
+        "bounded aggregate over an SF-scaled frame wrongly flagged — "
+        "taint must stop at cardinality-collapsing ops"
+    )
 
 
 # ---------------------------------------------------------------------------

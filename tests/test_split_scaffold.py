@@ -145,3 +145,67 @@ def test_split_dir_refreshes_when_events_regenerate(spark, tmp_path):
     assert d3 == d2
     for d in (d1, d2):
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_time_skewed_half_pads_to_split_shards(spark, tmp_path):
+    """A heavily time-skewed events table (one event far past the rest)
+    makes the (min+max)/2 midpoint leave one half nearly empty — the
+    repartition then writes fewer than SPLIT_SHARDS data files for it.
+    Round-9 ADVICE: that must degrade gracefully, not hard-error. The
+    degradation PADS the short half with empty schema-only shards so
+    each half still presents exactly SPLIT_SHARDS paths — accepting
+    fewer files would let maxFilesPerTrigger pull b1 files into trigger
+    1 and break the batch boundary the mtime pinning guarantees."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import kafka2delta_spark.streaming.stateful as st
+
+    src = pq.read_table(os.path.join(SF_DIR, "events.parquet")).slice(0, 200)
+    ts = src.column("ts").to_pylist()
+    base = min(ts)
+    # all events share one timestamp except the last, 10 days later:
+    # midpoint = base + 5 days -> b0 gets 199 rows, b1 gets 1 (+ sentinel)
+    import datetime
+
+    skewed_ts = [base] * 199 + [base + datetime.timedelta(days=10)]
+    tbl = src.set_column(
+        src.schema.get_field_index("ts"),
+        pa.field("ts", pa.timestamp("us")),
+        pa.array(skewed_ts, pa.timestamp("us")),
+    )
+    sf = str(tmp_path / "sf_skew")
+    os.makedirs(sf)
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+    d = st._events_multibatch_dir(spark, sf)
+    try:
+        links = sorted(os.listdir(d))
+        assert len(links) == 2 * st.SPLIT_SHARDS, links
+        # the skewed half was padded: at least one pad shard exists
+        half_dir = os.path.dirname(os.readlink(f"{d}/{links[-1]}"))
+        pads = [
+            f
+            for bdir in (f"{os.path.dirname(half_dir)}/b0",
+                         f"{os.path.dirname(half_dir)}/b1")
+            if os.path.isdir(bdir)
+            for f in os.listdir(bdir)
+            if f.startswith("pad-")
+        ]
+        assert pads, "no pad shards written for the short half"
+        # no rows lost, sentinel appended: 200 real + 1 sentinel
+        total = spark.read.parquet(d).count()
+        assert total == 201, total
+        # batch boundary intact: the b1-mtime files hold ONLY the late
+        # event + the sentinel (2 rows), never b0 spill-over
+        by_mtime = sorted(
+            links, key=lambda f: os.path.getmtime(os.path.join(d, f))
+        )
+        b1_files = [f"{d}/{f}" for f in by_mtime[st.SPLIT_SHARDS:]]
+        b1_rows = spark.read.parquet(*b1_files).count()
+        assert b1_rows == 2, b1_rows
+    finally:
+        st._SPLIT_DIRS.pop(sf, None)
+        shutil.rmtree(os.path.dirname(d), ignore_errors=True)

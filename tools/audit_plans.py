@@ -55,25 +55,40 @@ ONLY = set(sys.argv[2:])
 # engine fixed. Skipping by implementing module (not a hand-kept name
 # list — the round-8 sweep found the old 5-name list had drifted 13
 # queries behind the registry). Explicitly-named queries still audit.
+_STREAM_DRIVER_NAMES = {
+    "readStream", "drain_to_memory", "_open_stream", "ParquetStateStore",
+    "processAllAvailable", "awaitTermination",
+}
+
+
 def _executes_on_call(fn) -> bool:
     if ".streaming." not in getattr(fn, "__module__", ""):
         return False
     # batch-shaped queries also live in the streaming modules (q50..q52
     # window aggregations return lazy DataFrames) — only skip functions
-    # that actually open/drain a stream or drive the state store
+    # that actually reference a stream opener/drainer or the state store.
+    # AST identifiers only (Name/Attribute nodes), NOT a regex over the
+    # source: docstrings and decorator oracle SQL are string constants in
+    # the AST, so a lazy query whose prose merely mentions readStream can
+    # no longer be silently dropped from the audit (round-9 ADVICE).
+    import ast
     import inspect
+    import textwrap
 
     try:
-        src = inspect.getsource(fn)
+        src = textwrap.dedent(inspect.getsource(fn))
     except OSError:
         return True  # can't prove lazy -> don't execute it blind
-    return bool(
-        re.search(
-            r"readStream|drain_to_memory|_open_stream|ParquetStateStore"
-            r"|processAllAvailable|awaitTermination",
-            src,
-        )
-    )
+    try:
+        tree = ast.parse(src)
+    except SyntaxError:
+        return True
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Attribute) and node.attr in _STREAM_DRIVER_NAMES:
+            return True
+        if isinstance(node, ast.Name) and node.id in _STREAM_DRIVER_NAMES:
+            return True
+    return False
 
 WIDE_TABLES = {"lineitem": 11, "orders": 6, "events": 6}
 

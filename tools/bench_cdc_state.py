@@ -166,8 +166,21 @@ def _task_straggler(spark, t0_ms: float, t1_ms: float) -> dict | None:
 
     try:
         store = spark.sparkContext._jsc.sc().statusStore()
+        # Bound the numeric probe by the LIVE next stage id from the
+        # DAGScheduler instead of a fixed 4000 (round-9 ADVICE: the skew
+        # point runs last in the session, and a fixed cap silently
+        # returns None — unreadable from "no skew data" — once earlier
+        # points have consumed 4000 stage ids). nextStageId is the
+        # scheduler's own monotonically-increasing counter, so every
+        # stage that ever existed has id < nextStageId.
+        try:
+            probe_hi = int(
+                spark.sparkContext._jsc.sc().dagScheduler().nextStageId()
+            )
+        except Exception:
+            probe_hi = 4000  # scheduler API moved: keep the old bound
         worst = None
-        for sid in range(0, 4000):
+        for sid in range(0, probe_hi):
             try:
                 tl = store.taskList(sid, 0, 100000)
             except Exception:
