@@ -59,8 +59,7 @@ def main() -> None:
     # code measured 164/189/202 s), so raw totals from different sessions
     # are not comparable; dividing by calib_sec is. The workload is a
     # deterministic shuffle+agg over spark.range — no I/O, no testdata.
-    calib_runs: list[float] = []
-    for _ in range(3):
+    def _calib_once() -> float:
         t0 = time.time()
         (
             spark.range(30_000_000)
@@ -71,8 +70,17 @@ def main() -> None:
             .mode("overwrite")
             .save()
         )
-        calib_runs.append(time.time() - t0)
-    calib_sec = round(statistics.median(calib_runs), 3)
+        return time.time() - t0
+
+    # Round-9 hardening: the old median-of-3 (first run included) had a
+    # within-session spread up to 4x — the first execution pays codegen
+    # compilation + JIT for the calib plan and is not a host-speed
+    # sample, and 3 points give the median no robustness. One discarded
+    # warm-up, then SIX timed runs, three here and three after the query
+    # sweep, so a mid-session host-speed shift moves calib the same way
+    # it moves the queries it normalizes.
+    _calib_once()  # warm-up: codegen + JIT, not a host-speed sample
+    calib_runs: list[float] = [_calib_once() for _ in range(3)]
 
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
@@ -92,6 +100,10 @@ def main() -> None:
             spread[name] = []
             print(f"bench error {name}: {exc}", file=sys.stderr)
 
+    # tail half of the calibration sample (see comment above)
+    calib_runs += [_calib_once() for _ in range(3)]
+    calib_sec = round(statistics.median(calib_runs), 3)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     sf = sf_dir.rstrip("/").split("sf")[-1]
     payload = {
@@ -102,10 +114,16 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "runs_per_query": n_runs,
         "spread": spread,
-        # fixed-workload host-speed probe (median of 3); divide `value`
-        # by this before comparing totals across sessions/rounds
+        # fixed-workload host-speed probe; divide `value` by this before
+        # comparing totals across sessions/rounds. calib_ver 2 = one
+        # discarded warm-up + 6 samples split before/after the sweep
+        # (round 9); ver-1 artifacts (median of 3, warm-up included) are
+        # not calibration-comparable with ver-2 ones. The raw samples are
+        # included so downstream tooling can re-derive its own estimator.
         "calib_sec": calib_sec,
         "calib_spread": [round(min(calib_runs), 3), round(max(calib_runs), 3)],
+        "calib_runs": [round(c, 3) for c in calib_runs],
+        "calib_ver": 2,
     }
     line = json.dumps(payload)
     # stdout may get truncated/interleaved by the harness capturing it —

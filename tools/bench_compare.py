@@ -52,6 +52,14 @@ def main() -> int:
             f"({cal_new / cal_old:.2f}x)  [calib_sec {ocal:.3f} -> {ncal:.3f}; "
             f"host-speed ratio {ncal / ocal:.2f}x]"
         )
+        over, nver = old.get("calib_ver", 1), new.get("calib_ver", 1)
+        if over != nver:
+            print(
+                f"calibration WARNING: estimator versions differ "
+                f"(ver {over} vs ver {nver}) — calibrated ratios mix "
+                "methodologies; trust the per-query spread separation, "
+                "not the calibrated total"
+            )
     else:
         missing = [p for p, c in ((old_path, ocal), (new_path, ncal)) if not c]
         print(
