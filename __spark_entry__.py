@@ -144,8 +144,8 @@ _A8_KEYS = (
 #     q89..q92 q95 q95b q96 q97 q99 (the dedup/text/retrieval core that
 #     shared-helper refactors have touched most since);
 #   * 30 of the 32 queries whose newest row is r04: q53 q54 q59 q64 q71
-#     q76 q86 q93 q94 q98 and the qx01..qx28 band (18 keys: qx01..qx07,
-#     qx09..qx11, qx14..qx16, qx18..qx21, qx25).
+#     q76 q86 q93 q94 q98 and the qx01..qx28 band (20 keys: qx01..qx07,
+#     qx09..qx11, qx14..qx16, qx18..qx21, qx25, qx27, qx28).
 # The staleness backlog is 52 for a 50-row budget; the two deferred to
 # the r10 gate are q01 (re-verified EVERY round via the ``entry()``
 # flagship smoke at sf0.001) and q02 (untouched TPC-H min-cost-supplier

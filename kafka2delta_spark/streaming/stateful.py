@@ -74,10 +74,16 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
       range; watermarks update at batch end, so b1's real rows are
       processed under the post-b0 watermark wherever the boundary falls
       — result sets are invariant to it (oracle-verified tri-scale).
-    * each half is written with ``repartition(SPLIT_SHARDS)``
-      (round-robin → all shards non-empty at every SF, verified by the
-      loud count check below), not ``coalesce(1)`` — no single-task
-      write funnel.
+    * each half is written with ``repartition(SPLIT_SHARDS)``, not
+      ``coalesce(1)`` — no single-task write funnel. A time-skewed
+      short half may leave some shards empty; those are PADDED with
+      schema-only files so the maxFilesPerTrigger batch boundary holds
+      (see below). The one genuinely degenerate shape — a midpoint at
+      or below min(ts), i.e. ``max-min < 2µs``, which would make b0
+      empty and collapse the fixture to one real batch — is rejected
+      loudly on the O(1) min/max aggregate itself (a zero-ROW half
+      still writes one schema-only parquet file on Spark 4.x, so a
+      file-count check could never catch it).
 
     Batch order is pinned explicitly: FileStreamSource processes new
     files oldest-mtime-first (path-order for ties), so the b0 shard
@@ -103,13 +109,28 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
         return stream_dir
     ev = load_table(spark, sf_dir, "events")
     os.makedirs(d, exist_ok=True)
-    mid_us = int(
-        ev.agg(
-            F.expr(
-                "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
-            ).alias("mid")
-        ).collect()[0]["mid"]
-    )
+    rng = ev.agg(
+        F.expr("min(unix_micros(ts))").alias("lo"),
+        F.expr("max(unix_micros(ts))").alias("hi"),
+    ).collect()[0]
+    if rng["lo"] is None:
+        raise RuntimeError(
+            "events table is empty: the two-batch scaffold cannot be built"
+        )
+    mid_us = (rng["lo"] + rng["hi"]) // 2
+    if mid_us <= rng["lo"]:
+        # max-min < 2µs: every row would land in b1 (ts < mid matches
+        # nothing), so there is no two-batch split to build — fail
+        # loudly rather than hand the streaming families a one-batch
+        # fixture that silently stops exercising cross-batch state.
+        # (b1 can never be empty — it always holds the max-ts row and
+        # the sentinel — so b0 is the only degenerate half, and this
+        # min/max test is its exact precondition.)
+        raise RuntimeError(
+            "events split midpoint degenerated (max(ts)-min(ts) < 2µs; "
+            "all timestamps equal?): the two-batch scaffold cannot be "
+            "built"
+        )
     ev.filter(F.unix_micros("ts") < mid_us).repartition(SPLIT_SHARDS).write.mode(
         "overwrite"
     ).parquet(f"{d}/b0")
@@ -138,17 +159,6 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
         srcs = sorted(
             f for f in os.listdir(f"{d}/{sub}") if f.endswith(".parquet")
         )
-        if not srcs:
-            # a zero-file half means the (min+max)/2 midpoint degenerated
-            # (e.g. every event shares one timestamp) — there is no
-            # two-batch split to build, so fail loudly rather than hand
-            # the streaming families a one-batch fixture that silently
-            # stops exercising cross-batch state
-            raise RuntimeError(
-                f"events split half {sub} produced no shard files — the "
-                "midpoint split degenerated (all timestamps equal?); "
-                "the two-batch scaffold cannot be built"
-            )
         if len(srcs) < SPLIT_SHARDS:
             # time-skewed events: one half carried so few rows the
             # repartition left empty partitions unwritten. Degrade

@@ -6,7 +6,9 @@ broadcast cap at ANY scale. SF-scaled tables (customer/supplier/part and
 the facts) cannot keep that promise, so every broadcast of a frame
 derived from one must go through the size-gated ``dim_broadcast`` helper.
 Raw hints stay legal for literally-bounded sides: region/nation scans,
-scalar/grouped aggregates over bounded key domains, capped samples.
+scalar/grouped aggregates over bounded key domains, hard-capped prefixes
+(limit/head/take). Fraction-based ``sample`` is NOT bounded — its output
+scales with SF — so it does not clear taint.
 
 The structural test walks the AST of every engine module: inside each
 function it taints variables bound (directly or through a
@@ -66,11 +68,13 @@ def _load_table_target(node: ast.AST) -> str | None:
 
 # Chain methods that collapse an SF-scaled frame to a bounded one: the
 # policy explicitly legalizes raw hints on grouped/scalar aggregates over
-# bounded key domains and on capped samples, so taint stops at these.
-# Anything else (select/filter/alias/join/withColumn/...) preserves scale.
+# bounded key domains and on hard-capped prefixes, so taint stops at
+# these. NOT ``sample``: sample(fraction) is fraction-based — its output
+# grows with SF, which is exactly the OOM shape the gate bans. Anything
+# else (select/filter/alias/join/withColumn/...) preserves scale too.
 _CARDINALITY_COLLAPSING = {
     "groupBy", "agg", "distinct", "dropDuplicates", "limit", "summary",
-    "describe", "sample", "toLocalIterator", "head", "take",
+    "describe", "toLocalIterator", "head", "take",
 }
 
 
@@ -99,9 +103,12 @@ def _tainted_chain_root(node: ast.AST, tainted: set[str]) -> str | None:
     return None
 
 
-def _violations_in_function(fn: ast.FunctionDef) -> list[str]:
+def _violations_in_function(fn: ast.FunctionDef) -> list[tuple[str, str]]:
+    """Each violation is ``(root_variable, message)`` — the root keys the
+    per-site allowlist, so an exemption never covers more than the one
+    broadcast argument it was adjudicated for."""
     tainted: set[str] = set()
-    out: list[str] = []
+    out: list[tuple[str, str]] = []
     # Fixpoint taint pass: direct load_table binds, then propagation
     # through assignments whose RHS is a scale-preserving chain rooted at
     # a tainted name (cust2 = cust.select(...) — round-9 ADVICE).
@@ -132,46 +139,56 @@ def _violations_in_function(fn: ast.FunctionDef) -> list[str]:
             continue
         arg = node.args[0]
         if isinstance(arg, ast.Name) and arg.id in tainted:
-            out.append(
+            out.append((
+                arg.id,
                 f"{fn.name}:{node.lineno} F.broadcast({arg.id}) — "
-                f"{arg.id} is loaded from an SF-scaled table; use dim_broadcast"
-            )
+                f"{arg.id} is loaded from an SF-scaled table; use dim_broadcast",
+            ))
             continue
         inline = _load_table_target(arg)
         if inline in SF_SCALED:
-            out.append(
+            out.append((
+                f"load_table:{inline}",
                 f"{fn.name}:{node.lineno} F.broadcast(load_table(.., '{inline}')) "
-                "— use dim_broadcast"
-            )
+                "— use dim_broadcast",
+            ))
             continue
         chain_root = _tainted_chain_root(arg, tainted)
         if chain_root:
-            out.append(
+            out.append((
+                chain_root,
                 f"{fn.name}:{node.lineno} F.broadcast({chain_root}.…) — "
                 f"scale-preserving chain rooted at SF-scaled {chain_root}; "
-                "use dim_broadcast"
-            )
+                "use dim_broadcast",
+            ))
     return out
 
 
 # Adjudicated allowlist (same contract as test_hash_split_policy): sites the
 # propagated taint flags but the policy explicitly legalizes, each with a
-# written reason. All eight are the bounded-PROBE broadcast shape: the
-# hinted side is filtered to a compile-time-constant id range
+# written reason. Keyed PER SITE — function name -> {broadcast-arg root
+# variable: reason} — so an exemption covers exactly the one adjudicated
+# argument: a NEW broadcast of a different frame added inside an allowlisted
+# function still fails the gate. All eight are the bounded-PROBE broadcast
+# shape: the hinted side is filtered to a compile-time-constant id range
 # (vec_id < N_QUERIES / LOO_PROBES — 5 rows regardless of SF) or to a
 # constant grid derived from one (probes ≤ N_QUERIES×N_PROBE rows, qtop ≤
 # N_QUERIES×TOP_K rows). The detector cannot see that a filter predicate is
 # a constant cap — a filter is scale-preserving in general — so these are
 # exempted by name, with the cap constant in the reason.
 ALLOWED_PROBE_BROADCASTS = {
-    "q90_cosine_topk_bruteforce": "q = filter(vec_id < N_QUERIES=5)",
-    "q91_ann_lsh_topk": "q = filter(vec_id < N_QUERIES=5) hashed probes",
-    "q93_ann_ivf_topk": "probes = filter(vec_id < N_QUERIES & crk <= N_PROBE)",
-    "qx51_quantized_ann_recall":
-        "qq = filter(vec_id < N_QUERIES); qtop = rk <= TOP_K per probe",
-    "qy02_filtered_ann_topk": "q = filter(vec_id < N_QUERIES=5)",
-    "qy03_mmr_diversified_topk": "q = filter(vec_id < N_QUERIES=5)",
-    "qz04_loo_1nn_accuracy": "q = filter(vec_id < LOO_PROBES)",
+    "q90_cosine_topk_bruteforce": {"q": "filter(vec_id < N_QUERIES=5)"},
+    "q91_ann_lsh_topk": {"q": "filter(vec_id < N_QUERIES=5) hashed probes"},
+    "q93_ann_ivf_topk": {
+        "probes": "filter(vec_id < N_QUERIES & crk <= N_PROBE)"
+    },
+    "qx51_quantized_ann_recall": {
+        "qq": "filter(vec_id < N_QUERIES)",
+        "qtop": "rk <= TOP_K per probe",
+    },
+    "qy02_filtered_ann_topk": {"q": "filter(vec_id < N_QUERIES=5)"},
+    "qy03_mmr_diversified_topk": {"q": "filter(vec_id < N_QUERIES=5)"},
+    "qz04_loo_1nn_accuracy": {"q": "filter(vec_id < LOO_PROBES)"},
 }
 
 
@@ -181,35 +198,40 @@ def test_no_raw_broadcast_of_sf_scaled_tables():
         tree = ast.parse(open(path).read())
         for node in ast.walk(tree):
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
-                if node.name in ALLOWED_PROBE_BROADCASTS:
-                    continue
-                for v in _violations_in_function(node):
-                    violations.append(f"{os.path.relpath(path, REPO)}::{v}")
+                allowed = ALLOWED_PROBE_BROADCASTS.get(node.name, {})
+                for root, msg in _violations_in_function(node):
+                    if root in allowed:
+                        continue
+                    violations.append(f"{os.path.relpath(path, REPO)}::{msg}")
     assert not violations, "raw F.broadcast on SF-scaled tables:\n" + "\n".join(
         violations
     )
 
 
 def test_allowlist_entries_still_exist_and_still_flag():
-    """Every allowlist entry must still (a) exist in the engine and (b) be
-    flagged by the detector — a stale entry is a hole the next refactor
-    could silently widen."""
-    flagged_names: set[str] = set()
+    """Every allowlisted (function, root) site must still exist and still
+    be flagged by the detector — EXACTLY: a stale entry is a hole the next
+    refactor could silently widen, and an unlisted flagged root inside an
+    allowlisted function means the per-site keying is being bypassed."""
+    flagged_roots: dict[str, set[str]] = {}
     defined_names: set[str] = set()
     for path in ENGINE_MODULES:
         tree = ast.parse(open(path).read())
         for node in ast.walk(tree):
             if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
                 defined_names.add(node.name)
-                if _violations_in_function(node):
-                    flagged_names.add(node.name)
+                if node.name in ALLOWED_PROBE_BROADCASTS:
+                    flagged_roots.setdefault(node.name, set()).update(
+                        root for root, _ in _violations_in_function(node)
+                    )
     missing = set(ALLOWED_PROBE_BROADCASTS) - defined_names
     assert not missing, f"allowlist names no longer defined: {sorted(missing)}"
-    stale = set(ALLOWED_PROBE_BROADCASTS) - flagged_names
-    assert not stale, (
-        f"allowlist entries the detector no longer flags (drop them): "
-        f"{sorted(stale)}"
-    )
+    for name, allowed in ALLOWED_PROBE_BROADCASTS.items():
+        assert flagged_roots.get(name) == set(allowed), (
+            f"{name}: allowlisted roots {sorted(allowed)} != flagged roots "
+            f"{sorted(flagged_roots.get(name, set()))} — drop stale entries "
+            "or adjudicate the new site"
+        )
 
 
 def test_detector_catches_the_banned_shape():
@@ -244,6 +266,15 @@ def fine_bounded_agg(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     per_type = ev.groupBy("event_type").agg(F.count("*").alias("n"))
     return fact.join(F.broadcast(per_type), "event_type")
+
+def bad_sampled(spark, sf_dir):
+    big = load_table(spark, sf_dir, "lineitem").sample(0.1)
+    return fact.join(F.broadcast(big), "l_orderkey")
+
+def fine_capped_limit(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    top = li.orderBy("l_extendedprice").limit(10)
+    return fact.join(F.broadcast(top), "l_orderkey")
 '''
     tree = ast.parse(src)
     flagged = {}
@@ -259,6 +290,13 @@ def fine_bounded_agg(spark, sf_dir):
     assert not flagged["fine_bounded_agg"], (
         "bounded aggregate over an SF-scaled frame wrongly flagged — "
         "taint must stop at cardinality-collapsing ops"
+    )
+    assert flagged["bad_sampled"], (
+        "fraction-based sample of an SF-scaled frame not caught — "
+        "sample(fraction) output scales with SF and must stay tainted"
+    )
+    assert not flagged["fine_capped_limit"], (
+        "hard-capped limit() prefix wrongly flagged — limit is bounded"
     )
 
 

@@ -209,3 +209,43 @@ def test_time_skewed_half_pads_to_split_shards(spark, tmp_path):
     finally:
         st._SPLIT_DIRS.pop(sf, None)
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
+
+
+def test_degenerate_midpoint_fails_loudly(spark, tmp_path):
+    """All-equal timestamps make the (min+max)/2 midpoint == min, so the
+    b0 filter (ts < mid) matches nothing and no two-batch split exists.
+    The builder must reject that on the O(1) min/max aggregate — a
+    file-count check can NOT catch it, because Spark 4.x writes one
+    schema-only parquet file even for a zero-row half, which would
+    otherwise silently pad b0 into a one-batch fixture that stops
+    exercising cross-batch state."""
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import kafka2delta_spark.streaming.stateful as st
+
+    src = pq.read_table(os.path.join(SF_DIR, "events.parquet")).slice(0, 100)
+    one_ts = min(src.column("ts").to_pylist())
+    tbl = src.set_column(
+        src.schema.get_field_index("ts"),
+        pa.field("ts", pa.timestamp("us")),
+        pa.array([one_ts] * 100, pa.timestamp("us")),
+    )
+    sf = str(tmp_path / "sf_degenerate")
+    os.makedirs(sf)
+    pq.write_table(tbl, f"{sf}/events.parquet")
+
+    try:
+        with pytest.raises(RuntimeError, match="midpoint degenerated"):
+            st._events_multibatch_dir(spark, sf)
+    finally:
+        st._SPLIT_DIRS.pop(sf, None)
+        stf = os.stat(f"{sf}/events.parquet")
+        leftover = os.path.join(
+            tempfile.gettempdir(),
+            f"events_split3_{sf.strip('/').replace('/', '_')}"
+            f"_{stf.st_mtime_ns}_{stf.st_size}",
+        )
+        shutil.rmtree(leftover, ignore_errors=True)

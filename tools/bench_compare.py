@@ -45,20 +45,23 @@ def main() -> int:
         f"common {len(common)} queries: {tot_old:.1f}s -> {tot_new:.1f}s "
         f"(raw {tot_new / tot_old:.2f}x)" if tot_old else "no common queries"
     )
+    over, nver = old.get("calib_ver", 1), new.get("calib_ver", 1)
+    same_ver = over == nver
     if ocal and ncal:
-        cal_old, cal_new = tot_old / ocal, tot_new / ncal
-        print(
-            f"calibrated (sec/calib): {cal_old:.1f} -> {cal_new:.1f} "
-            f"({cal_new / cal_old:.2f}x)  [calib_sec {ocal:.3f} -> {ncal:.3f}; "
-            f"host-speed ratio {ncal / ocal:.2f}x]"
-        )
-        over, nver = old.get("calib_ver", 1), new.get("calib_ver", 1)
-        if over != nver:
+        if tot_old and tot_new:
+            cal_old, cal_new = tot_old / ocal, tot_new / ncal
+            print(
+                f"calibrated (sec/calib): {cal_old:.1f} -> {cal_new:.1f} "
+                f"({cal_new / cal_old:.2f}x)  [calib_sec {ocal:.3f} -> "
+                f"{ncal:.3f}; host-speed ratio {ncal / ocal:.2f}x]"
+            )
+        if not same_ver:
             print(
                 f"calibration WARNING: estimator versions differ "
                 f"(ver {over} vs ver {nver}) — calibrated ratios mix "
-                "methodologies; trust the per-query spread separation, "
-                "not the calibrated total"
+                "methodologies, so per-query movements below are reported "
+                "RAW (spread-separated only); trust those, not the "
+                "calibrated total"
             )
     else:
         missing = [p for p, c in ((old_path, ocal), (new_path, ncal)) if not c]
@@ -74,7 +77,11 @@ def main() -> int:
     if removed:
         print(f"removed {len(removed)}: {', '.join(removed[:8])}")
 
-    calibrated = bool(ocal and ncal)
+    # Mixed estimator versions (e.g. a ver-1 calib inflated by the warm-up
+    # run ver 2 discards) would deflate cross-version calibrated ratios and
+    # silently swallow real spread-separated regressions under the 1.2x
+    # threshold — so the movement filter only calibrates within one version.
+    calibrated = bool(ocal and ncal and same_ver)
     moved = []
     for q in common:
         a, b = oq.get(q, -1), nq.get(q, -1)

@@ -25,6 +25,23 @@ SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
 ONLY = set(_args[1:])
 
 
+# The driver pre-registers exactly these testdata tables as DuckDB views
+# (TESTDATA.md); one shared constant so the rehearsal tool cannot drift
+# from the real gate's oracle environment.
+ORACLE_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def register_oracle_views(con, sf_dir: str) -> None:
+    for t in ORACLE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS "
+            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+
 def normalize(df, cols):
     """Sort columns by name, stringify values, sort rows."""
     out = []
@@ -60,13 +77,7 @@ def main() -> int:
     spark = build_session("check_correctness")
 
     con = duckdb.connect()
-    for t in [
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ]:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+    register_oracle_views(con, SF_DIR)
 
     n_pass = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}

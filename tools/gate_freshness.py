@@ -28,7 +28,14 @@ def newest_green_rounds(repo: str = "/root/repo") -> dict[str, int]:
         rnd = int(re.search(r"r(\d+)", os.path.basename(path)).group(1))
         for name, row in json.load(open(path)).items():
             key = re.sub(r"^a\d+_", "", name).split("_")[0]
-            ok = row.get("rows_match") and row.get("hash_match") in (True, None)
+            # "driver-green" = rows + schema + hash where hashed; a
+            # rows-only row (hash_match None) whose schema drifted is NOT
+            # green and must not defer the query from the next block
+            ok = (
+                row.get("rows_match")
+                and row.get("schema_match") in (True, None)
+                and row.get("hash_match") in (True, None)
+            )
             if ok:
                 newest[key] = max(newest.get(key, 0), rnd)
     return newest

@@ -17,7 +17,10 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from tools.check_correctness import normalize  # noqa: E402
+from tools.check_correctness import (  # noqa: E402
+    normalize,
+    register_oracle_views,
+)
 
 
 def main() -> int:
@@ -44,12 +47,7 @@ def main() -> int:
           f"first={gate[0]} last={gate[-1]}")
 
     con = duckdb.connect()
-    for t in ["region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem", "events", "documents", "embeddings"]:
-        con.execute(
-            f"CREATE VIEW {t} AS "
-            f"SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+    register_oracle_views(con, sf_dir)
 
     results: dict[str, dict] = {}
     n_pass = n_fail = n_rows_only = 0
