@@ -74,6 +74,15 @@ STRESSED = [
     # arg_min-at-boundary arithmetic must hold on much denser histograms
     "qz11_trimmed_winsorized_mean",
     "qz17_p99_interarrival",
+    # round 9: the cross-batch streaming consumers had never run at 16x.
+    # These three drain the two-batch split scaffold BUILT FROM THE SCALED
+    # TABLE (160k events, 16x users), so per-key state genuinely crosses a
+    # batch boundary at scale: q56 stream-stream interval-join state, q57
+    # applyInPandasWithState sessionization (16x keys, sessions spanning
+    # the midpoint), qx70 the ledgered incremental-maintenance family.
+    "q56_stream_stream_interval_join",
+    "q57_stateful_sessionize",
+    "qx70_streaming_cusum",
 ]
 
 
