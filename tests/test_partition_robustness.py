@@ -21,6 +21,14 @@ NAMES = [
     "q75_global_row_index",
     "q88_jaccard_similar_pairs",
     "qx26_retention_cohorts",
+    # round 9: the remaining monotonically_increasing_id / range-exchange
+    # machinery — qx52/qx53 reconstruct run starts from per-partition id
+    # blocks and qz14 stacks two global_ranks passes; all three are
+    # partition-layout-sensitive BY CONSTRUCTION, so they belong in the
+    # forced-layout gate, not just the 16x data-volume one.
+    "qx52_range_partition_planner",
+    "qx53_weighted_median_by_rank",
+    "qz14_spearman_length_quality",
 ]
 
 
