@@ -66,17 +66,25 @@ def fake_media_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         fake_width  = n_bytes % 640
         fake_height = n_bytes % 480
         header_sum  = sum of the first 16 byte values
+
+    A NULL payload (a failed media fetch — inevitable in a 100 TB corpus)
+    keeps its row and yields NULL features, matching SQL built-in
+    semantics (``octet_length(NULL) IS NULL``) instead of crashing the
+    task with a bare pandas/numpy error. Pandas nullable Int dtypes carry
+    the NULLs losslessly through the Arrow batch back to Spark.
     """
     for pdf in batches:
         payloads = pdf["payload"]
-        n_bytes = payloads.str.len().astype("int32")
-        header_sum = payloads.map(lambda b: sum(b[:16])).astype("int64")
+        n_bytes = payloads.str.len().astype("Int32")
+        header_sum = payloads.map(
+            lambda b: sum(b[:16]) if b is not None else None
+        ).astype("Int64")
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].astype("int64"),
                 "n_bytes": n_bytes,
-                "fake_width": (n_bytes % 640).astype("int32"),
-                "fake_height": (n_bytes % 480).astype("int32"),
+                "fake_width": (n_bytes % 640).astype("Int32"),
+                "fake_height": (n_bytes % 480).astype("Int32"),
                 "header_sum": header_sum,
             }
         )
@@ -236,12 +244,16 @@ def pcm_window_energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     (numpy ``frombuffer`` — zero-copy). Energy accumulates in int64 —
     EXACT, so engine-portable by construction; rms is derived per-row from
     those exact ints (sqrt(sum_sq/W) of identical ints is bit-identical
-    everywhere). Trailing samples short of a full window are dropped."""
+    everywhere). Trailing samples short of a full window are dropped; a
+    NULL payload (failed fetch) contributes zero windows under the same
+    contract rather than crashing numpy's frombuffer."""
     import numpy as np
 
     for pdf in batches:
         ids, wids, peaks, sumsqs = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                continue
             s = np.frombuffer(payload, dtype="<i2").astype(np.int64)
             nw = len(s) // PCM_WINDOW
             if nw == 0:
