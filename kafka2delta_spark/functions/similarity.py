@@ -73,9 +73,18 @@ from pyspark.sql import types as T  # noqa: E402
 # active session, which need not exist at import time
 @F.pandas_udf(T.DoubleType())
 def np_dot(x: pd.Series, y: pd.Series) -> pd.Series:
-    xm = np.stack(x.to_numpy())
-    ym = np.stack(y.to_numpy())
-    return pd.Series(np.einsum("ij,ij->i", xm, ym))
+    # NULL vectors follow SQL semantics (dot(NULL, v) IS NULL) to stay
+    # interchangeable with the HOF path, whose zip_with/aggregate exprs
+    # are null-propagating by Catalyst rules; np.stack on a batch
+    # containing None would otherwise kill the task. pd.NA in a nullable
+    # Float64 series crosses Arrow as a genuine NULL (NaN would not).
+    valid = x.notna() & y.notna()
+    out = pd.Series(pd.NA, index=x.index, dtype="Float64")
+    if valid.any():
+        xm = np.stack(x[valid].to_numpy())
+        ym = np.stack(y[valid].to_numpy())
+        out[valid] = np.einsum("ij,ij->i", xm, ym)
+    return out
 
 
 def _hof_dot(x: Column, y: Column) -> Column:
@@ -1286,7 +1295,13 @@ def qx84_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.functions.clustering import _fixed_vec
 
     emb = load_table(spark, sf_dir, "embeddings")
-    vecs = emb.select("vec_id", "label", _fixed_vec().alias("vi"))
+    # A NULL embedding cannot participate in distance mining on either
+    # side (anchor or corpus); dropping it here keeps the numpy kernel's
+    # np.stack dense instead of crashing the task on a None row. (The
+    # scan stays pushed-down: IsNotNull(embedding) reaches parquet.)
+    vecs = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "label", _fixed_vec().alias("vi")
+    )
     # The anchor set ships to the driver and into every task closure, so
     # it must be EXPLICITLY bounded: collect at most cap+1 rows (bounded
     # driver memory even on a pathological corpus) and fail loudly past

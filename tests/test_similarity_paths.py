@@ -143,3 +143,49 @@ def test_range_partition_planner_matches_bruteforce(spark):
         assert r["balance_e6"] == counts[i] * 10**6 * RANGE_BUCKETS // n
     # quantile boundaries on a continuous-ish key must balance well
     assert all(abs(r["balance_e6"] - 10**6) < 10**5 for r in out.values())
+
+
+def test_both_dot_paths_propagate_null_vectors(spark):
+    """dot(NULL, v) IS NULL on BOTH paths: the HOF exprs are
+    null-propagating by Catalyst rules, and the numpy path must mask
+    NULL rows instead of crashing np.stack on a None in the batch —
+    a failed-encode embedding row is routine in a 100 TB corpus."""
+    df = spark.range(6).select(
+        "id",
+        F.expr(
+            "CASE WHEN id % 3 = 0 THEN NULL ELSE "
+            "transform(sequence(1,8), i -> cast(id*i AS double)) END"
+        ).alias("a"),
+        F.expr(
+            "CASE WHEN id % 2 = 1 THEN NULL ELSE "
+            "transform(sequence(1,8), i -> cast(id+i AS double)) END"
+        ).alias("b"),
+    )
+    got = (
+        df.select(
+            "id",
+            sim._hof_dot(F.col("a"), F.col("b")).alias("hof"),
+            sim.np_dot(F.col("a"), F.col("b")).alias("np"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for r in got:
+        null_in = r["id"] % 3 == 0 or r["id"] % 2 == 1
+        assert (r["hof"] is None) == null_in, r
+        assert (r["np"] is None) == null_in, r
+        if not null_in:
+            want = sum(r["id"] * i * (r["id"] + i) for i in range(1, 9))
+            assert r["hof"] == pytest.approx(want, rel=1e-12)
+            assert r["np"] == pytest.approx(want, rel=1e-12)
+
+
+def test_np_dot_all_null_batch(spark):
+    """An all-NULL batch (e.g. one parquet file of tombstoned rows) must
+    come back as all NULL, not a task crash or NaN."""
+    df = spark.range(4).select(
+        F.lit(None).cast("array<double>").alias("a"),
+        F.expr("transform(sequence(1,8), i -> cast(i AS double))").alias("b"),
+    )
+    rows = df.select(sim.np_dot(F.col("a"), F.col("b")).alias("d")).collect()
+    assert [r["d"] for r in rows] == [None] * 4
