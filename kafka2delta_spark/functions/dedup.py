@@ -1385,8 +1385,10 @@ def qx22_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    # greatest(..., 1) only matters for an empty corpus (zero nodes ->
+    # base value irrelevant); on any real corpus it is the plain ratio
     base = docs.agg(
-        F.expr(f"cast({PR_SCALE} as bigint) div count(1)").alias("b")
+        F.expr(f"cast({PR_SCALE} as bigint) div greatest(count(1), 1)").alias("b")
     )
     nodes = docs.select(F.col("doc_id").alias("node")).crossJoin(
         F.broadcast(base)
@@ -2274,9 +2276,13 @@ def qx87_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.lit(n_docs) - F.col("n_clusters"))
                 .cast("bigint")
                 .alias("n_removed"),
-                F.expr(f"cast(n_clusters * 10000 div {n_docs} as bigint)").alias(
-                    "yield_e4"
-                ),
+                # n_docs is a driver literal; on an empty corpus the yield
+                # ratio is undefined -> NULL, not an ANSI divide-by-zero
+                (
+                    F.expr(f"cast(n_clusters * 10000 div {n_docs} as bigint)")
+                    if n_docs
+                    else F.lit(None).cast("bigint")
+                ).alias("yield_e4"),
             )
         )
     out = outs[0]

@@ -624,12 +624,17 @@ def qy06_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t0").cast("bigint").alias("n_step1"),
         F.count("t1").cast("bigint").alias("n_step2"),
         F.count("t2").cast("bigint").alias("n_step3"),
-        F.expr("cast(count(t1) * 10000 div count(t0) as bigint)").alias(
-            "conv_1_2_e4"
-        ),
-        F.expr("cast(count(t2) * 10000 div count(t1) as bigint)").alias(
-            "conv_2_3_e4"
-        ),
+        # a slice where no session reaches the prior step has an
+        # undefined conversion rate: NULL, matching DuckDB's `// 0`
+        # (ANSI `div` would crash the whole query instead)
+        F.expr(
+            "cast(case when count(t0) = 0 then null"
+            " else count(t1) * 10000 div count(t0) end as bigint)"
+        ).alias("conv_1_2_e4"),
+        F.expr(
+            "cast(case when count(t1) = 0 then null"
+            " else count(t2) * 10000 div count(t1) end as bigint)"
+        ).alias("conv_2_3_e4"),
     )
 
 

@@ -1230,6 +1230,8 @@ def _hardneg_partials(a_ids, a_labels, a_mat):
     def kernel(batches):
         import pandas as pd
 
+        if not len(a_ids):  # empty anchor set -> no partials at all
+            return
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1321,7 +1323,11 @@ def qx84_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     a_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
     a_labels = np.array([r["label"] for r in a_rows], dtype=np.int64)
-    a_mat = np.array([r["vi"] for r in a_rows], dtype=np.int64)
+    # explicit (n, DIM) shape: an empty anchor sample must yield a (0, DIM)
+    # matrix, not numpy's 1-D default that breaks the |a|² axis reduction
+    a_mat = np.array([r["vi"] for r in a_rows], dtype=np.int64).reshape(
+        len(a_rows), DIM
+    )
     partials = vecs.mapInPandas(
         _hardneg_partials(a_ids, a_labels, a_mat), _HARDNEG_PARTIAL_SCHEMA
     )

@@ -1941,8 +1941,11 @@ def qx83_kmv_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "err_e4",
+        # the "all" row exists even over an empty corpus, where a 0
+        # true-distinct makes the relative error undefined -> NULL
         F.expr(
-            "cast(abs(est_distinct - true_distinct) * 10000"
-            " div true_distinct as bigint)"
+            "cast(case when true_distinct = 0 then null"
+            " else abs(est_distinct - true_distinct) * 10000"
+            " div true_distinct end as bigint)"
         ),
     )

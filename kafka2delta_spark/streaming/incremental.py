@@ -214,13 +214,15 @@ def qx13_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.sources.tables import load_table
 
     ev = load_table(spark, sf_dir, "events")
-    mid = int(
-        ev.agg(
-            F.expr(
-                "(min(unix_micros(ts)) + max(unix_micros(ts))) div 2"
-            ).alias("m")
-        ).collect()[0]["m"]
-    )
+    m_val = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
+    ).collect()[0]["m"]
+    if m_val is None:  # same loud contract as the streaming split scaffold
+        raise RuntimeError(
+            "events table is empty: the change-feed two-batch split "
+            "cannot be built"
+        )
+    mid = int(m_val)
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="cdf_state_") + "/state",
         retain_versions=2,
