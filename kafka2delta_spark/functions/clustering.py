@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table, sf_fingerprint
+from kafka2delta_spark.sources.tables import load_embeddings, load_table, sf_fingerprint
 
 K_SEEDS = [0, 17, 34, 51]  # fixed seed vec_ids (K = 4)
 N_ITERS = 2
@@ -114,10 +114,13 @@ def lloyd_oracle_ctes() -> str:
     seeds = ", ".join(str(s) for s in K_SEEDS)
     return f"""vl AS (
         -- promote REAL -> DOUBLE before scaling (matches Spark's
-        -- cast("double"); scaling the raw float4 rounds differently)
+        -- cast("double"); scaling the raw float4 rounds differently).
+        -- NULL embeddings are excluded per the vector-operator contract
+        -- (sources/tables.py::load_embeddings)
         SELECT vec_id, t.i - 1 AS d,
                CAST(floor((embedding::DOUBLE[])[t.i] * {SCALE}) AS BIGINT) AS x
         FROM embeddings, range(1, 65) AS t(i)
+        WHERE embedding IS NOT NULL
     ),
     c0 AS (
         SELECT vec_id AS cid, d, x AS cx FROM vl WHERE vec_id IN ({seeds})
@@ -167,7 +170,7 @@ def q76_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     geometry. Returns every vector's final cluster and exact squared
     distance. Plan shape per iteration: broadcast-cross-join assignment
     (corpus never shuffles) + K*DIM-cell centroid hash-agg."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _fixed_vec().alias("vi")
     )
     assigned = _assign(emb, lloyd_centroids(emb))
@@ -236,7 +239,8 @@ def _pq_oracle() -> str:
     WITH vl AS (
         SELECT vec_id, t.i - 1 AS d,
                CAST(floor((embedding::DOUBLE[])[t.i] * {SCALE}) AS BIGINT) AS x
-        FROM embeddings, range(1, 65) AS t(i)),
+        FROM embeddings, range(1, 65) AS t(i)
+        WHERE embedding IS NOT NULL),
     {",".join(chains)}
     SELECT a2_0.vec_id, {code_cols},
            CAST({err} AS BIGINT) AS recon_err
@@ -288,7 +292,7 @@ _PQ_CACHE: dict = {}
 def pq_components(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir, sf_fingerprint(sf_dir))
     if key not in _PQ_CACHE:
-        emb = load_table(spark, sf_dir, "embeddings")
+        emb = load_embeddings(spark, sf_dir)
         vecs = emb.select("vec_id", _fixed_vec().alias("vi")).localCheckpoint(
             eager=False
         )

@@ -30,7 +30,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.operators.advanced import kmv_hash_duck, kmv_hash_spark
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.sources.tables import load_embeddings, load_table
 
 # ---------------------------------------------------------------------------
 # qz01: exact ROC-AUC of the q79 quality logit against near-dup membership
@@ -438,7 +438,8 @@ LOO_PROBES = 100  # vec_id < 100 are the evaluation probes
 @register(
     "qz04_loo_1nn_accuracy",
     oracle=f"""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     n AS (SELECT vec_id, label, v,
                  sqrt(list_dot_product(v, v)) AS nrm FROM e),
     q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
@@ -478,7 +479,7 @@ def qz04_loo_1nn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-probe eval shape — probes broadcast, corpus streams."""
     from kafka2delta_spark.functions.similarity import _vec, dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     n = emb.select("vec_id", "label", _vec().alias("v")).select(
         "vec_id",
         "label",

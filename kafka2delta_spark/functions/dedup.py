@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table, sf_fingerprint
+from kafka2delta_spark.sources.tables import load_embeddings, load_table, sf_fingerprint
 
 N_MINHASH = 8  # minhash permutations (seeds)
 BAND_SIZE = 2  # → 4 bands of 2 signatures each
@@ -871,7 +871,8 @@ def _neardup_oracle() -> str:
         f"SELECT vec_id, b{t} AS bucket, {t} AS tbl FROM n" for t in range(ND_TABLES)
     )
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                  {bucket_cols}
           FROM e),
@@ -907,7 +908,7 @@ def q89_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pandas_udf when ``K2D_VECTORIZED_DOT=1`` (the production path)."""
     from kafka2delta_spark.functions.similarity import dot, plane_bucket_spark
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     e = emb.select("vec_id", v.alias("v"))

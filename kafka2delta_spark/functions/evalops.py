@@ -23,7 +23,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.operators.advanced import kmv_hash_duck, kmv_hash_spark
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.sources.tables import load_embeddings, load_table
 
 # ---------------------------------------------------------------------------
 # qy01: intra-document repetition — the Gopher-style "duplicate n-gram
@@ -126,7 +126,8 @@ def qy01_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "qy02_filtered_ann_topk",
     oracle="""
-    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     n AS (SELECT vec_id, label, v,
                  sqrt(list_dot_product(v, v)) AS nrm FROM e),
     q AS (SELECT vec_id AS qid, label AS qlabel, v AS qv, nrm AS qn
@@ -159,7 +160,7 @@ def qy02_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate path this query is the recall oracle for."""
     from kafka2delta_spark.functions.similarity import N_QUERIES, TOP_K, _vec, dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     n = emb.select("vec_id", "label", _vec().alias("v")).select(
         "vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
     )
@@ -245,9 +246,13 @@ def qy04_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % 7 == 0, F.concat(F.lit("v2 "), F.col("text"))
             ).otherwise(F.col("text"))
         ).alias("h_a"),
+        # explicit presence marker: h_a is NULL for a PRESENT doc whose
+        # body is NULL (md5(NULL)), so the hash cannot double as the
+        # left-join presence test the way the oracle's a.doc_id can
+        F.lit(1).alias("__in_a"),
     )
     status = (
-        F.when(F.col("h_a").isNull(), "added")
+        F.when(F.col("__in_a").isNull(), "added")
         .when(F.col("h_a") != F.col("h"), "changed")
         .otherwise("unchanged")
     )
@@ -795,7 +800,8 @@ def _mmr_oracle() -> str:
     from kafka2delta_spark.functions.similarity import N_QUERIES
 
     head = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn
           FROM n WHERE vec_id < {N_QUERIES}),
@@ -868,7 +874,7 @@ def qy03_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term exists only inside the bounded pool."""
     from kafka2delta_spark.functions.similarity import N_QUERIES, _vec, dot
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     n = emb.select("vec_id", _vec().alias("v")).select(
         "vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
     )

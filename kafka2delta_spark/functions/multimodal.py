@@ -284,7 +284,10 @@ _N_SAMPLES = _N_BYTES // 2
     "q95b_audio_pcm_windows",
     oracle=f"""
     WITH hx AS (
-        SELECT doc_id, repeat(md5(text), {_PCM_REPEATS}) AS h FROM documents),
+        -- NULL payloads decode to zero windows (the kernel's
+        -- dropped-samples contract) -> absent here too
+        SELECT doc_id, repeat(md5(text), {_PCM_REPEATS}) AS h FROM documents
+        WHERE text IS NOT NULL),
     by AS (
         SELECT doc_id,
                [{_HEXVAL.format(c='2*j-1')} * 16 + {_HEXVAL.format(c='2*j')}

@@ -99,9 +99,11 @@ def q63_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q64_sequence_packing",
     oracle=rf"""
     WITH toks AS (
+        -- a NULL body has no tokens: excluded from packing (mirrors the
+        -- engine; also avoids NULL-ordering divergence in the cumsum)
         SELECT doc_id, lang,
                len(regexp_split_to_array(text, '\s+')) AS n_tokens
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     packed AS (
         SELECT lang, n_tokens,
                CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
@@ -125,7 +127,8 @@ def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     languages (a ``W.partitionBy("lang")`` window makes a monolingual 100 TB
     corpus ONE task): see :func:`two_level_cumsum`."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # no-token (NULL body) docs are excluded from packing (see oracle)
+    toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id", "lang", F.size(F.split("text", r"\s+")).alias("n_tokens")
     )
     cum = two_level_cumsum(spark, toks, ["lang"], [F.col("doc_id")], "n_tokens")
@@ -473,9 +476,10 @@ BUDGET_TOKENS = 5_000
     "q59_token_budget_selection",
     oracle=rf"""
     WITH toks AS (
+        -- NULL bodies carry no tokens and cannot join a budget (see q64)
         SELECT doc_id, lang, length(text) AS n_chars,
                len(regexp_split_to_array(text, '\s+')) AS n_tokens
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
     cum AS (
         SELECT doc_id, lang, n_tokens,
                SUM(n_tokens) OVER (PARTITION BY lang
@@ -495,7 +499,8 @@ def q59_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialize the scan; the budget filter is a pure per-row predicate on
     the cumsum."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
+    # no-token (NULL body) docs are excluded from the budget (see oracle)
+    toks = docs.filter(F.col("text").isNotNull()).select(
         "doc_id",
         "lang",
         F.length("text").alias("n_chars"),

@@ -36,7 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.sources.tables import load_embeddings, load_table
 
 # BM25 parameters (Okapi defaults) and the query vocabulary — literals
 # baked into both engines' plans, like the LSH hyperplanes.
@@ -271,7 +271,7 @@ def qx03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         lloyd_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_embeddings(spark, sf_dir).select(
         "vec_id", _fixed_vec().alias("vi")
     )
     assigned = _assign(emb, lloyd_centroids(emb)).select(

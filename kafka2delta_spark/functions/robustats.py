@@ -46,8 +46,13 @@ TRIM_PCT = 10  # drop (trimmed) or clamp (winsorized) lowest/highest 10%
     "qz11_trimmed_winsorized_mean",
     oracle=f"""
     WITH v AS (
+        -- defined-key + defined-measurement contract (family rule shared
+        -- with qx30/qx50): a NULL value row would sit at OPPOSITE ends
+        -- of the two engines' cumulative windows (Spark sorts NULLs
+        -- first, DuckDB last), shifting every boundary read
         SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v
-        FROM events),
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
     h AS (
         SELECT event_type, v, COUNT(*) AS cnt FROM v GROUP BY event_type, v),
     c AS (
@@ -107,7 +112,10 @@ def qz11_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     domain-bounded cumulative window, conditional-min hash-aggs — the
     qx53 envelope, never a multiset."""
     ev = load_table(spark, sf_dir, "events")
-    v = ev.select(
+    # defined-key + defined-measurement contract (see oracle comment)
+    v = ev.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "event_type",
         F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
     )

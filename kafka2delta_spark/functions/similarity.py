@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
-from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.sources.tables import load_embeddings, load_table
 
 DIM = 64
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -157,7 +157,8 @@ def _table_bucket_spark(v: Column, t: int) -> Column:
 @register(
     "q90_cosine_topk_bruteforce",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     q AS (SELECT vec_id AS qid, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}),
     scored AS (
@@ -174,7 +175,7 @@ def _table_bucket_spark(v: Column, t: int) -> Column:
 def q90_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-k: query side broadcast, corpus scanned once,
     ranking window per query id (tie-break on neighbor id)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     n = emb.select(
         "vec_id", _vec().alias("v")
     ).select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
@@ -210,7 +211,8 @@ _TABLE_UNNEST_SQL = " UNION ALL ".join(
 @register(
     "q91_ann_lsh_topk",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
                  {_TABLES_SQL}
           FROM e),
@@ -236,7 +238,7 @@ def q91_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query in ANY table (distinct union). Candidate generation is an
     equi-join on (table, bucket) — the plan shape that survives 100 TB
     (brute force q90 does not: its candidate set is the whole corpus)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     base = emb.select("vec_id", _vec().alias("v"))
     n = base.select(
         "vec_id",
@@ -333,7 +335,8 @@ def _ivf_oracle() -> str:
     probes AS (
         SELECT vec_id AS qid, cid AS cell
         FROM r2 WHERE vec_id < {N_QUERIES} AND crk <= {N_PROBE}),
-    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     cand AS (
         SELECT p.qid, a.vec_id AS nid
@@ -372,7 +375,7 @@ def q93_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lloyd_centroids,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     base = emb.select(
         "vec_id", _fixed_vec().alias("vi"), _vec().alias("v")
     ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
@@ -436,7 +439,8 @@ QUANT_BINS = 256
 @register(
     "q99_embedding_quantization",
     oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     x AS (SELECT vec_id, i - 1 AS dim, v[i] AS x
           FROM e, generate_series(1, {DIM}) t(i)),
     stats AS (SELECT dim, MIN(x) AS dmin, MAX(x) AS dmax
@@ -478,7 +482,7 @@ def q99_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB nothing here is driver-bound: stats are a 64-row broadcast
     and the corpus streams through one projection per pass."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     x = emb.select(
         "vec_id", F.posexplode(_vec()).alias("dim", "x")
     )
@@ -694,7 +698,8 @@ QANN_LEVELS = 127
 
 def _qann_oracle() -> str:
     return f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL),
     g AS (SELECT MAX(m) AS gmax FROM
           (SELECT MAX(list_aggregate(list_transform(v, x -> ABS(x)), 'max')) AS m
            FROM e)),
@@ -756,7 +761,7 @@ def qx51_quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     rankings are per-query-partition windows over broadcast-query
     scored sets (the q90 shape twice), and the final overlap join is
     k·queries rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_embeddings(spark, sf_dir)
     e = emb.select("vec_id", _vec().alias("v"))
     g = e.agg(
         F.max(F.expr("aggregate(transform(v, x -> abs(x)), 0D, (a, x) -> greatest(a, x))")).alias("gmax")
@@ -1173,12 +1178,15 @@ def _hardneg_oracle() -> str:
     from kafka2delta_spark.functions.clustering import SCALE
 
     return f"""
-    WITH vl AS (
+    WITH usable AS (
+        SELECT vec_id, embedding, label FROM embeddings
+        WHERE embedding IS NOT NULL AND label IS NOT NULL),
+    vl AS (
         SELECT vec_id, t.i - 1 AS d,
                CAST(floor((embedding::DOUBLE[])[t.i] * {SCALE}) AS BIGINT) AS x
-        FROM embeddings, range(1, 65) AS t(i)),
-    lab AS (SELECT vec_id, label FROM embeddings),
-    anch AS (SELECT vec_id AS aid FROM embeddings
+        FROM usable, range(1, 65) AS t(i)),
+    lab AS (SELECT vec_id, label FROM usable),
+    anch AS (SELECT vec_id AS aid FROM usable
              WHERE vec_id % {HARDNEG_MOD} = 0),
     dist AS (
         SELECT a.vec_id AS aid, b.vec_id AS nid,
@@ -1296,14 +1304,13 @@ def qx84_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from kafka2delta_spark.functions.clustering import _fixed_vec
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    # A NULL embedding cannot participate in distance mining on either
-    # side (anchor or corpus); dropping it here keeps the numpy kernel's
-    # np.stack dense instead of crashing the task on a None row. (The
-    # scan stays pushed-down: IsNotNull(embedding) reaches parquet.)
-    vecs = emb.filter(F.col("embedding").isNotNull()).select(
-        "vec_id", "label", _fixed_vec().alias("vi")
-    )
+    # A NULL embedding or NULL label cannot participate in labeled
+    # distance mining on either side (anchor or corpus); dropping both
+    # here keeps the numpy kernel dense (np.stack / int64 label array
+    # would crash on a None row). IsNotNull pushes down to the scan.
+    vecs = load_embeddings(spark, sf_dir).filter(
+        F.col("label").isNotNull()
+    ).select("vec_id", "label", _fixed_vec().alias("vi"))
     # The anchor set ships to the driver and into every task closure, so
     # it must be EXPLICITLY bounded: collect at most cap+1 rows (bounded
     # driver memory even on a pathological corpus) and fail loudly past

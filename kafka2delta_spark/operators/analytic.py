@@ -825,9 +825,13 @@ EWMA_SPAN = 20
     "qx10_ewm_rolling_value",
     oracle=f"""
     WITH x AS (
+        -- EWM over the OBSERVED series: NULL measurements are absent
+        -- rows, not zero-weight frame slots (Spark collect_list skips
+        -- NULLs while DuckDB list() keeps them — filtering is the only
+        -- frame definition both engines express identically)
         SELECT user_id, ts, event_id,
                CAST(floor(value * 1000) AS BIGINT) AS v1000
-        FROM events),
+        FROM events WHERE value IS NOT NULL),
     framed AS (
         SELECT user_id, event_id,
                list(v1000) OVER (
@@ -855,7 +859,9 @@ def qx10_ewm_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate Spark lacks natively: collect the bounded frame, fold with
     transform+aggregate."""
     ev = load_table(spark, sf_dir, "events")
-    x = ev.select(
+    # observed-series contract (see oracle comment): NULL values are
+    # absent rows, keeping the frame positions identical on both engines
+    x = ev.filter(F.col("value").isNotNull()).select(
         "user_id",
         "ts",
         "event_id",
@@ -1152,8 +1158,12 @@ def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx30_exact_grouped_quantiles",
     oracle="""
     WITH v AS (
+        -- defined-key + defined-measurement contract: quantile_cont
+        -- ignores NULL values anyway, and the rank machinery requires
+        -- pre-filtered NULLs (rankstats.exact_percentiles_by_rank)
         SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
-        FROM events)
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL)
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)    AS n,
            quantile_cont(v1000, 0.25)  AS p25,
@@ -1189,7 +1199,11 @@ def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade per VERDICT r4: O(1) aggregate state per task at any scale
     in exchange for one extra shuffle that amortizes at real sizes."""
     events = load_table(spark, sf_dir, "events")
-    v = events.select(
+    # defined-key + defined-measurement contract (mirrored in the oracle):
+    # the rank helper documents that NULLs must be pre-filtered
+    v = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
     )
     q = exact_percentiles_by_rank(
@@ -1613,8 +1627,10 @@ def qx48_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx50_robust_dispersion",
     oracle="""
     WITH v AS (
+        -- defined-key + defined-measurement contract (see qx30)
         SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
-        FROM events),
+        FROM events
+        WHERE event_type IS NOT NULL AND value IS NOT NULL),
     med AS (
         SELECT event_type, quantile_cont(v1000, 0.5) AS med
         FROM v GROUP BY event_type),
@@ -1656,7 +1672,10 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     group's full value multiset twice per query, the one aggregate
     state that cannot survive a hot group at 100 TB."""
     events = load_table(spark, sf_dir, "events")
-    v = events.select(
+    # defined-key + defined-measurement contract (see qx30)
+    v = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
     )
     med = exact_percentiles_by_rank(

@@ -69,6 +69,22 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table under the vector-operator contract: rows with
+    a NULL embedding (a failed encode — routine in a 100 TB corpus) are
+    excluded at scan, where IsNotNull pushes down to parquet. A NULL
+    vector cannot participate in any distance/dot computation, and the
+    DuckDB oracles' ``list_inner_product`` rejects NULL lists outright,
+    so every vector operator shares this rule (mirrored in its oracle as
+    ``WHERE embedding IS NOT NULL``). Operators that also key on
+    ``label`` drop NULL labels at their own call sites."""
+    from pyspark.sql import functions as F
+
+    return load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
+
+
 def normalize_event_ts(df: DataFrame) -> DataFrame:
     """Normalize ``events.ts`` to a session-timezone TIMESTAMP.
 

@@ -1,0 +1,130 @@
+"""Null-heavy corpus parity: Spark vs the DuckDB oracle on data with NULLs.
+
+The driver's correctness gate runs on null-free testdata, so it cannot see
+a query whose Spark plan and oracle SQL disagree about NULL semantics —
+exactly the divergence that appears the first time real data has a failed
+fetch/encode/parse. This suite injects deterministic NULLs into the value
+columns of events/documents/embeddings (keys and ts stay NOT NULL, like
+the TPC-H tables) and re-runs the full value-hash comparison for every
+query the 2026-08-15 audit found divergent, plus the contracts adopted:
+
+- vector operators exclude NULL embeddings at scan
+  (sources/tables.py::load_embeddings), mirrored as
+  ``WHERE embedding IS NOT NULL`` in their oracles — DuckDB's
+  list_inner_product rejects NULL lists outright;
+- grouped order statistics (qx30/qx50/qz11) use the defined-key +
+  defined-measurement contract — a NULL value row would sit at OPPOSITE
+  ends of the two engines' sort orders (Spark NULLS FIRST, DuckDB NULLS
+  LAST) and the rank machinery documents pre-filtered NULLs;
+- qx10's EWM runs over the OBSERVED series (collect_list skips NULLs,
+  DuckDB list() keeps them — filtering is the only shared frame);
+- token pipelines (q59/q64) exclude no-token NULL bodies;
+- q95/q95b follow the multimodal kernels' NULL-payload contracts;
+- qy04 tests snapshot presence with a marker column, not the content
+  hash (md5(NULL) is NULL for a PRESENT doc — the audit's one genuine
+  wrong-answer bug);
+- qy06's conversion ratios are NULL on a zero denominator (DuckDB
+  ``// 0``), never an ANSI divide-by-zero.
+"""
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+
+from check_correctness import ORACLE_TABLES, normalize, register_oracle_views  # noqa: E402
+
+SRC = "/root/testdata/sf0.001"
+
+# every query the null-heavy audit flagged, now under an explicit contract
+AUDITED = [
+    "q59_token_budget_selection",
+    "q64_sequence_packing",
+    "q76_kmeans_lloyd",
+    "q89_embedding_near_dups",
+    "q90_cosine_topk_bruteforce",
+    "q91_ann_lsh_topk",
+    "q93_ann_ivf_topk",
+    "q94_ann_recall_eval",
+    "q95_multimodal_features",
+    "q95b_audio_pcm_windows",
+    "q99_embedding_quantization",
+    "qx03_semantic_dedup",
+    "qx10_ewm_rolling_value",
+    "qx30_exact_grouped_quantiles",
+    "qx50_robust_dispersion",
+    "qx51_quantized_ann_recall",
+    "qx83_kmv_rollup_cube",
+    "qx84_hard_negative_mining",
+    "qx85_pq_codebook_encode",
+    "qx94_ivfpq_adc_search",
+    "qy02_filtered_ann_topk",
+    "qy03_mmr_diversified_topk",
+    "qy04_corpus_snapshot_diff",
+    "qy06_session_funnel",
+    "qz04_loo_1nn_accuracy",
+    "qz11_trimmed_winsorized_mean",
+]
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(tmp_path_factory):
+    """sf0.001 with deterministic NULLs in the pipeline tables' value
+    columns (single parquet files, like the real testdata layout)."""
+    dst = str(tmp_path_factory.mktemp("nullheavy"))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"""COPY (SELECT doc_id,
+        CASE WHEN doc_id % 7 != 3 THEN text END AS text, lang, source, n_chars
+        FROM read_parquet('{SRC}/documents.parquet'))
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT event_id, ts, user_id,
+        CASE WHEN event_id % 17 != 9 THEN event_type END AS event_type,
+        CASE WHEN event_id % 11 != 5 THEN value END AS value,
+        CASE WHEN event_id % 13 != 7 THEN props END AS props
+        FROM read_parquet('{SRC}/events.parquet'))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT vec_id,
+        CASE WHEN vec_id % 9 != 4 THEN embedding END AS embedding,
+        CASE WHEN vec_id % 13 != 6 THEN label END AS label
+        FROM read_parquet('{SRC}/embeddings.parquet'))
+        TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+@pytest.fixture(scope="module")
+def null_oracle_con(null_sf_dir):
+    con = duckdb.connect()
+    register_oracle_views(con, null_sf_dir)
+    yield con
+    con.close()
+
+
+def test_fixture_actually_has_nulls(spark, null_sf_dir):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{null_sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{null_sf_dir}/embeddings.parquet")
+    assert docs.filter(F.col("text").isNull()).count() > 0
+    assert emb.filter(F.col("embedding").isNull()).count() > 0
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_null_corpus_oracle_parity(spark, null_sf_dir, null_oracle_con, name):
+    import __spark_entry__ as entry
+    from kafka2delta_spark.queryset import ORACLES
+
+    sdf = entry.queries()[name](spark, null_sf_dir).toPandas()
+    odf = null_oracle_con.execute(ORACLES[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    assert normalize(sdf, cols) == normalize(odf, cols)
