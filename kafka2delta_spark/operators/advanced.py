@@ -537,7 +537,8 @@ def _kmv_oracle() -> str:
         f"// MAX(CASE WHEN rk = {KMV_K} THEN hv END) END"
     )
     return f"""
-    WITH h AS (SELECT DISTINCT event_type, {_KMV_HASH_DUCK} AS hv FROM events),
+    WITH h AS (SELECT DISTINCT event_type, {_KMV_HASH_DUCK} AS hv FROM events
+               WHERE user_id IS NOT NULL),
     r AS (SELECT event_type, hv,
                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
           FROM h),
@@ -591,8 +592,14 @@ def kmv_sketch_by_type(events: DataFrame) -> DataFrame:
 
     No .distinct() before the groupBy: collect_set dedups inside each
     (type, bucket) group with a map-side partial, so a separate distinct
-    would only add a second full-width shuffle of the raw rows."""
-    h = events.select("event_type", F.expr(_KMV_HASH).alias("hv"))
+    would only add a second full-width shuffle of the raw rows.
+
+    Anonymous events (NULL user_id) are excluded: a distinct-USER sketch
+    counts users, and the NULL hash would otherwise sit at opposite ends
+    of the two engines' sketch sort orders."""
+    h = events.filter(F.col("user_id").isNotNull()).select(
+        "event_type", F.expr(_KMV_HASH).alias("hv")
+    )
     l1 = (
         h.groupBy("event_type", F.pmod("hv", F.lit(16)).alias("bucket"))
         .agg(_bottom_k_set().alias("mins"))
@@ -1179,7 +1186,7 @@ def _qx59_oracle() -> str:
     WITH h AS (
         SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour,
                {kmv_hash_duck('user_id')} AS hv
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     r AS (SELECT hour, hv,
                  ROW_NUMBER() OVER (PARTITION BY hour ORDER BY hv) AS rk
           FROM h),
@@ -1221,7 +1228,8 @@ def qx59_rolling_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sketch rows only — bounded by hours x K) and re-ranks. Integer
     arithmetic end-to-end, so estimates hash-match the oracle."""
     ev = load_table(spark, sf_dir, "events")
-    h = ev.select(
+    # distinct-USER sketch: anonymous events excluded (kmv_sketch_by_type)
+    h = ev.filter(F.col("user_id").isNotNull()).select(
         F.expr("unix_micros(ts) div 3600000000").alias("hour"),
         F.expr(kmv_hash_spark("user_id")).alias("hv"),
     )
@@ -1283,7 +1291,7 @@ def _qx61_oracle() -> str:
     )
     return f"""
     WITH h AS (SELECT DISTINCT event_type, {kmv_hash_duck('user_id')} AS hv
-               FROM events),
+               FROM events WHERE user_id IS NOT NULL),
     r AS (SELECT event_type, hv,
                  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rk
           FROM h),
@@ -1839,7 +1847,7 @@ def _kmv_cube_oracle() -> str:
         SELECT DISTINCT event_type,
                dayofweek(CAST(ts AS DATE)) + 1 AS dow,
                user_id, {kmv_hash_duck('user_id')} AS hv
-        FROM events)
+        FROM events WHERE user_id IS NOT NULL)
     {union}
     """
 
@@ -1860,7 +1868,8 @@ def qx83_kmv_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     a unit test. dow is Spark's dayofweek numbering (Sunday=1; the
     oracle shifts DuckDB's Sunday=0 to match)."""
     events = load_table(spark, sf_dir, "events")
-    h = events.select(
+    # distinct-USER sketch: anonymous events excluded (kmv_sketch_by_type)
+    h = events.filter(F.col("user_id").isNotNull()).select(
         "event_type",
         F.dayofweek(F.to_date("ts")).cast("int").alias("dow"),
         "user_id",

@@ -1005,8 +1005,11 @@ WEEK_US = 7 * 86400 * 1_000_000
     "qx26_retention_cohorts",
     oracle=f"""
     WITH uw AS (
+        -- retention is per USER: anonymous (NULL user_id) events are
+        -- excluded (defined-user contract; the streaming sibling qx92's
+        -- keyed presence state cannot address a NULL key)
         SELECT DISTINCT user_id, epoch_us(ts) // {WEEK_US} AS week
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     c AS (
         SELECT user_id, week,
                MIN(week) OVER (PARTITION BY user_id) AS cohort_week
@@ -1036,7 +1039,8 @@ def qx26_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the denominator. At 100 TB: parallelism is the user-hash space;
     nothing global."""
     events = load_table(spark, sf_dir, "events")
-    uw = events.select(
+    # defined-user contract (see oracle comment)
+    uw = events.filter(F.col("user_id").isNotNull()).select(
         "user_id",
         F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),
     ).distinct()
@@ -1356,9 +1360,12 @@ ANOM_Z2 = 9  # z = 3
 
 ANOM_ORACLE = f"""
     WITH v AS (
+        -- per-USER trailing frames: anonymous (NULL user_id) events are
+        -- excluded (defined-user contract; the streaming sibling qx46's
+        -- keyed tail state cannot address a NULL key)
         SELECT user_id, event_id, ts,
                CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     w AS (
         SELECT user_id, event_id, v1000,
                COUNT(*)      OVER fr AS n,
@@ -1426,7 +1433,8 @@ def qx38_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     frame deterministic. At 100 TB this is the q30 shape: per-user state
     is one frame of 10 values, no global sort, no iteration."""
     events = load_table(spark, sf_dir, "events")
-    v = events.select(
+    # defined-user contract (see ANOM_ORACLE comment)
+    v = events.filter(F.col("user_id").isNotNull()).select(
         "user_id", "event_id", "ts",
         F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
     )
@@ -1441,6 +1449,10 @@ ATTR_GAP_MIN = 30
 #: used verbatim by the qx39 and qx48 oracles so both engines sessionize
 #: identically.
 SESSIONIZED_SQL = f"""e AS (
+        -- sessionization requires a defined user: anonymous (NULL
+        -- user_id) events would pool into one fake per-NULL "session
+        -- stream" (and the streaming sessionizer's keyed state cannot
+        -- address a NULL key at all)
         SELECT user_id, event_id, ts, event_type,
                CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
                CASE WHEN LAG(epoch_us(ts))
@@ -1451,7 +1463,7 @@ SESSIONIZED_SQL = f"""e AS (
                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          > {ATTR_GAP_MIN} * 60 * 1000000
                     THEN 1 ELSE 0 END AS is_start
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     s AS (
         SELECT *, SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                       ROWS UNBOUNDED PRECEDING) AS session_seq
@@ -1462,7 +1474,10 @@ def sessionize_events(events: DataFrame) -> DataFrame:
     """Gap-rule sessionization shared by qx39 and qx48: split each user's
     event log at ``ATTR_GAP_MIN``-minute inactivity gaps (the q57
     streaming sessionizer's rule, batch form). Adds ``v1000`` and
-    ``session_seq``; one shuffle on user_id serves both window passes."""
+    ``session_seq``; one shuffle on user_id serves both window passes.
+    Anonymous (NULL user_id) events are excluded — the defined-user
+    contract shared with SESSIONIZED_SQL above."""
+    events = events.filter(F.col("user_id").isNotNull())
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap_us = ATTR_GAP_MIN * 60 * 1_000_000
     e = events.select(

@@ -46,9 +46,20 @@ def asof_join(
 
     Output: all left columns + one ``<value><suffix>`` column per value col
     (NULL when no right row exists in the given direction).
+
+    NULL join keys follow SQL ASOF JOIN semantics: a NULL key never
+    matches (NULL = NULL is not true), so left rows with a NULL key come
+    back with NULL as-of values. The window implementation would silently
+    do the OPPOSITE — ``partitionBy`` groups all NULL keys into ONE
+    partition, "matching" anonymous rows to each other — so the right
+    side drops NULL-key rows before the union (the null-key left rows
+    then share a partition containing no right rows, which yields exactly
+    the LEFT JOIN NULL).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction}")
+    for k in on:
+        right = right.filter(F.col(k).isNotNull())
     left_cols = left.columns
     tagged_left = left.select(
         *on,

@@ -37,7 +37,11 @@ DAY_US = 86_400_000_000
     "qx81_activity_streaks",
     oracle="""
     WITH d AS (
-        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        -- per-user streaks need a defined user: anonymous events would
+        -- otherwise pool into one fake "user" (and the correlated
+        -- longest-start subquery can never match a NULL key)
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        WHERE user_id IS NOT NULL),
     i AS (
         SELECT user_id, day,
                (day - DATE '1970-01-01')
@@ -71,7 +75,8 @@ def qx81_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct; everything after is calendar-sized per user. Dates are
     emitted as strings (cross-engine DATE stringification rule)."""
     ev = load_table(spark, sf_dir, "events")
-    d = ev.select(
+    # defined-user contract (see oracle comment)
+    d = ev.filter(F.col("user_id").isNotNull()).select(
         "user_id", F.to_date("ts").alias("day")
     ).distinct()
     wu = W.partitionBy("user_id").orderBy("day")
@@ -540,11 +545,15 @@ def _log2_bucket_sql(col: str) -> str:
     "qx96_interarrival_histogram",
     oracle=f"""
     WITH g AS (
+        -- defined-user contract: gaps derive from a per-USER ordering;
+        -- pooling anonymous events as one pseudo-user would measure gaps
+        -- between different real people (and the streaming sibling
+        -- qy10's keyed ledger cannot address a NULL key)
         SELECT event_type,
                (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                     PARTITION BY user_id, event_type
                     ORDER BY ts, event_id)) // 1000000 AS gap_s
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     b AS (
         SELECT event_type, gap_s, {_log2_bucket_sql('gap_s')} AS bucket
         FROM g WHERE gap_s IS NOT NULL),
@@ -571,7 +580,10 @@ def qx96_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-type totals broadcast back. The bucket expression is a constant
     integer CASE ladder — whole-stage codegen, engine-identical, no
     floats."""
-    ev = load_table(spark, sf_dir, "events")
+    # defined-user contract (see oracle comment)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     g = ev.select(
         "event_type",

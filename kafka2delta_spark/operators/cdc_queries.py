@@ -44,14 +44,16 @@ def q70_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q71_cdc_merge_changelog",
     oracle=f"""
     WITH state AS (
+        -- CDC primary keys are non-null (Debezium PK contract): an
+        -- anonymous event cannot address a state row
         SELECT user_id, event_id, event_type, value FROM events
-        WHERE ts <= TIMESTAMP '{SPLIT_TS}'
+        WHERE user_id IS NOT NULL AND ts <= TIMESTAMP '{SPLIT_TS}'
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1),
     chg AS (
         SELECT user_id, event_id, event_type, value,
                CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END AS __deleted
         FROM events
-        WHERE ts > TIMESTAMP '{SPLIT_TS}'
+        WHERE user_id IS NOT NULL AND ts > TIMESTAMP '{SPLIT_TS}'
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1)
     SELECT COALESCE(s.user_id, c.user_id) AS user_id,
            CASE WHEN c.user_id IS NULL OR (s.user_id IS NOT NULL AND c.event_id <= s.event_id)
@@ -71,7 +73,10 @@ def q71_cdc_merge_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     extension) against a SQL oracle: events
     before the split are the existing state; events after are the change
     set, with 'error' events acting as deletes and event_id as the LSN."""
-    ev = load_table(spark, sf_dir, "events").select(
+    # CDC primary keys are non-null (Debezium PK contract, see oracle)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
         "user_id", "event_id", "event_type", "value", "ts"
     )
     split = F.lit(SPLIT_TS).cast("timestamp")
@@ -174,8 +179,9 @@ def qx16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx55_schema_evolution_merge",
     oracle=f"""
     WITH state AS (
+        -- CDC primary keys are non-null (Debezium PK contract, see q71)
         SELECT user_id, event_id, event_type FROM events
-        WHERE ts <= TIMESTAMP '{SPLIT_TS}'
+        WHERE user_id IS NOT NULL AND ts <= TIMESTAMP '{SPLIT_TS}'
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1),
     chg AS (
@@ -184,7 +190,7 @@ def qx16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
                    AS __deleted
         FROM events
-        WHERE ts > TIMESTAMP '{SPLIT_TS}'
+        WHERE user_id IS NOT NULL AND ts > TIMESTAMP '{SPLIT_TS}'
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1),
     win AS (
@@ -221,7 +227,10 @@ def qx55_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection — no extra scan, no shuffle."""
     from kafka2delta_spark.cdc.merge import merge_cdc_batch_evolving
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # CDC primary keys are non-null (Debezium PK contract, see q71)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
         "user_id", "event_id", "event_type", "value", "ts"
     )
     split = F.lit(SPLIT_TS).cast("timestamp")

@@ -124,7 +124,7 @@ def maintain_user_rollup(
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
            CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """,
 )
 def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +147,11 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
-        .filter(F.col("user_id") != SENTINEL_USER)
+        # defined-user contract: the rollup is KEYED on user_id (a NULL
+        # key cannot be addressed by the state merge); isNotNull also
+        # makes the sentinel exclusion explicit rather than relying on
+        # NULL != sentinel evaluating to NULL
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="rollup_state_") + "/state"
@@ -168,20 +172,22 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx13_store_change_feed",
     oracle="""
     WITH mid AS (
+        -- midpoint over the same defined-user set the engine processes
         SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS m
-        FROM events),
+        FROM events WHERE user_id IS NOT NULL),
     b0 AS (
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
                CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
-        FROM events, mid WHERE epoch_us(ts) < m GROUP BY user_id),
+        FROM events, mid
+        WHERE user_id IS NOT NULL AND epoch_us(ts) < m GROUP BY user_id),
     full_ AS (
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
                CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
-        FROM events GROUP BY user_id),
+        FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
     ins AS (
         SELECT f.*, 'insert' AS _change_type
         FROM full_ f LEFT JOIN b0 USING (user_id) WHERE b0.user_id IS NULL),
@@ -213,7 +219,10 @@ def qx13_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline of materialized views incremental end to end."""
     from kafka2delta_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    # defined-user contract: the rollup state is keyed on user_id
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
     m_val = ev.agg(
         F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2").alias("m")
     ).collect()[0]["m"]
@@ -521,7 +530,10 @@ def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
-        .filter(F.col("user_id") != SENTINEL_USER)
+        # defined-user contract (shared with the batch sibling's
+        # oracle): per-user state cannot address a NULL key; isNotNull
+        # also makes the sentinel exclusion explicit
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="anom_state_") + "/state"
@@ -548,16 +560,19 @@ def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx58_ivm_retraction_agg",
     oracle="""
     WITH state AS (
+        -- CDC primary keys are non-null (Debezium PK contract, see q71)
         SELECT user_id, event_id, event_type,
                CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
-        FROM events WHERE ts <= TIMESTAMP '2024-01-15 00:00:00'
+        FROM events
+        WHERE user_id IS NOT NULL AND ts <= TIMESTAMP '2024-01-15 00:00:00'
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1),
     chg AS (
         SELECT user_id, event_id, event_type,
                CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
                event_type = 'error' AS is_del
-        FROM events WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+        FROM events
+        WHERE user_id IS NOT NULL AND ts > TIMESTAMP '2024-01-15 00:00:00'
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1),
     merged AS (
@@ -601,7 +616,10 @@ def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.operators.cdc_queries import SPLIT_TS
     from kafka2delta_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events").select(
+    # CDC primary keys are non-null (Debezium PK contract, see q71)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    ).select(
         "user_id",
         "event_id",
         "event_type",
@@ -733,7 +751,10 @@ def qx70_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
-        .filter(F.col("user_id") != SENTINEL_USER)
+        # type-keyed counts INCLUDE anonymous (NULL user_id) events —
+        # only the watermark sentinel is excluded, null-safely (plain
+        # != would silently drop NULL keys and undercount)
+        .filter(~F.col("user_id").eqNullSafe(SENTINEL_USER))
     )
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="cusum_state_") + "/state"
@@ -837,7 +858,10 @@ def qx92_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
-        .filter(F.col("user_id") != SENTINEL_USER)
+        # defined-user contract (shared with the batch sibling's
+        # oracle): per-user state cannot address a NULL key; isNotNull
+        # also makes the sentinel exclusion explicit
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="ret_state_") + "/state"
@@ -948,7 +972,10 @@ def qx99_streaming_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
-        .filter(F.col("user_id") != SENTINEL_USER)
+        # defined-user contract (shared with the batch sibling's
+        # oracle): per-user state cannot address a NULL key; isNotNull
+        # also makes the sentinel exclusion explicit
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="conc_state_") + "/state"
@@ -1142,7 +1169,10 @@ def qy10_streaming_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", SPLIT_SHARDS)
         .parquet(d)
-        .filter(F.col("user_id") != SENTINEL_USER)
+        # defined-user contract (shared with the batch sibling's
+        # oracle): per-user state cannot address a NULL key; isNotNull
+        # also makes the sentinel exclusion explicit
+        .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
         spark, tempfile.mkdtemp(prefix="gap_state_") + "/state"

@@ -281,8 +281,10 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+    LEFT JOIN (SELECT * FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL) c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
     """,
@@ -401,11 +403,13 @@ def _sessionize(key, pdf_iter, state):  # noqa: ANN001 — applyInPandasWithStat
     "q57_stateful_sessionize",
     oracle=f"""
     WITH flagged AS (
+        -- defined-user contract: the keyed python state operator cannot
+        -- address a NULL key (anonymous events are excluded)
         SELECT user_id, ts,
                CASE WHEN ts >= COALESCE(LAG(ts) OVER w, ts - INTERVAL '1 second')
                                 + INTERVAL '{SESSION_GAP_MIN} minutes'
                     THEN 1 ELSE 0 END AS new_session
-        FROM events
+        FROM events WHERE user_id IS NOT NULL
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     sessions AS (
         SELECT user_id, ts,
@@ -431,7 +435,14 @@ def q57_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Project to the two columns the sessionizer reads BEFORE the stateful
     # exchange — every retained column (props is a JSON blob) is Arrow-
     # shipped to the Python state workers per batch otherwise.
-    ev = _open_stream(spark, sf_dir).select("user_id", "ts")
+    # defined-user contract (see oracle): drop NULL keys BEFORE the
+    # stateful exchange — they cannot address keyed state, and filtering
+    # here keeps them out of the Arrow worker round-trips entirely
+    ev = (
+        _open_stream(spark, sf_dir)
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id", "ts")
+    )
     sessions = (
         ev.withWatermark("ts", "30 minutes")
         .groupBy("user_id")
@@ -457,8 +468,10 @@ def q57_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            COALESCE(p.user_id, c.user_id) AS user_id,
            p.ts AS purchase_ts, c.ts AS click_ts
-    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+    FULL JOIN (SELECT * FROM events
+          WHERE event_type = 'click' AND user_id IS NOT NULL) c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
     """,

@@ -49,10 +49,14 @@ ENGINE_MODULES = sorted(
 
 
 def _load_table_target(node: ast.AST) -> str | None:
-    """If ``node`` is (a chain ending in) ``load_table(_, _, "name")``,
-    return the table name."""
+    """If ``node`` is (a chain ending in) ``load_table(_, _, "name")`` or
+    ``load_embeddings(...)`` (the vector-operator loader — an SF-scaled
+    embeddings scan with the NULL filter applied), return the table
+    name."""
     while isinstance(node, ast.Call):
         fn = node.func
+        if isinstance(fn, ast.Name) and fn.id == "load_embeddings":
+            return "embeddings"
         if isinstance(fn, ast.Name) and fn.id == "load_table":
             for arg in node.args[2:3]:
                 if isinstance(arg, ast.Constant) and isinstance(arg.value, str):

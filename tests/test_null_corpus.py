@@ -128,3 +128,116 @@ def test_null_corpus_oracle_parity(spark, null_sf_dir, null_oracle_con, name):
     assert cols == sorted(odf.columns)
     assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
     assert normalize(sdf, cols) == normalize(odf, cols)
+
+
+# ---------------------------------------------------------------------------
+# NULL join/group KEYS (anonymous events: user_id IS NULL) — a second
+# audit sweep (2026-08-15) found 21 divergent queries, all user-keyed.
+# Contracts adopted, engine + oracle in lockstep:
+# - keyed state (CDC merge q71/qx55/qx58, rollups q49/qx13, sessionize
+#   q57/qx82-family, retention qx26/qx92, anomalies qx38/qx46, per-user
+#   gaps qx96/qy10, streaks qx81, distinct-USER sketches qx19/qx23/qx59/
+#   qx61/qx83) excludes NULL keys: keyed state cannot address NULL, and
+#   pooling anonymous events into one pseudo-user fabricates data;
+# - asof_join fixes the OPERATOR: window partitionBy groups NULL keys
+#   (anonymous purchases would "match" anonymous views) where SQL ASOF
+#   never matches NULL — the right side now drops NULL keys, left rows
+#   keep LEFT JOIN NULL semantics (q60/qx09, oracles unchanged);
+# - TYPE-keyed streaming counts (qx70 cusum) keep anonymous events: only
+#   the watermark sentinel is excluded, null-safely (eqNullSafe).
+# ---------------------------------------------------------------------------
+
+KEY_AUDITED = [
+    "q49_incremental_user_rollup",
+    "q57_stateful_sessionize",
+    "q58_stream_stream_left_outer_join",
+    "q60_asof_last_view_before_purchase",
+    "q71_cdc_merge_changelog",
+    "qx08_stream_full_outer_join",
+    "qx09_asof_next_view_after_purchase",
+    "qx13_store_change_feed",
+    "qx19_kmv_distinct_sketch",
+    "qx23_streaming_kmv_distinct",
+    "qx46_streaming_anomalies",
+    "qx55_schema_evolution_merge",
+    "qx58_ivm_retraction_agg",
+    "qx59_rolling_kmv_distinct",
+    "qx61_kmv_set_overlap",
+    "qx70_streaming_cusum",
+    "qx81_activity_streaks",
+    "qx83_kmv_rollup_cube",
+    "qx92_streaming_retention",
+    "qx99_streaming_concurrency",
+    "qy10_streaming_interarrival",
+    # batch siblings whose shared oracles carry the same contract
+    "qx26_retention_cohorts",
+    "qx38_rolling_zscore_anomalies",
+    "qx82_concurrent_sessions",
+    "qx96_interarrival_histogram",
+    "qy06_session_funnel",
+]
+
+
+@pytest.fixture(scope="module")
+def nullkey_sf_dir(tmp_path_factory):
+    """sf0.001 with ~5% anonymous events (NULL user_id); all other
+    columns intact."""
+    dst = str(tmp_path_factory.mktemp("nullkeys"))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"""COPY (SELECT event_id, ts,
+        CASE WHEN event_id % 19 != 11 THEN user_id END AS user_id,
+        event_type, value, props
+        FROM read_parquet('{SRC}/events.parquet'))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+@pytest.fixture(scope="module")
+def nullkey_oracle_con(nullkey_sf_dir):
+    con = duckdb.connect()
+    register_oracle_views(con, nullkey_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", KEY_AUDITED)
+def test_null_key_oracle_parity(spark, nullkey_sf_dir, nullkey_oracle_con, name):
+    import __spark_entry__ as entry
+    from kafka2delta_spark.queryset import ORACLES
+
+    sdf = entry.queries()[name](spark, nullkey_sf_dir).toPandas()
+    odf = nullkey_oracle_con.execute(ORACLES[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    assert normalize(sdf, cols) == normalize(odf, cols)
+
+
+def test_asof_join_null_keys_follow_sql_semantics(spark):
+    """The operator-level pin for the asof fix: NULL-key left rows come
+    back with NULL as-of values (never matched to NULL-key right rows)."""
+    import datetime
+
+    from kafka2delta_spark.operators.asof import asof_join
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t0), (None, t0)], "k bigint, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t0 - datetime.timedelta(minutes=5), 10.0),
+         (None, t0 - datetime.timedelta(minutes=1), 99.0)],
+        "k bigint, ts timestamp, v double",
+    )
+    out = {r["k"]: r["v_asof"] for r in asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="ts", value_cols=["v"]
+    ).collect()}
+    assert out[1] == 10.0
+    assert out[None] is None  # NULL key never matches, row is kept
