@@ -27,6 +27,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import finite as finite_m
+from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -50,9 +52,10 @@ TRIM_PCT = 10  # drop (trimmed) or clamp (winsorized) lowest/highest 10%
         -- with qx30/qx50): a NULL value row would sit at OPPOSITE ends
         -- of the two engines' cumulative windows (Spark sorts NULLs
         -- first, DuckDB last), shifting every boundary read
-        SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        SELECT event_type, (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v
         FROM events
-        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        WHERE event_type IS NOT NULL
+          AND value IS NOT NULL AND isfinite(value)),
     h AS (
         SELECT event_type, v, COUNT(*) AS cnt FROM v GROUP BY event_type, v),
     c AS (
@@ -114,10 +117,10 @@ def qz11_trimmed_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # defined-key + defined-measurement contract (see oracle comment)
     v = ev.filter(
-        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        F.col("event_type").isNotNull() & finite_m("value")
     ).select(
         "event_type",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        v1000_m("value").alias("v"),
     )
     h = v.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("cnt"))
     wc = (

@@ -27,6 +27,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import finite as finite_m
 from kafka2delta_spark.sources.tables import load_table
 
 N_SALTS = 32
@@ -311,8 +312,9 @@ def _z_sql(xcol: str, ycol: str) -> str:
     WITH dims AS (
         SELECT event_id,
                CAST(user_id % 4096 AS BIGINT) AS zx,
-               CAST(abs(CAST(floor(value * 100) AS BIGINT)) % 4096 AS BIGINT)
-                   AS zy
+               (CASE WHEN isfinite(value) THEN
+                   CAST(abs(CAST(floor(value * 100) AS BIGINT)) % 4096 AS BIGINT)
+                END) AS zy
         FROM events),
     z AS (SELECT event_id, zx, zy,
                  CAST({_z_sql("zx", "zy")} AS BIGINT) AS zval
@@ -334,9 +336,12 @@ def q48_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite: ``repartitionByRange("zval")`` + write."""
     ev = load_table(spark, sf_dir, "events")
     zx = (F.col("user_id") % 4096).cast("bigint")
-    zy = (F.abs(F.floor(F.col("value") * 100).cast("bigint")) % 4096).cast(
-        "bigint"
-    )
+    # a non-finite value has no zone coordinate: NULL zy/zval (the ANSI
+    # bigint cast would otherwise kill the layout job on one corrupt row)
+    zy = F.when(
+        finite_m("value"),
+        F.abs(F.floor(F.col("value") * 100).cast("bigint")) % 4096,
+    ).cast("bigint")
     dims = ev.select(
         "event_id", zx.alias("zx"), zy.alias("zy")
     ).withColumn("zval", _z_interleave(F.col("zx"), F.col("zy")))
@@ -724,8 +729,9 @@ def _probes_sql() -> str:
     oracle=f"""
     WITH dims AS (
         SELECT CAST((epoch_us(ts) // 1000000) % 4096 AS BIGINT) AS zx,
-               CAST(abs(CAST(floor(value * 100) AS BIGINT)) % 4096 AS BIGINT)
-                   AS zy
+               (CASE WHEN isfinite(value) THEN
+                   CAST(abs(CAST(floor(value * 100) AS BIGINT)) % 4096 AS BIGINT)
+                END) AS zy
         FROM events),
     z AS (SELECT zx, zy, CAST({_z_sql("zx", "zy")} AS BIGINT) AS zval
           FROM dims),
@@ -772,9 +778,12 @@ def qx28_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap join output is n_files x n_probes rows."""
     ev = load_table(spark, sf_dir, "events")
     zx = (F.expr("unix_micros(ts) div 1000000") % 4096).cast("bigint")
-    zy = (F.abs(F.floor(F.col("value") * 100).cast("bigint")) % 4096).cast(
-        "bigint"
-    )
+    # a non-finite value has no zone coordinate: NULL zy/zval (the ANSI
+    # bigint cast would otherwise kill the layout job on one corrupt row)
+    zy = F.when(
+        finite_m("value"),
+        F.abs(F.floor(F.col("value") * 100).cast("bigint")) % 4096,
+    ).cast("bigint")
     dims = ev.select(zx.alias("zx"), zy.alias("zy")).withColumn(
         "zval", _z_interleave(F.col("zx"), F.col("zy"))
     )
@@ -1016,7 +1025,7 @@ def _fp_digest_sql(canon: str) -> str:
              CAST(SUM(d) AS HUGEINT)::VARCHAR
       FROM (SELECT {_fp_digest_sql(
           "concat_ws('|', event_id::VARCHAR, user_id::VARCHAR, event_type,"
-          " CAST(FLOOR(value * 1000) AS BIGINT)::VARCHAR,"
+          " (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END)::VARCHAR,"
           " epoch_us(ts)::VARCHAR)")} AS d FROM events)
       UNION ALL
       SELECT 'orders', CAST(COUNT(*) AS BIGINT),
@@ -1073,7 +1082,7 @@ def qx47_snapshot_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ev, "events",
                 "concat_ws('|', cast(event_id as string),"
                 " cast(user_id as string), event_type,"
-                " cast(cast(floor(value * 1000) as bigint) as string),"
+                " cast((case when value is not null and not isnan(value) and abs(value) != double('Infinity') then cast(floor(value * 1000) as bigint) end) as string),"
                 " cast(unix_micros(ts) as string))",
             )
         )
@@ -1676,7 +1685,8 @@ def qx73_event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame
 # ---------------------------------------------------------------------------
 
 _QX74_FEATS = [
-    ("value_e3", "CAST(FLOOR(value * 1000) AS BIGINT)", "floor(value * 1000)"),
+    ("value_e3", "(CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END)",
+     "case when value is not null and not isnan(value) and abs(value) != double('Infinity') then cast(floor(value * 1000) as bigint) end"),
     ("hod", "CAST(EXTRACT(hour FROM ts) AS BIGINT)", "hour(ts)"),
     ("dow", "CAST(EXTRACT(isodow FROM ts) AS BIGINT)", "weekday(ts) + 1"),
 ]

@@ -22,6 +22,8 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import finite as finite_m
+from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.sources.tables import load_table
 
 
@@ -615,7 +617,7 @@ def q44_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_id, user_id,
            CAST(COUNT(*) OVER w AS BIGINT)  AS n_1h,
-           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+           CAST(SUM((CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END)) OVER w AS BIGINT)
                                             AS v1000_1h
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
@@ -652,7 +654,7 @@ def q29_trailing_hour_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_1h"),
-        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        F.sum(v1000_m("value"))
         .over(w)
         .cast("bigint")
         .alias("v1000_1h"),
@@ -740,7 +742,7 @@ RESAMPLE_USER_MOD = 50  # exhibit subset: user_id % 50 == 0
     oracle=f"""
     WITH ev AS (
         SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000, event_type,
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000, event_type,
                ts, event_id
         FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0),
     hourly AS (
@@ -780,7 +782,7 @@ def q47_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
-            F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+            v1000_m("value").alias("v1000"),
             "event_type",
             "ts",
             "event_id",
@@ -831,7 +833,7 @@ EWMA_SPAN = 20
         -- frame definition both engines express identically)
         SELECT user_id, ts, event_id,
                CAST(floor(value * 1000) AS BIGINT) AS v1000
-        FROM events WHERE value IS NOT NULL),
+        FROM events WHERE value IS NOT NULL AND isfinite(value)),
     framed AS (
         SELECT user_id, event_id,
                list(v1000) OVER (
@@ -861,11 +863,11 @@ def qx10_ewm_rolling_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # observed-series contract (see oracle comment): NULL values are
     # absent rows, keeping the frame positions identical on both engines
-    x = ev.filter(F.col("value").isNotNull()).select(
+    x = ev.filter(finite_m("value")).select(
         "user_id",
         "ts",
         "event_id",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
     )
     w = (
         W.partitionBy("user_id")
@@ -1084,7 +1086,7 @@ TREND_SCALE = 1_000_000
         SELECT user_id,
                (epoch_us(ts) - MIN(epoch_us(ts)) OVER (PARTITION BY user_id))
                    // {HOUR_US} AS t,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v
         FROM events),
     agg AS (
         SELECT user_id,
@@ -1127,7 +1129,7 @@ def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(unix_micros(ts) - min(unix_micros(ts)) over"
             f" (partition by user_id)) div {HOUR_US}"
         ).alias("t"),
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        v1000_m("value").alias("v"),
     )
     agg = base.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1165,9 +1167,10 @@ def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         -- defined-key + defined-measurement contract: quantile_cont
         -- ignores NULL values anyway, and the rank machinery requires
         -- pre-filtered NULLs (rankstats.exact_percentiles_by_rank)
-        SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+        SELECT event_type, (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000
         FROM events
-        WHERE event_type IS NOT NULL AND value IS NOT NULL)
+        WHERE event_type IS NOT NULL
+          AND value IS NOT NULL AND isfinite(value))
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT)    AS n,
            quantile_cont(v1000, 0.25)  AS p25,
@@ -1206,9 +1209,9 @@ def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # defined-key + defined-measurement contract (mirrored in the oracle):
     # the rank helper documents that NULLs must be pre-filtered
     v = events.filter(
-        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        F.col("event_type").isNotNull() & finite_m("value")
     ).select(
-        "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
+        "event_type", v1000_m("value").alias("v1000")
     )
     q = exact_percentiles_by_rank(
         v, "v1000", [1, 2, 3], 4, keys=["event_type"], prefix="q"
@@ -1230,7 +1233,7 @@ def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, event_type, value,
                epoch_us(ts) AS us,
                epoch_us(ts) // {WEEK_US} AS week,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000
         FROM events),
     tc AS (
         SELECT user_id, event_type, COUNT(*) AS n
@@ -1273,7 +1276,7 @@ def qx32_user_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros("ts").alias("us"),
         F.expr(f"unix_micros(ts) div {WEEK_US}").alias("week"),
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
     )
     agg = base.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
@@ -1364,7 +1367,7 @@ ANOM_ORACLE = f"""
         -- excluded (defined-user contract; the streaming sibling qx46's
         -- keyed tail state cannot address a NULL key)
         SELECT user_id, event_id, ts,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000
         FROM events WHERE user_id IS NOT NULL),
     w AS (
         SELECT user_id, event_id, v1000,
@@ -1436,7 +1439,7 @@ def qx38_rolling_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
     # defined-user contract (see ANOM_ORACLE comment)
     v = events.filter(F.col("user_id").isNotNull()).select(
         "user_id", "event_id", "ts",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
     )
     return flag_rolling_anomalies(v)
 
@@ -1454,7 +1457,7 @@ SESSIONIZED_SQL = f"""e AS (
         -- stream" (and the streaming sessionizer's keyed state cannot
         -- address a NULL key at all)
         SELECT user_id, event_id, ts, event_type,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000,
                CASE WHEN LAG(epoch_us(ts))
                            OVER (PARTITION BY user_id ORDER BY ts, event_id)
                          IS NULL
@@ -1482,7 +1485,7 @@ def sessionize_events(events: DataFrame) -> DataFrame:
     gap_us = ATTR_GAP_MIN * 60 * 1_000_000
     e = events.select(
         "user_id", "event_id", "ts", "event_type",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
         F.when(
             F.lag(F.unix_micros("ts")).over(wu).isNull()
             | (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wu) > gap_us),
@@ -1643,9 +1646,10 @@ def qx48_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (
         -- defined-key + defined-measurement contract (see qx30)
-        SELECT event_type, CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+        SELECT event_type, (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000
         FROM events
-        WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        WHERE event_type IS NOT NULL
+          AND value IS NOT NULL AND isfinite(value)),
     med AS (
         SELECT event_type, quantile_cont(v1000, 0.5) AS med
         FROM v GROUP BY event_type),
@@ -1689,9 +1693,9 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     # defined-key + defined-measurement contract (see qx30)
     v = events.filter(
-        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+        F.col("event_type").isNotNull() & finite_m("value")
     ).select(
-        "event_type", F.floor(F.col("value") * 1000).cast("bigint").alias("v1000")
+        "event_type", v1000_m("value").alias("v1000")
     )
     med = exact_percentiles_by_rank(
         v, "v1000", [1], 2, keys=["event_type"], prefix="m"

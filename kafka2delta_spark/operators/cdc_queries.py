@@ -15,6 +15,7 @@ from kafka2delta_spark.cdc.dedup import latest_per_key
 from kafka2delta_spark.cdc.merge import merge_cdc_batch
 from kafka2delta_spark.cdc.wire import avro_payload_col, schema_id_col
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.sources.tables import load_table
 from pyspark.sql.window import Window
 
@@ -186,7 +187,7 @@ def qx16_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    ORDER BY event_id DESC) = 1),
     chg AS (
         SELECT user_id, event_id, event_type,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000,
                CASE WHEN event_type = 'error' THEN 'true' ELSE 'false' END
                    AS __deleted
         FROM events
@@ -243,7 +244,7 @@ def qx55_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
         F.when(F.col("event_type") == "error", "true")
         .otherwise("false")
         .alias("__deleted"),

@@ -39,13 +39,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.state.store import ParquetStateStore
 
 
 def _partial(batch_df: DataFrame) -> DataFrame:
     return batch_df.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
-        F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+        F.sum(v1000_m("value"))
         .cast("bigint")
         .alias("v1000"),
         F.max(F.unix_micros("ts")).cast("bigint").alias("last_seen_us"),
@@ -122,7 +123,7 @@ def maintain_user_rollup(
     oracle="""
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
+           CAST(SUM((CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END)) AS BIGINT) AS v1000,
            CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
     FROM events WHERE user_id IS NOT NULL GROUP BY user_id
     """,
@@ -178,14 +179,14 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     b0 AS (
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
+               CAST(SUM((CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END)) AS BIGINT) AS v1000,
                CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
         FROM events, mid
         WHERE user_id IS NOT NULL AND epoch_us(ts) < m GROUP BY user_id),
     full_ AS (
         SELECT user_id,
                CAST(COUNT(*) AS BIGINT) AS n_events,
-               CAST(SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS BIGINT) AS v1000,
+               CAST(SUM((CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END)) AS BIGINT) AS v1000,
                CAST(MAX(epoch_us(ts)) AS BIGINT) AS last_seen_us
         FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
     ins AS (
@@ -435,7 +436,7 @@ def apply_anomaly_batch(
     spark = batch_df.sparkSession
     rows = batch_df.select(
         "user_id", "event_id", "ts",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
         F.lit(1).alias("is_new"),
     )
     prior = (
@@ -562,14 +563,14 @@ def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH state AS (
         -- CDC primary keys are non-null (Debezium PK contract, see q71)
         SELECT user_id, event_id, event_type,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000
         FROM events
         WHERE user_id IS NOT NULL AND ts <= TIMESTAMP '2024-01-15 00:00:00'
         QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
                                    ORDER BY event_id DESC) = 1),
     chg AS (
         SELECT user_id, event_id, event_type,
-               CAST(FLOOR(value * 1000) AS BIGINT) AS v1000,
+               (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000,
                event_type = 'error' AS is_del
         FROM events
         WHERE user_id IS NOT NULL AND ts > TIMESTAMP '2024-01-15 00:00:00'
@@ -623,7 +624,7 @@ def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
         "ts",
     )
     split = F.lit(SPLIT_TS).cast("timestamp")

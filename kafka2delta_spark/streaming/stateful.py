@@ -38,6 +38,7 @@ from pyspark.sql.types import (
 
 from kafka2delta_spark.operators.hints import dim_broadcast
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.sources.tables import load_table
 from kafka2delta_spark.streaming.drain import drain_to_memory
 
@@ -526,7 +527,8 @@ def qx08_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx12_stream_static_enrichment",
     oracle="""
     SELECT e.event_id, e.user_id, c.c_nationkey, e.event_type,
-           CAST(floor(e.value * 1000) AS BIGINT) AS v1000
+           (CASE WHEN isfinite(e.value)
+                 THEN CAST(FLOOR(e.value * 1000) AS BIGINT) END) AS v1000
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     """,
 )
@@ -554,7 +556,7 @@ def qx12_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame
         "user_id",
         "c_nationkey",
         "event_type",
-        F.floor(F.col("value") * 1000).cast("bigint").alias("v1000"),
+        v1000_m("value").alias("v1000"),
     )
     name = drain_to_memory(enriched, "append", no_data_batches=False)
     return spark.table(name)

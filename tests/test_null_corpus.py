@@ -241,3 +241,104 @@ def test_asof_join_null_keys_follow_sql_semantics(spark):
     ).collect()}
     assert out[1] == 10.0
     assert out[None] is None  # NULL key never matches, row is kept
+
+
+# ---------------------------------------------------------------------------
+# NaN / ±Infinity measurements — a DISTINCT failure class from NULL: the
+# milli fixed-point conversion (floor(value*1000) -> BIGINT) died loudly
+# on either engine (Spark ANSI long-overflow on ±Inf, DuckDB INT64
+# conversion error on NaN), so one corrupt sensor reading killed the
+# whole job. The contract (functions/measure.py): non-finite is not a
+# measurement -> NULL at the conversion, flowing into the same NULL
+# semantics pinned above. Defined-measurement filters (qx10/qx30/qx50/
+# qz11) use the FINITE form so NaN cannot re-enter the rank machinery as
+# a NULL. 21 queries were affected in the 2026-08-15 audit.
+# ---------------------------------------------------------------------------
+
+NAN_AUDITED = [
+    "q29_trailing_hour_frame",
+    "q47_resample_ffill",
+    "q48_zorder_layout",
+    "q49_incremental_user_rollup",
+    "qx10_ewm_rolling_value",
+    "qx12_stream_static_enrichment",
+    "qx13_store_change_feed",
+    "qx28_zone_map_pruning",
+    "qx29_user_value_trend",
+    "qx30_exact_grouped_quantiles",
+    "qx32_user_feature_vector",
+    "qx38_rolling_zscore_anomalies",
+    "qx39_session_attribution",
+    "qx46_streaming_anomalies",
+    "qx47_snapshot_fingerprint",
+    "qx50_robust_dispersion",
+    "qx55_schema_evolution_merge",
+    "qx58_ivm_retraction_agg",
+    "qx74_feature_correlation_audit",
+    "qx79_linear_attribution",
+    "qz11_trimmed_winsorized_mean",
+]
+
+
+@pytest.fixture(scope="module")
+def nan_sf_dir(tmp_path_factory):
+    """sf0.001 with NaN (~3%) and ±Infinity (~3%) injected into
+    events.value; everything else intact."""
+    dst = str(tmp_path_factory.mktemp("nanvals"))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "documents", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"""COPY (SELECT event_id, ts, user_id, event_type,
+        CASE WHEN event_id % 29 = 17 THEN 'nan'::DOUBLE
+             WHEN event_id % 31 = 19 THEN 'infinity'::DOUBLE
+             WHEN event_id % 37 = 23 THEN '-infinity'::DOUBLE
+             ELSE value END AS value, props
+        FROM read_parquet('{SRC}/events.parquet'))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+@pytest.fixture(scope="module")
+def nan_oracle_con(nan_sf_dir):
+    con = duckdb.connect()
+    register_oracle_views(con, nan_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NAN_AUDITED)
+def test_nonfinite_value_oracle_parity(spark, nan_sf_dir, nan_oracle_con, name):
+    import __spark_entry__ as entry
+    from kafka2delta_spark.queryset import ORACLES
+
+    sdf = entry.queries()[name](spark, nan_sf_dir).toPandas()
+    odf = nan_oracle_con.execute(ORACLES[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    assert normalize(sdf, cols) == normalize(odf, cols)
+
+
+def test_v1000_contract_unit(spark):
+    """The conversion itself: finite -> milli bigint, NULL/NaN/±Inf -> NULL."""
+    from kafka2delta_spark.functions.measure import finite, v1000
+
+    df = spark.createDataFrame(
+        [(1, 2.5), (2, float("nan")), (3, float("inf")),
+         (4, float("-inf")), (5, None), (6, -0.0015)],
+        "id bigint, value double",
+    )
+    rows = {r["id"]: (r["f"], r["v"]) for r in df.select(
+        "id", finite("value").alias("f"), v1000("value").alias("v")
+    ).collect()}
+    assert rows[1] == (True, 2500)
+    assert rows[2] == (False, None)
+    assert rows[3] == (False, None)
+    assert rows[4] == (False, None)
+    assert rows[5] == (False, None)
+    assert rows[6] == (True, -2)  # floor, not truncate
