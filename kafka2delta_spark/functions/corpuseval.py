@@ -30,6 +30,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.operators.advanced import kmv_hash_duck, kmv_hash_spark
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_embeddings, load_table
 
 # ---------------------------------------------------------------------------
@@ -295,7 +296,7 @@ CDC_MOD = 16  # expected chunk length in tokens
     oracle=f"""
     WITH t AS (
         SELECT doc_id, source,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     p AS (
         SELECT doc_id, source,
@@ -359,7 +360,7 @@ def qz03_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     length is the {CDC_MOD} knob."""
     docs = load_table(spark, sf_dir, "documents")
     tok_t = docs.select(
-        "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("toks")
+        "doc_id", "source", F.split(ascii_lower("text"), r"\s+").alias("toks")
     ).filter(F.size("toks") >= CDC_K)
     rows = tok_t.select(
         "doc_id", "source", F.posexplode("toks").alias("pos", "tok")
@@ -674,7 +675,7 @@ def _rrf_oracle() -> str:
         SELECT doc_id, rk AS rk_b FROM ({_bm25_oracle()}) bm25q),
     d AS (
         SELECT doc_id,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     dl AS (SELECT doc_id, len(toks) AS dl FROM d),
     tr AS (SELECT doc_id, unnest(toks) AS term FROM d),
@@ -742,7 +743,7 @@ def qz06_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("rk").cast("bigint").alias("rk_b")
     )
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+        "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
     )
     dl = docs.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
     tr = docs.select("doc_id", F.explode("toks").alias("term"))
@@ -977,7 +978,7 @@ def _wjaccard_oracle() -> str:
 
     return f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql(k=3)} AS sh FROM t WHERE len(toks) >= 3),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from kafka2delta_spark.functions.text import STOPWORDS, TOKEN_SPLIT_RE
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_table
 
 # RE2-safe (DuckDB) and java.util.regex-safe (Spark) — no lookaround, no
@@ -248,7 +249,7 @@ _QUALITY_LOGIT_SQL = rf"""
         SELECT doc_id, source,
                length(text) AS n_chars,
                len(regexp_split_to_array(text, '\s+')) AS n_toks,
-               len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+               len(list_filter(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'),
                                t -> list_contains(
                                    ['the','a','and','of','to','in'], t)))
                    AS n_stop,
@@ -272,7 +273,7 @@ def quality_logits(docs: DataFrame) -> DataFrame:
     model as per-row native expressions (the Spark twin of
     ``_QUALITY_LOGIT_SQL``)."""
     toks = F.split(F.col("text"), r"\s+")
-    lower_toks = F.split(F.lower(F.col("text")), r"\s+")
+    lower_toks = F.split(ascii_lower(F.col("text")), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_chars = F.length("text").cast("bigint")
     n_toks = F.size(toks).cast("bigint")
@@ -311,7 +312,7 @@ def q79_quality_model_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast weights table for wide feature sets)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), r"\s+")
-    lower_toks = F.split(F.lower(F.col("text")), r"\s+")
+    lower_toks = F.split(ascii_lower(F.col("text")), r"\s+")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
     n_chars = F.length("text").cast("bigint")
     n_toks = F.size(toks).cast("bigint")

@@ -26,6 +26,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_embeddings, load_table, sf_fingerprint
 
 N_MINHASH = 8  # minhash permutations (seeds)
@@ -143,7 +144,7 @@ def shingle_rows(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
 
     tok_t = (
         docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+        .select("doc_id", F.split(ascii_lower(F.col("text")), r"\s+").alias("toks"))
         .filter(F.size("toks") >= k)
     )
     tok_rows = tok_t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
@@ -189,7 +190,7 @@ def shingle_rows_cached(
     oracle=r"""
     WITH norm AS (
         SELECT doc_id,
-               md5(array_to_string(list_sort(regexp_split_to_array(lower(text), '\s+')), ' '))
+               md5(array_to_string(list_sort(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')), ' '))
                    AS content_key
         FROM documents)
     SELECT CAST(COUNT(*) AS BIGINT)                      AS n_docs,
@@ -206,7 +207,7 @@ def q85_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents."""
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(
-        F.array_join(F.array_sort(F.split(F.lower(F.col("text")), r"\s+")), " ")
+        F.array_join(F.array_sort(F.split(ascii_lower(F.col("text")), r"\s+")), " ")
     )
     return docs.select("doc_id", key.alias("content_key")).agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -237,7 +238,7 @@ _BAND_UNNEST_SQL = " UNION ALL ".join(
     "q86_minhash_lsh_pairs",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql()} AS sh FROM t WHERE len(toks) >= 3),
@@ -333,7 +334,7 @@ def minhash_lsh_pairs(
 # q87b oracles so both engines derive pairs from the identical fingerprint.
 _SIMHASH_CTES = (
     r"""tok AS (
-        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS tok
+        SELECT doc_id, unnest(list_distinct(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+'))) AS tok
         FROM documents),
     h AS (SELECT doc_id, md5(tok) AS hx FROM tok),
     bits AS (
@@ -363,7 +364,7 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     votes ±1 per bit position (bit b of md5 nibble b), fingerprint = bits
     with positive sum. Explode + hash-agg — one shuffle on doc_id."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.lower(F.col("text")), r"\s+"))
+    toks = F.array_distinct(F.split(ascii_lower(F.col("text")), r"\s+"))
     tok = docs.select("doc_id", F.explode(toks).alias("tok"))
     h = tok.select("doc_id", F.md5("tok").alias("hx"))
     bit_sums = h.groupBy("doc_id").agg(
@@ -488,7 +489,7 @@ def q87b_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # statement so both engines cluster the identical similarity graph.
 _JACCARD_PAIRS_SQL = f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql(k=3)} AS sh FROM t WHERE len(toks) >= 3),
@@ -962,7 +963,7 @@ BOILER_MIN_DOCS = 3
     "q67_boilerplate_chunks",
     oracle=rf"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS toks
         FROM documents),
     chunks AS (
         SELECT doc_id,
@@ -990,7 +991,7 @@ def q67_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     past corpus size — and at 100 TB the output (shared chunks) is tiny
     relative to input, so nothing downstream blows up."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), r"\s+")
+    toks = F.split(ascii_lower(F.col("text")), r"\s+")
     n_chunks = F.floor(F.size(toks) / BOILER_CHUNK).cast("int")
     # sequence(1, 0) yields a DESCENDING [1, 0] (Spark defaults step to -1
     # when start > stop), which would emit two bogus chunks for a
@@ -1023,7 +1024,7 @@ NEW_REMAINDER = 4
 def _incdedup_oracle() -> str:
     return f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql()} AS sh FROM t WHERE len(toks) >= 3),
@@ -1049,7 +1050,7 @@ def _incdedup_oracle() -> str:
               <> (b.doc_id % {NEW_MOD} = {NEW_REMAINDER})),
     near AS (SELECT new_id AS doc_id, MIN(old_id) AS near_id
              FROM cand GROUP BY new_id),
-    h AS (SELECT doc_id, md5(lower(text)) AS h FROM documents),
+    h AS (SELECT doc_id, md5(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS h FROM documents),
     oldh AS (SELECT h, MIN(doc_id) AS exact_id FROM h
              WHERE doc_id % {NEW_MOD} <> {NEW_REMAINDER} GROUP BY h),
     newd AS (SELECT doc_id, h FROM h
@@ -1083,7 +1084,7 @@ def qx04_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     band index IS the dedup index."""
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REMAINDER
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.md5(F.lower("text")).alias("h")
+        "doc_id", F.md5(ascii_lower("text")).alias("h")
     )
     oldh = (
         docs.filter(~is_new)
@@ -1268,7 +1269,7 @@ SPAN_W = 8
 @register(
     "qx20_duplicated_spans",
     oracle=f"""
-    WITH t AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+    WITH t AS (SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS w
                FROM documents),
     s AS (SELECT DISTINCT doc_id,
                  unnest([array_to_string(w[i:i+{SPAN_W - 1}], ' ')
@@ -1433,7 +1434,7 @@ CONTAIN_MIN = 0.5
     "qx24_containment_pairs",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql(k=3)} AS sh FROM t WHERE len(toks) >= 3),
@@ -1571,8 +1572,8 @@ EDIT_NEAR_IDENTICAL = 8
     WITH pairs AS (SELECT doc_a, doc_b, jaccard FROM ({{jp}}) jp),
     p AS (
         SELECT pr.doc_a, pr.doc_b, pr.jaccard,
-               levenshtein(substr(lower(da.text), 1, {EDIT_PREFIX_CHARS}),
-                           substr(lower(db.text), 1, {EDIT_PREFIX_CHARS}))
+               levenshtein(substr(translate(da.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, {EDIT_PREFIX_CHARS}),
+                           substr(translate(db.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, {EDIT_PREFIX_CHARS}))
                    AS edit_dist
         FROM pairs pr
         JOIN documents da ON da.doc_id = pr.doc_a
@@ -1597,13 +1598,24 @@ def qx54_editdist_pair_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     the session-checkpointed Jaccard edge list (bucketed, never
     all-pairs), and the prefix cap fixes per-pair cost at {80}^2 char
     ops. The doc texts join onto the (tiny) pair list by id — two
-    data-sized shuffles bounded by the edge count, and both engines'
-    ``levenshtein`` is the classic integer DP, so verdicts hash-match
-    exactly."""
+    data-sized shuffles bounded by the edge count.
+
+    Distance counts UTF-8 BYTES: DuckDB's ``levenshtein`` is byte-based
+    (levenshtein('café','cafe') = 2) while Spark's counts code points,
+    so the byte definition — encoding-stable and tokenizer-style — is
+    the portable contract. Spark measures it by decoding the prefix's
+    UTF-8 bytes as ISO-8859-1 (a lossless byte→char bijection), making
+    its per-char DP a per-byte DP."""
     edges = _jaccard_pairs(spark, sf_dir)
+
+    def _bytes_as_chars(c):
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
-        F.substring(F.lower("text"), 1, EDIT_PREFIX_CHARS).alias("pfx"),
+        _bytes_as_chars(
+            F.substring(ascii_lower("text"), 1, EDIT_PREFIX_CHARS)
+        ).alias("pfx"),
     )
     da = docs.select(F.col("doc_id").alias("doc_a"), F.col("pfx").alias("pa"))
     db = docs.select(F.col("doc_id").alias("doc_b"), F.col("pfx").alias("pb"))
@@ -1643,7 +1655,7 @@ PPJOIN_T_E3 = 500
     "qx60_prefix_filter_jaccard_join",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh AS (
         SELECT doc_id, {shingles_sql()} AS shs FROM t WHERE len(toks) >= 3),
@@ -1797,7 +1809,7 @@ def _ppjoin_compute(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
         SELECT doc_id, source,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh AS (
         SELECT source, {shingles_sql()} AS shs FROM t WHERE len(toks) >= 3),
@@ -1888,7 +1900,7 @@ NOVELTY_BUCKET = 100
     "qx71_corpus_novelty_curve",
     oracle=f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh AS (
         SELECT doc_id, {shingles_sql()} AS shs FROM t WHERE len(toks) >= 3),
@@ -2022,7 +2034,7 @@ def _qx75_oracle() -> str:
     )
     return f"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql()} AS sh FROM t WHERE len(toks) >= 3),
@@ -2189,7 +2201,7 @@ def _threshold_sweep_oracle() -> str:
     union = " UNION ALL ".join(f"SELECT * FROM stat_{t}" for t in THRESH_SWEEP_E3)
     return f"""
     WITH RECURSIVE t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql(k=3)} AS sh FROM t WHERE len(toks) >= 3),
@@ -2326,7 +2338,7 @@ def _split_oov_oracle() -> str:
         SELECT sp.split, t.tok
         FROM documents d
         JOIN sp ON sp.doc_id = d.doc_id,
-        LATERAL (SELECT UNNEST(regexp_split_to_array(lower(d.text), '\\s+'))
+        LATERAL (SELECT UNNEST(regexp_split_to_array(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'))
                      AS tok) t),
     train_vocab AS MATERIALIZED (
         SELECT DISTINCT tok FROM tok WHERE split = 'train'),
@@ -2368,7 +2380,7 @@ def qx97_split_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(splits, "doc_id")
         .select(
             "split",
-            F.explode(F.split(F.lower("text"), r"\s+")).alias("tok"),
+            F.explode(F.split(ascii_lower("text"), r"\s+")).alias("tok"),
         )
     )
     train_vocab = (

@@ -23,6 +23,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.operators.advanced import kmv_hash_duck, kmv_hash_spark
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_embeddings, load_table
 
 # ---------------------------------------------------------------------------
@@ -42,7 +43,7 @@ REPEAT_MIN_SHINGLES = 8  # below this, ratios are noise
     oracle=f"""
     WITH t AS (
         SELECT doc_id, source,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     sh AS (
         SELECT doc_id, source,
@@ -81,7 +82,7 @@ def qy01_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     identically on both engines)."""
     docs = load_table(spark, sf_dir, "documents")
     tok_t = docs.select(
-        "doc_id", "source", F.split(F.lower("text"), r"\s+").alias("toks")
+        "doc_id", "source", F.split(ascii_lower("text"), r"\s+").alias("toks")
     ).filter(F.size("toks") >= REPEAT_K)
     rows = tok_t.select(
         "doc_id", "source", F.posexplode("toks").alias("pos", "tok")
@@ -415,7 +416,7 @@ HOLDOUT_MOD = 5
     oracle=f"""
     WITH t AS (
         SELECT doc_id,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     bg AS (
         SELECT doc_id,
@@ -473,7 +474,7 @@ def qy05_heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFram
     the held-side scoring joins (keyed on the same bigram/context keys);
     the fold list is per-document, bounded by document length."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+        "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
     ).filter(F.size("toks") >= 2)
     idx = F.sequence(F.lit(1), F.size("toks") - 1)
     pairs = docs.select(

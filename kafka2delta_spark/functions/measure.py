@@ -40,3 +40,32 @@ FINITE_SQL = "(value IS NOT NULL AND isfinite(value))"
 V1000_SQL = (
     "CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END"
 )
+
+
+# ---------------------------------------------------------------------------
+# Portable case folding. Engine-native lower() is NOT cross-engine
+# deterministic outside ASCII: Java (Spark) maps U+0130 'İ' to "i̇"
+# (i + combining dot, TWO code points) where utf8proc (DuckDB) maps it
+# to a bare "i" — so every token, shingle, minhash and simhash derived
+# from lower() silently diverges on real multilingual text. Tokenization
+# in a training-data pipeline must not change when the engine does, so
+# case folding is ASCII-scoped by contract: A-Z fold, everything else
+# passes through unchanged (identical on every engine; the byte-level
+# BPE stance of modern tokenizers, which do not case-fold Unicode
+# either).
+# ---------------------------------------------------------------------------
+
+_AZ_UPPER = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_AZ_LOWER = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: str | Column) -> Column:
+    """ASCII-scoped case fold (see module comment): portable across
+    engines where ``F.lower`` is not."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _AZ_UPPER, _AZ_LOWER)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """The identical fold as a DuckDB fragment."""
+    return f"translate({expr}, '{_AZ_UPPER}', '{_AZ_LOWER}')"

@@ -101,21 +101,22 @@ def extract_media_features(df: DataFrame) -> DataFrame:
 @register(
     "q95_multimodal_features",
     oracle="""
-    WITH payloads AS (
-        SELECT doc_id, text::BLOB AS payload FROM documents),
-    feats AS (
+    WITH feats AS (
+        -- payload is the UTF-8 encoding of text: encode(), not ::BLOB
+        -- (the cast rejects non-ASCII), and header_sum is the sum of the
+        -- first 16 BYTES (hex-parsed off the blob — ord() would count
+        -- code points, which diverge from bytes outside ASCII)
         SELECT doc_id,
-               octet_length(payload)                     AS n_bytes,
-               octet_length(payload) % 640               AS fake_width,
-               octet_length(payload) % 480               AS fake_height,
-               CAST(list_sum([ord(substring(text, i, 1)) for i in range(1, 17)]) AS BIGINT)
-                                                         AS header_sum
-        FROM payloads JOIN documents USING (doc_id))
+               octet_length(encode(text)) AS n_bytes,
+               list_sum([('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+                         for i in range(1, least(17, octet_length(encode(text)) + 1))])
+                   AS header_sum
+        FROM documents)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_bytes AS INT) AS n_bytes,
-           CAST(fake_width AS INT) AS fake_width,
-           CAST(fake_height AS INT) AS fake_height,
-           header_sum
+           CAST(n_bytes % 640 AS INT) AS fake_width,
+           CAST(n_bytes % 480 AS INT) AS fake_height,
+           CAST(header_sum AS BIGINT) AS header_sum
     FROM feats
     """,
 )
@@ -137,8 +138,8 @@ def q95_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT source,
            CAST(COUNT(*) AS BIGINT)                   AS n_docs,
-           CAST(SUM(octet_length(text::BLOB)) AS BIGINT) AS total_bytes,
-           CAST(MAX(octet_length(text::BLOB)) AS BIGINT) AS max_bytes
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           CAST(MAX(octet_length(encode(text))) AS BIGINT) AS max_bytes
     FROM documents
     GROUP BY source
     """,
@@ -168,7 +169,7 @@ FRAME_SAMPLES = 4  # uniform samples per video
     oracle=f"""
     WITH meta AS (
         SELECT doc_id,
-               octet_length(text::BLOB) % 300 + 5 AS duration_s
+               octet_length(encode(text)) % 300 + 5 AS duration_s
         FROM documents),
     frames AS (
         SELECT doc_id, duration_s,

@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import ORACLES, register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_table
 
 # import for side effect: q90/q91 must be registered before q94 composes them
@@ -285,7 +286,7 @@ def q66_domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q84_benchmark_contamination",
     oracle=rf"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS toks
         FROM documents),
     sh_t AS (
         SELECT doc_id, {shingles_sql(k=CONTAM_K)} AS sh
@@ -734,7 +735,7 @@ def _yield_funnel_oracle() -> str:
     cl AS (SELECT node, MIN(root) AS cluster_id FROM reach GROUP BY node),
     norm AS (
         SELECT doc_id, source,
-               md5(array_to_string(list_sort(regexp_split_to_array(lower(text), '\\s+')), ' '))
+               md5(array_to_string(list_sort(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')), ' '))
                    AS content_key
         FROM documents)
     SELECT n.source,
@@ -762,7 +763,7 @@ def qx68_dedup_yield_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     key = F.md5(
-        F.array_join(F.array_sort(F.split(F.lower(F.col("text")), r"\s+")), " ")
+        F.array_join(F.array_sort(F.split(ascii_lower(F.col("text")), r"\s+")), " ")
     )
     norm = docs.select("doc_id", "source", key.alias("content_key"))
     cl = q98_neardup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
@@ -803,7 +804,7 @@ SEQ_MIN_BUCKET = 16      # smallest padded width
     oracle=f"""
     WITH toks AS (
         SELECT doc_id,
-               len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+               len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS n_tokens
         FROM documents),
     b AS (
         SELECT doc_id, n_tokens,
@@ -848,7 +849,7 @@ def qx93_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id",
-        F.size(F.split(F.lower("text"), r"\s+")).cast("bigint").alias(
+        F.size(F.split(ascii_lower("text"), r"\s+")).cast("bigint").alias(
             "n_tokens"
         ),
     ).filter(F.col("n_tokens") > 0)

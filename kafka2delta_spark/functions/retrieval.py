@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_embeddings, load_table
 
 # BM25 parameters (Okapi defaults) and the query vocabulary — literals
@@ -62,8 +63,8 @@ def _bm25_oracle() -> str:
     return f"""
     WITH d AS (
         SELECT doc_id,
-               len(regexp_split_to_array(lower(text), '\\s+'))::DOUBLE AS dl,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               len(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'))::DOUBLE AS dl,
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     stats AS (SELECT COUNT(*)::DOUBLE AS n, SUM(dl) / COUNT(*) AS avgdl FROM d),
     tr AS (SELECT doc_id, dl, unnest(toks) AS term FROM d),
@@ -103,7 +104,7 @@ def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     — float addition is re-ordered freely by SQL engines otherwise, and
     the oracle gate hashes exact 4dp rounds."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+        "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
     )
     d = docs.select("doc_id", "toks", F.size("toks").cast("double").alias("dl"))
     stats = d.agg(
@@ -300,7 +301,7 @@ def qx03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kl_oracle() -> str:
     return r"""
     WITH tr AS (
-        SELECT source, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        SELECT source, unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+')) AS tok
         FROM documents),
     st AS (SELECT source, tok, COUNT(*)::DOUBLE AS c FROM tr GROUP BY source, tok),
     ns AS (SELECT source, SUM(c) AS n FROM st GROUP BY source),
@@ -334,7 +335,7 @@ def qx05_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     is float — rounded to 4dp like the repo's other statistical sums
     (q92), orders of magnitude above cross-engine accumulation jitter."""
     tr = load_table(spark, sf_dir, "documents").select(
-        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+        "source", F.explode(F.split(ascii_lower("text"), r"\s+")).alias("tok")
     )
     st = tr.groupBy("source", "tok").agg(
         F.count(F.lit(1)).cast("double").alias("c")
@@ -359,10 +360,10 @@ def qx05_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tr AS (
         SELECT DISTINCT doc_id,
-               unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+               unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS term
         FROM documents),
     occ AS (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        SELECT doc_id, unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS term
         FROM documents),
     tf AS (SELECT term, COUNT(*) AS total_tf FROM occ GROUP BY term),
     post AS (
@@ -398,7 +399,7 @@ def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     documented retrieval-index tradeoff."""
     docs = load_table(spark, sf_dir, "documents")
     occ = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+        "doc_id", F.explode(F.split(ascii_lower("text"), r"\s+")).alias("term")
     )
     tf = occ.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("total_tf")
@@ -423,7 +424,7 @@ CHAR_TERMS_TOP_K = 5
     "qx49_source_characteristic_terms",
     oracle=f"""
     WITH tr AS (
-        SELECT source, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        SELECT source, unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS term
         FROM documents),
     tf AS (SELECT source, term, COUNT(*) AS tf FROM tr GROUP BY source, term),
     df AS (SELECT term, COUNT(DISTINCT source) AS df FROM tr GROUP BY term),
@@ -462,7 +463,7 @@ def qx49_source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFr
     resolving within-bucket order."""
     docs = load_table(spark, sf_dir, "documents")
     tr = docs.select(
-        "source", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+        "source", F.explode(F.split(ascii_lower("text"), r"\s+")).alias("term")
     )
     tf = tr.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
     df = tr.groupBy("term").agg(F.countDistinct("source").alias("df"))

@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.functions.measure import finite as finite_m
 from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.sources.tables import load_table
@@ -303,7 +304,7 @@ def _langid_f1_oracle() -> str:
     return f"""
     WITH t AS (
         SELECT doc_id, lang,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     scored AS (SELECT doc_id, lang, {scores} FROM t),
     conf AS (
@@ -367,7 +368,7 @@ def qz13_langid_f1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
+    toks = F.split(ascii_lower(F.col("text")), TOKEN_SPLIT_RE)
     scored = docs.select(
         "lang",
         *[_lang_score_spark(toks, lang).alias(f"s_{lang}") for lang in _LANGS],

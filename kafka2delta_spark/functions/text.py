@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_table
 
 TOKEN_SPLIT_RE = r"\s+"
@@ -109,7 +110,7 @@ _PRED_SQL += "END"
     oracle=f"""
     WITH t AS (
         SELECT doc_id, lang,
-               regexp_split_to_array(lower(text), '\\s+') AS toks
+               regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     scored AS (
         SELECT doc_id, lang,
@@ -125,7 +126,7 @@ def q81_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax with a fixed preference order on ties (identical CASE chain
     on both engines). Output is the (label, prediction) confusion table."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
+    toks = F.split(ascii_lower(F.col("text")), TOKEN_SPLIT_RE)
     scored = docs.select(
         "doc_id",
         "lang",
@@ -176,7 +177,7 @@ def q82_token_counting(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=r"""
     WITH fp AS (
         SELECT doc_id, source,
-               substring(md5(lower(regexp_replace(text, '[^\w]', '', 'g'))), 1, 16)
+               substring(md5(translate(regexp_replace(text, '[^\w]', '', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')), 1, 16)
                    AS fingerprint
         FROM documents)
     SELECT source, COUNT(*) AS n_docs,
@@ -192,7 +193,7 @@ def q83_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts (duplicate fingerprints ⇒ exact dups after normalization)."""
     docs = load_table(spark, sf_dir, "documents")
     fp = F.substring(
-        F.md5(F.lower(F.regexp_replace("text", r"[^\w]", ""))), 1, 16
+        F.md5(ascii_lower(F.regexp_replace("text", r"[^\w]", ""))), 1, 16
     ).alias("fingerprint")
     return (
         docs.select("source", fp)
@@ -209,7 +210,7 @@ def q83_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q68_intra_doc_repetition",
     oracle=r"""
     WITH t AS (
-        SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS toks
+        SELECT doc_id, lang, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS toks
         FROM documents),
     sh AS (
         SELECT doc_id, lang,
@@ -239,7 +240,7 @@ def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.functions.dedup import shingle_rows_cached
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.col("text")), TOKEN_SPLIT_RE)
+    toks = F.split(ascii_lower(F.col("text")), TOKEN_SPLIT_RE)
     totals = docs.select(
         "doc_id", "lang", (F.size(toks) - 2).alias("total")
     ).filter(F.size(toks) >= 3)
@@ -262,7 +263,7 @@ def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qx14_bigram_logprob_quality",
     oracle=r"""
     WITH t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS toks
         FROM documents),
     bg AS (
         SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
@@ -298,7 +299,7 @@ def qx14_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines; the per-doc mean is rounded 4dp, orders of magnitude
     above accumulation-order jitter (precedent: q92/qx05)."""
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.lower("text"), r"\s+").alias("toks")
+        "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
     )
     idx = F.sequence(F.lit(1), F.size("toks") - 1)
     bg = docs.select(
@@ -341,7 +342,7 @@ BPE_TOP_PAIRS = 20
 @register(
     "qx21_bpe_pair_counts",
     oracle=f"""
-    WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS wd
+    WITH w AS (SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS wd
                FROM documents),
     p AS (SELECT unnest([[substr(wd, i, 1), substr(wd, i + 1, 1)]
                          for i in range(1, length(wd))]) AS pr
@@ -371,7 +372,7 @@ def qx21_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     code-point-safe in both engines (verified on multibyte input)."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("wd")
+        F.explode(F.split(ascii_lower("text"), TOKEN_SPLIT_RE)).alias("wd")
     ).filter(F.length("wd") >= 2)
     pairs = words.select(
         F.explode(
@@ -399,7 +400,7 @@ VOCAB_KS = [10, 100, 1000]
 @register(
     "qx35_vocab_coverage",
     oracle=f"""
-    WITH w AS (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS wd
+    WITH w AS (SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS wd
                FROM documents),
     freq AS (SELECT wd, COUNT(*) AS n FROM w GROUP BY wd),
     ranked AS (
@@ -431,7 +432,7 @@ def qx35_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc)."""
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(
-        F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("wd")
+        F.explode(F.split(ascii_lower("text"), TOKEN_SPLIT_RE)).alias("wd")
     )
     freq = words.groupBy("wd").agg(F.count(F.lit(1)).alias("n"))
     tot = freq.agg(
@@ -507,7 +508,7 @@ def _bpe_oracle() -> str:
     ctes = [
         """w AS (
         SELECT wd, COUNT(*) AS cnt
-        FROM (SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS wd
+        FROM (SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS wd
               FROM documents)
         WHERE wd <> '' GROUP BY wd),
     s0 AS (
@@ -566,7 +567,7 @@ def qx43_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     w = (
         docs.select(
-            F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("wd")
+            F.explode(F.split(ascii_lower("text"), TOKEN_SPLIT_RE)).alias("wd")
         )
         .filter(F.col("wd") != "")
         .groupBy("wd")

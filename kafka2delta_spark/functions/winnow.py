@@ -27,6 +27,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.functions.dedup import pairs_within_groups
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_table
 
 WINNOW_K = 3  # tokens per k-gram
@@ -46,7 +47,7 @@ def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = WINNOW_K, WINNOW_W
     tok_t = (
         docs.repartition(spark.sparkContext.defaultParallelism)
-        .select("doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("toks"))
+        .select("doc_id", F.split(ascii_lower(F.col("text")), r"\s+").alias("toks"))
         .filter(F.size("toks") >= k + w - 1)
     )
     tok_rows = tok_t.select("doc_id", F.posexplode("toks").alias("pos", "tok"))
@@ -84,7 +85,7 @@ def _winnow_sql() -> str:
     """The identical pipeline in DuckDB SQL (CTE body up to ``fp``)."""
     k, w = WINNOW_K, WINNOW_W
     return f"""t AS (
-        SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+        SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS toks
         FROM documents),
     gi AS (
         SELECT doc_id, toks,

@@ -22,6 +22,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
 from kafka2delta_spark.queryset import register
+from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.functions.measure import finite as finite_m
 from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.sources.tables import load_table
@@ -447,7 +448,7 @@ def q40_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_up"),
-        F.lower("p_type").alias("type_lo"),
+        ascii_lower("p_type").alias("type_lo"),
         F.length("p_name").alias("name_len"),
         F.substring("p_name", 1, 8).alias("name_head"),
         F.replace(F.col("p_brand"), F.lit("#"), F.lit("-")).alias("brand_dash"),

@@ -342,3 +342,99 @@ def test_v1000_contract_unit(spark):
     assert rows[4] == (False, None)
     assert rows[5] == (False, None)
     assert rows[6] == (True, -2)  # floor, not truncate
+
+
+# ---------------------------------------------------------------------------
+# Unicode text edges — engine-native string semantics are NOT portable
+# outside ASCII. The 2026-08-15 audit (emoji, CJK, NBSP, combining
+# chars, zero-width, case-mapping traps injected into documents.text)
+# found 11 divergent queries, three root causes, three contracts:
+# - case folding is ASCII-scoped (measure.ascii_lower / translate):
+#   Java lower('İ' U+0130) yields "i̇" (TWO code points) where utf8proc
+#   yields "i", silently forking every token/shingle/minhash/simhash;
+# - edit distance counts UTF-8 BYTES (qx54): DuckDB levenshtein is
+#   byte-based, Spark's counts code points — Spark now measures bytes
+#   via the lossless ISO-8859-1 byte->char decode of the prefix;
+# - binary payloads are encode(text), never text::BLOB (the DuckDB cast
+#   rejects non-ASCII), and q95's header_sum sums the first 16 BYTES
+#   hex-parsed off the blob (ord() counts code points).
+# ---------------------------------------------------------------------------
+
+UNICODE_AUDITED = [
+    "q86_minhash_lsh_pairs",
+    "q87_simhash_fingerprints",
+    "q87b_simhash_hamming_pairs",
+    "q95_multimodal_features",
+    "q96_multimodal_metadata_join",
+    "q97_video_frame_sampling",
+    "qx40_inverted_index",
+    "qx54_editdist_pair_verify",
+    "qx75_lsh_band_sweep",
+    "qx80_winnowing_fingerprint_pairs",
+    "qz03_cdc_chunk_dedup",
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(tmp_path_factory):
+    """sf0.001 with deterministic Unicode edge cases injected into
+    documents.text (n_chars recomputed from the new text)."""
+    dst = str(tmp_path_factory.mktemp("unicode"))
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(f"""
+    COPY (
+      WITH m AS (
+        SELECT doc_id, lang, source,
+          CASE doc_id % 11
+            WHEN 1 THEN 'café ñoño ' || text
+            WHEN 2 THEN text || ' 日本語テキスト 中文 한국어'
+            WHEN 3 THEN '🚀🔥💯 ' || text || ' 🎉'
+            WHEN 4 THEN replace(text, ' the ', ' the' || chr(160))
+            WHEN 5 THEN text || ' İstanbul ß STRASSE ligatures ﬁﬂ'
+            WHEN 6 THEN text || ' cafe' || chr(769) || ' naive' || chr(776)
+            WHEN 7 THEN text || ' zero' || chr(8203) || 'width' || chr(8205) || 'joined'
+            ELSE text END AS text
+        FROM read_parquet('{SRC}/documents.parquet'))
+      SELECT doc_id, text, lang, source, length(text) AS n_chars FROM m
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+@pytest.fixture(scope="module")
+def unicode_oracle_con(unicode_sf_dir):
+    con = duckdb.connect()
+    register_oracle_views(con, unicode_sf_dir)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_AUDITED)
+def test_unicode_text_oracle_parity(spark, unicode_sf_dir, unicode_oracle_con, name):
+    import __spark_entry__ as entry
+    from kafka2delta_spark.queryset import ORACLES
+
+    sdf = entry.queries()[name](spark, unicode_sf_dir).toPandas()
+    odf = unicode_oracle_con.execute(ORACLES[name]).fetchdf()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
+    assert normalize(sdf, cols) == normalize(odf, cols)
+
+
+def test_ascii_lower_is_portable_on_the_trap_codepoints(spark):
+    """The contract's unit pin: ascii_lower folds A-Z only and passes the
+    known engine-divergent code points through unchanged."""
+    from kafka2delta_spark.functions.measure import ascii_lower
+
+    rows = spark.createDataFrame(
+        [("İstanbul ß STRAßE ﬁ ABCz",)], "s string"
+    ).select(ascii_lower("s").alias("f")).collect()
+    # 'İ', 'ß', 'ﬁ' untouched; only A-Z folded
+    assert rows[0]["f"] == "İstanbul ß straße ﬁ abcz"
