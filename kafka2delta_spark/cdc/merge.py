@@ -67,7 +67,18 @@ def merge_cdc_batch(
 
     The new state's schema is ``changes_df`` minus ``deleted_col``
     (target schema = source minus the delete flag, ref stream/stream.py:106).
+
+    NULL-key change rows are excluded: a NULL primary key violates the
+    Debezium PK contract and CANNOT be merged — the key equi-join (this
+    full-outer join, and equally Delta's own ``MERGE ... ON t.k = s.k``,
+    which the reference uses) never matches NULL = NULL, so a malformed
+    null-key row would take the not-matched INSERT branch on EVERY batch
+    it appears in and accumulate duplicate state rows unboundedly. The
+    reference inherits exactly that corruption from Delta MERGE; here it
+    is closed at the operator.
     """
+    for k in key_cols:
+        changes_df = changes_df.filter(F.col(k).isNotNull())
     target_cols = [c for c in changes_df.columns if c != deleted_col]
 
     if state_df is None:
@@ -210,8 +221,17 @@ def apply_cdc_delta(
     All clause conditions come from :func:`delta_merge_spec` — see its
     docstring for the pruning/guard guarantees; the spec is unit-tested
     jar-free and this function only binds it to the DeltaTable API.
+
+    NULL-key change rows are excluded before the MERGE, mirroring
+    :func:`merge_cdc_batch`: Delta's ``ON t.k = s.k`` never matches a
+    NULL key, so such a row would fire the not-matched INSERT on every
+    replayed batch and accumulate duplicate state rows (the reference
+    inherits this exact behavior from Delta MERGE).
     """
     from delta.tables import DeltaTable  # gated import
+
+    for k in key_cols:
+        changes_df = changes_df.filter(F.col(k).isNotNull())
 
     target = (
         DeltaTable.forPath(spark, target_table_or_path)

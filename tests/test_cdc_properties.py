@@ -185,3 +185,22 @@ def test_selective_merge_equals_full_merge(spark, tmp_path_factory, ops):
     got = sorted(tuple(r) for r in sel.read().collect())
     want = sorted(tuple(r) for r in full.read().collect())
     assert got == want
+
+
+def test_null_key_change_rows_cannot_accumulate_state():
+    """A malformed NULL-key change row violates the Debezium PK contract
+    and can never be merged: the key equi-join (ours AND Delta's
+    ``MERGE ... ON t.k = s.k``, which the reference uses) never matches
+    NULL = NULL, so without the operator guard such a row would fire the
+    not-matched INSERT branch on EVERY batch and grow state unboundedly.
+    The guard drops it; real-key rows in the same batch are unaffected."""
+    from kafka2delta_spark.session import build_session
+
+    spark = build_session(
+        "cdc_nullkey", master="local[4]", shuffle_partitions=4
+    )
+    bad_batch = [(None, "ghost", 1, "false"), (7, "real", 1, "false")]
+    state = _spark_apply(spark, None, bad_batch)
+    state = _spark_apply(spark, state, [(None, "ghost", 2, "false")])
+    state = _spark_apply(spark, state, [(None, "ghost", 3, "false")])
+    assert _collect(state) == [(7, "real", 1)]  # no NULL-key rows, ever
