@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round driver rows plus this round's local tri-scale artifacts
 # (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
 # query (watermark progression by design).
-_ALIAS_PREFIX = "a9_"
+_ALIAS_PREFIX = "a10_"
 
 # Round 7 (``a7_``) targets, exactly 50:
 #   * round-7 additions (10): qy01..qy10 — intra-doc repetition,
@@ -162,10 +162,40 @@ _A9_KEYS = (
                               16, 18, 19, 20, 21, 25, 27, 28)}
 )
 
+# Round 10 (``a10_``) targets, exactly 50 — the round-9 verdict's
+# "close the freshness backlog" rotation (its item 1), oldest-first from
+# the union of CORRECTNESS_r01..r09 (recomputed on round-10 session
+# start: r04:2 r05:37 r06:40 r07:49 r08:50 r09:50):
+#   * q02 (newest row r04; q01 stays exempt — the ``entry()`` flagship
+#     re-verifies it at sf0.001 every round);
+#   * all 37 queries whose newest row is r05: qx17 and the qx29..qx74
+#     band (qx29 qx30 qx32 qx35..qx39 qx41 qx43..qx45 qx47 qx48
+#     qx50..qx52 qx54..qx57 qx59..qx69 qx71..qx74) — includes the
+#     null-contract-touched qx30/qx50/qx55/qx57;
+#   * modified this round (3): q95 (oracle CHANGED — empty-payload
+#     header_sum is COALESCE'd to 0, the 2026-08-16 ADVICE item), and
+#     q58/qx08 (explicit ``user_id IS NOT NULL`` on both join inputs,
+#     replacing the incidental three-valued-logic drop);
+#   * oldest-r06 fill (9): q03..q11 (TPC-H join block, rows from r06).
+# After this gate no query's newest driver row predates r06 except the
+# exempt q01. Queries touched this round whose semantics and oracles are
+# UNCHANGED (q71/qx55 — the CDC merge NULL-PK guard gained observability
+# only; qx55 is in the r05 band anyway, q71 holds its r09 row) are
+# covered by local tri-scale artifacts on current code.
+_A10_KEYS = (
+    {"q02"}
+    | {f"qx{i:02d}" for i in (17, 29, 30, 32, 35, 36, 37, 38, 39, 41,
+                              43, 44, 45, 47, 48, 50, 51, 52, 54, 55,
+                              56, 57, 59, 60, 61, 62, 63, 64, 65, 66,
+                              67, 68, 69, 71, 72, 73, 74)}
+    | {"q95", "q58", "qx08"}
+    | {f"q{i:02d}" for i in range(3, 12)}  # q03..q11
+)
+
 
 def _alias_block() -> list[str]:
     return [
-        name for name in sorted(QUERIES) if name.split("_")[0] in _A9_KEYS
+        name for name in sorted(QUERIES) if name.split("_")[0] in _A10_KEYS
     ]
 
 

@@ -33,7 +33,11 @@ from kafka2delta_spark.cdc.registry import (
     get_column_names_from_schema,
 )
 from kafka2delta_spark.cdc.dedup import latest_per_key
-from kafka2delta_spark.cdc.merge import merge_cdc_batch, split_upserts_deletes
+from kafka2delta_spark.cdc.merge import (
+    exclude_null_key_changes,
+    merge_cdc_batch,
+    split_upserts_deletes,
+)
 from kafka2delta_spark.state.store import (
     DeltaStateStore,
     ParquetStateStore,
@@ -54,6 +58,7 @@ __all__ = [
     "get_json_schema",
     "get_column_names_from_schema",
     "latest_per_key",
+    "exclude_null_key_changes",
     "merge_cdc_batch",
     "split_upserts_deletes",
     "DeltaStateStore",

@@ -296,14 +296,22 @@ def avro_schema_to_spark(avro_json_schema: str) -> T.StructType:
 # ---------------------------------------------------------------------------
 
 
-_AVRO_PROBE: dict[int, bool] = {}
+_AVRO_PROBE: list[bool] = []  # process-global memo (empty = not probed yet)
 
 
 def spark_avro_jar_available(spark) -> bool:
-    """True iff the spark-avro module is usable (probed once per session by
-    planning a trivial from_avro — class-loading checks are unreliable)."""
-    key = id(spark)
-    if key not in _AVRO_PROBE:
+    """True iff the spark-avro module is usable (probed once per PROCESS by
+    running a trivial from_avro — class-loading checks are unreliable).
+
+    The memo is deliberately global, not per-session: the spark-avro jar is
+    a JVM classpath property shared by every session and every foreachBatch
+    session clone. Keying by session object (the old behavior) re-ran the
+    failing probe inside EVERY micro-batch — one wasted failed job per
+    batch, and the failed execution hitting the ExecutionListenerBus made
+    ``Observation`` listeners throw (they force re-analysis of the failed
+    from_avro plan), hanging any ``Observation.get`` riding the same batch.
+    """
+    if not _AVRO_PROBE:
         try:
             from pyspark.sql import functions as F
             from pyspark.sql.avro.functions import from_avro
@@ -312,10 +320,10 @@ def spark_avro_jar_available(spark) -> bool:
             spark.range(1).select(
                 from_avro(F.lit(b"\x02"), probe_schema).alias("v")
             ).collect()
-            _AVRO_PROBE[key] = True
+            _AVRO_PROBE.append(True)
         except Exception:
-            _AVRO_PROBE[key] = False
-    return _AVRO_PROBE[key]
+            _AVRO_PROBE.append(False)
+    return _AVRO_PROBE[0]
 
 
 def decode_avro(

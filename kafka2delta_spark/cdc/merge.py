@@ -32,10 +32,66 @@ Two execution paths:
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import and_
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka2delta_spark.config import DELETED_COL, LSN_COL
+
+
+def defined_keys_predicate(key_cols: list[str]):
+    """``k1 IS NOT NULL AND k2 IS NOT NULL AND ...`` over the PK columns."""
+    return reduce(and_, (F.col(k).isNotNull() for k in key_cols))
+
+
+def exclude_null_key_changes(
+    changes_df: DataFrame, key_cols: list[str], on_null_key: str = "drop"
+) -> DataFrame:
+    """Enforce the Debezium PK contract on a change set.
+
+    A NULL primary key can never MERGE-match (``ON t.k = s.k`` is false
+    for NULL = NULL on every engine, Delta included), so a malformed row
+    would fire the not-matched INSERT on every redelivery and grow state
+    unboundedly — the corruption mode the reference inherits from Delta
+    MERGE (ref stream/stream.py:114-148).
+
+    * ``on_null_key='drop'`` (default): filter the rows out. Callers that
+      want the drop to be *observable* attach an ``Observation`` counting
+      NULL-key rows before the merge (see
+      ``streaming.stream.process_topic_slice``) — an upstream contract
+      violation should be visible, not silent.
+    * ``on_null_key='error'``: strict mode — the job fails loudly at the
+      executor on the first offending row (``assert_true`` inside the
+      filter, so the check cannot be pruned from the plan).
+    """
+    if on_null_key not in ("drop", "error"):
+        raise ValueError(
+            f"on_null_key must be 'drop' or 'error', got {on_null_key!r}"
+        )
+    if not key_cols:
+        return changes_df
+    defined = defined_keys_predicate(key_cols)
+    if on_null_key == "error":
+        msg = (
+            "CDC change row with NULL primary key (key cols: "
+            f"{', '.join(key_cols)}) — violates the Debezium PK contract; "
+            "a NULL key never MERGE-matches and would re-INSERT on every "
+            "redelivery"
+        )
+        # OR-form so either evaluation order raises for an offending row:
+        # a defined row passes whichever operand runs first (assert_true
+        # yields NULL -> isNull is true), while a NULL-key row either
+        # fails `defined` and evaluates the assert, or hits the assert
+        # directly. NOTE: if a caller composes ANOTHER `k IS NOT NULL`
+        # filter on top, Catalyst may fuse and short-circuit past the
+        # assert — pipeline strict mode therefore checks eagerly before
+        # the merge (streaming.stream.process_topic_slice).
+        return changes_df.filter(
+            defined | F.assert_true(defined, F.lit(msg)).isNull()
+        )
+    return changes_df.filter(defined)
 
 
 def split_upserts_deletes(
@@ -57,6 +113,7 @@ def merge_cdc_batch(
     key_cols: list[str],
     lsn_col: str = LSN_COL,
     deleted_col: str = DELETED_COL,
+    on_null_key: str = "drop",
 ) -> DataFrame:
     """Apply a deduped change set to the current state; returns new state.
 
@@ -68,17 +125,17 @@ def merge_cdc_batch(
     The new state's schema is ``changes_df`` minus ``deleted_col``
     (target schema = source minus the delete flag, ref stream/stream.py:106).
 
-    NULL-key change rows are excluded: a NULL primary key violates the
-    Debezium PK contract and CANNOT be merged — the key equi-join (this
-    full-outer join, and equally Delta's own ``MERGE ... ON t.k = s.k``,
-    which the reference uses) never matches NULL = NULL, so a malformed
-    null-key row would take the not-matched INSERT branch on EVERY batch
-    it appears in and accumulate duplicate state rows unboundedly. The
-    reference inherits exactly that corruption from Delta MERGE; here it
-    is closed at the operator.
+    NULL-key change rows are excluded (or rejected with
+    ``on_null_key='error'``): a NULL primary key violates the Debezium PK
+    contract and CANNOT be merged — the key equi-join (this full-outer
+    join, and equally Delta's own ``MERGE ... ON t.k = s.k``, which the
+    reference uses) never matches NULL = NULL, so a malformed null-key row
+    would take the not-matched INSERT branch on EVERY batch it appears in
+    and accumulate duplicate state rows unboundedly. The reference
+    inherits exactly that corruption from Delta MERGE; here it is closed
+    at the operator — observably (see :func:`exclude_null_key_changes`).
     """
-    for k in key_cols:
-        changes_df = changes_df.filter(F.col(k).isNotNull())
+    changes_df = exclude_null_key_changes(changes_df, key_cols, on_null_key)
     target_cols = [c for c in changes_df.columns if c != deleted_col]
 
     if state_df is None:
@@ -215,6 +272,7 @@ def apply_cdc_delta(
     partition_cols: list[str] | None = None,
     lsn_col: str = LSN_COL,
     deleted_col: str = DELETED_COL,
+    on_null_key: str = "drop",
 ) -> None:
     """Single combined Delta MERGE (requires delta-spark on the classpath).
 
@@ -222,16 +280,16 @@ def apply_cdc_delta(
     docstring for the pruning/guard guarantees; the spec is unit-tested
     jar-free and this function only binds it to the DeltaTable API.
 
-    NULL-key change rows are excluded before the MERGE, mirroring
-    :func:`merge_cdc_batch`: Delta's ``ON t.k = s.k`` never matches a
-    NULL key, so such a row would fire the not-matched INSERT on every
-    replayed batch and accumulate duplicate state rows (the reference
-    inherits this exact behavior from Delta MERGE).
+    NULL-key change rows are excluded before the MERGE (or rejected with
+    ``on_null_key='error'``), mirroring :func:`merge_cdc_batch`: Delta's
+    ``ON t.k = s.k`` never matches a NULL key, so such a row would fire
+    the not-matched INSERT on every replayed batch and accumulate
+    duplicate state rows (the reference inherits this exact behavior from
+    Delta MERGE).
     """
     from delta.tables import DeltaTable  # gated import
 
-    for k in key_cols:
-        changes_df = changes_df.filter(F.col(k).isNotNull())
+    changes_df = exclude_null_key_changes(changes_df, key_cols, on_null_key)
 
     target = (
         DeltaTable.forPath(spark, target_table_or_path)

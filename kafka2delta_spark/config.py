@@ -25,6 +25,11 @@ class TableConfig:
         partition_cols: hive-style partition columns of the target
             (ref utils/utils.py:56-57). Must be produced by the source
             schema or ``additional_cols``.
+        on_null_key: policy for change rows whose primary key is NULL
+            (a Debezium contract violation that Delta MERGE would turn
+            into unbounded duplicate INSERTs): ``'drop'`` excludes them
+            and logs a per-batch count; ``'error'`` fails the batch
+            loudly on the first offending row.
     """
 
     schema_name: str
@@ -32,12 +37,17 @@ class TableConfig:
     path: str
     additional_cols: list[str] = field(default_factory=list)
     partition_cols: list[str] = field(default_factory=list)
+    on_null_key: str = "drop"
 
     def __post_init__(self) -> None:
         if not self.schema_name or not self.table_name:
             raise ValueError("schema_name and table_name are required")
         if not self.path:
             raise ValueError("path is required")
+        if self.on_null_key not in ("drop", "error"):
+            raise ValueError(
+                f"on_null_key must be 'drop' or 'error', got {self.on_null_key!r}"
+            )
 
     @property
     def full_table_name(self) -> str:

@@ -105,12 +105,19 @@ def extract_media_features(df: DataFrame) -> DataFrame:
         -- payload is the UTF-8 encoding of text: encode(), not ::BLOB
         -- (the cast rejects non-ASCII), and header_sum is the sum of the
         -- first 16 BYTES (hex-parsed off the blob — ord() would count
-        -- code points, which diverge from bytes outside ASCII)
+        -- code points, which diverge from bytes outside ASCII).
+        -- Empty-payload contract: sum of zero bytes is 0, not NULL —
+        -- DuckDB's list_sum([]) returns NULL, so COALESCE it to 0 for
+        -- present-but-empty text while keeping NULL text -> NULL
+        -- (matches the kernel's sum(b''[:16]) = 0 / None passthrough).
         SELECT doc_id,
                octet_length(encode(text)) AS n_bytes,
-               list_sum([('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
-                         for i in range(1, least(17, octet_length(encode(text)) + 1))])
-                   AS header_sum
+               CASE WHEN text IS NULL THEN NULL
+                    ELSE COALESCE(
+                        list_sum([('0x' || substr(hex(encode(text)), 2*i-1, 2))::BIGINT
+                                  for i in range(1, least(17, octet_length(encode(text)) + 1))]),
+                        0)
+               END AS header_sum
         FROM documents)
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
            CAST(n_bytes AS INT) AS n_bytes,

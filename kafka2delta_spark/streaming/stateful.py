@@ -303,7 +303,17 @@ def q58_stream_stream_left_outer_join(
     are dropped from the result afterwards. Same bounded-state posture as
     q56: eviction is what MAKES the outer rows emit, so state is bounded
     by construction."""
-    ev = _open_stream(spark, sf_dir, files_per_trigger=None)
+    # Defined-user contract, explicit on BOTH inputs (matching the
+    # oracle's stated ``user_id IS NOT NULL``): NULL-key rows can never
+    # equi-join, so without this filter they would only be dropped
+    # incidentally by the trailing sentinel filter's three-valued logic —
+    # fragile (an eqNullSafe there would resurrect them) and wasteful
+    # (NULL-key rows sit in join state until watermark eviction for
+    # nothing). Filtering here trims that state up front. The sentinel
+    # user is non-NULL, so watermark advancement is unaffected.
+    ev = _open_stream(spark, sf_dir, files_per_trigger=None).filter(
+        F.col("user_id").isNotNull()
+    )
     purchases = (
         ev.filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(
@@ -487,7 +497,13 @@ def qx08_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final unmatched rows on BOTH sides flush in the no-data
     batch. Completes the streaming join matrix: inner (q56), left outer
     (q58), full outer (here)."""
-    ev = _open_stream(spark, sf_dir, files_per_trigger=None)
+    # Defined-user contract on both inputs, mirroring the oracle and q58:
+    # drop NULL keys before they enter (full-outer) join state — without
+    # this, NULL-key rows would emit as unmatched outer rows and only the
+    # trailing sentinel filter's three-valued logic would hide them.
+    ev = _open_stream(spark, sf_dir, files_per_trigger=None).filter(
+        F.col("user_id").isNotNull()
+    )
     purchases = (
         ev.filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(

@@ -23,23 +23,29 @@ Scale notes vs the reference:
 
 from __future__ import annotations
 
+import logging
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Mapping
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka2delta_spark.cdc.avro_codec import decode_avro
 from kafka2delta_spark.cdc.debezium import cast_debezium_columns
 from kafka2delta_spark.cdc.dedup import latest_per_key
-from kafka2delta_spark.cdc.merge import merge_cdc_batch
+from kafka2delta_spark.cdc.merge import (
+    defined_keys_predicate,
+    merge_cdc_batch,
+)
 from kafka2delta_spark.cdc.registry import SchemaRegistry, column_names_from_schema_str
 from kafka2delta_spark.cdc.wire import parse_confluent_envelope
 from kafka2delta_spark.config import DELETED_COL, LSN_COL, TableConfig
 from kafka2delta_spark.state.store import DeltaStateStore, ParquetStateStore
 
 DEFAULT_AVRO_OPTIONS = {"mode": "FAILFAST"}  # ref stream/stream.py:36-37
+
+logger = logging.getLogger(__name__)
 
 
 def delta_available() -> bool:
@@ -117,56 +123,136 @@ def process_topic_slice(
                 *latest.columns, *[F.expr(e) for e in config.additional_cols]
             )
 
-        if isinstance(store, DeltaStateStore):
-            # In-place file-level MERGE (the reference's sink semantics,
-            # ref stream/stream.py:114-148): only files holding matched keys
-            # rewrite; schema evolution via Delta autoMerge. This is the
-            # scale path — the parquet paths below rewrite at partition or
-            # snapshot granularity.
-            target_schema = T.StructType(
-                [f for f in latest.schema.fields if f.name != deleted_col]
+        # NULL-PK policy (TableConfig.on_null_key). The merge executors
+        # exclude NULL-key rows either way (they can never MERGE-match);
+        # this makes the contract violation OBSERVABLE instead of silent:
+        # 'error' fails the batch BEFORE the store mutates (an eager scan
+        # of the deduped slice — deterministic, unlike an in-plan assert
+        # that Catalyst can short-circuit past once fused with the merge's
+        # own IS NOT NULL filters), 'drop' counts them via an Observation
+        # riding the store action (no extra Spark job) and logs a warning
+        # when nonzero.
+        obs: Observation | None = None
+        if pk_cols and config.on_null_key == "error":
+            if latest.filter(~defined_keys_predicate(pk_cols)).take(1):
+                raise ValueError(
+                    f"CDC batch for {config.full_table_name} contains "
+                    "change row(s) with NULL primary key (key cols: "
+                    f"{', '.join(pk_cols)}) — Debezium PK contract "
+                    "violation; batch rejected (on_null_key='error')"
+                )
+        elif pk_cols:
+            obs = Observation()
+            latest = latest.observe(
+                obs,
+                F.count(
+                    F.when(~defined_keys_predicate(pk_cols), F.lit(1))
+                ).alias("null_key_rows"),
             )
-            store.create_if_not_exists(target_schema)
-            store.merge(latest, pk_cols)
-            continue
 
-        # Parquet fallback, partition-selective first: rewrite only the
-        # hive partitions the batch touches, hardlink the rest (the
-        # parquet analogue of Delta's file pruning). Returns False —
-        # full read-merge-overwrite below — on schema evolution, missing/
-        # NULL partition values, or an unpartitioned store.
-        if store.merge(latest, pk_cols, lsn_col, deleted_col):
-            continue
+        _apply_latest_to_store(latest, store, pk_cols, lsn_col, deleted_col)
 
-        state = store.read()
-        # Schema evolution (Delta autoMerge equivalent, ref conftest.py:101):
-        # union by name with missing columns as NULLs in either direction.
-        if state is not None and set(state.columns) != set(
-            c for c in latest.columns if c != deleted_col
-        ):
-            target_cols = [c for c in latest.columns if c != deleted_col]
-            merged_cols = list(dict.fromkeys(list(state.columns) + target_cols))
-            # typed NULLs (never NullType — parquet can't store void)
-            dtypes = dict(state.dtypes) | dict(latest.dtypes)
-            state = state.select(
-                *[
-                    F.col(c)
-                    if c in state.columns
-                    else F.lit(None).cast(dtypes[c]).alias(c)
-                    for c in merged_cols
-                ]
-            )
-            latest = latest.select(
-                *[
-                    F.col(c)
-                    if c in latest.columns
-                    else F.lit(None).cast(dtypes[c]).alias(c)
-                    for c in merged_cols
-                ],
-                deleted_col,
-            )
-        new_state = merge_cdc_batch(state, latest, pk_cols, lsn_col, deleted_col)
-        store.overwrite(new_state)
+        if obs is not None:
+            metrics = _observation_result(obs)
+            if metrics is None:
+                logger.debug(
+                    "CDC merge for %s: NULL-key drop count unavailable "
+                    "(observation did not resolve)",
+                    config.full_table_name,
+                )
+            elif metrics["null_key_rows"]:
+                logger.warning(
+                    "CDC merge for %s: dropped %d change row(s) with NULL "
+                    "primary key (cols: %s) — upstream Debezium contract "
+                    "violation; set TableConfig.on_null_key='error' to "
+                    "fail instead",
+                    config.full_table_name,
+                    metrics["null_key_rows"],
+                    ", ".join(pk_cols),
+                )
+
+
+def _observation_result(obs: Observation, timeout: float = 30.0) -> dict | None:
+    """Read ``Observation.get`` with a bound: the store action has already
+    completed when this is called, so the metrics are normally available
+    immediately — but ``get`` blocks indefinitely if the JVM-side
+    observation listener crashed (e.g. an unrelated failed execution on the
+    same listener bus), and a missing drop-count warning must never hang
+    the pipeline. Returns None if unavailable within ``timeout``."""
+    import threading
+
+    out: dict = {}
+
+    def _read() -> None:
+        try:
+            out.update(obs.get)
+        except Exception:  # noqa: BLE001 — diagnostics only, never fatal
+            pass
+
+    t = threading.Thread(target=_read, daemon=True)
+    t.start()
+    t.join(timeout)
+    return out if out else None
+
+
+def _apply_latest_to_store(
+    latest: DataFrame,
+    store: ParquetStateStore | DeltaStateStore,
+    pk_cols: list[str],
+    lsn_col: str,
+    deleted_col: str,
+) -> None:
+    """Route one deduped change slice to the store's best merge path."""
+    if isinstance(store, DeltaStateStore):
+        # In-place file-level MERGE (the reference's sink semantics,
+        # ref stream/stream.py:114-148): only files holding matched keys
+        # rewrite; schema evolution via Delta autoMerge. This is the
+        # scale path — the parquet paths below rewrite at partition or
+        # snapshot granularity.
+        target_schema = T.StructType(
+            [f for f in latest.schema.fields if f.name != deleted_col]
+        )
+        store.create_if_not_exists(target_schema)
+        store.merge(latest, pk_cols)
+        return
+
+    # Parquet fallback, partition-selective first: rewrite only the
+    # hive partitions the batch touches, hardlink the rest (the
+    # parquet analogue of Delta's file pruning). Returns False —
+    # full read-merge-overwrite below — on schema evolution, missing/
+    # NULL partition values, or an unpartitioned store.
+    if store.merge(latest, pk_cols, lsn_col, deleted_col):
+        return
+
+    state = store.read()
+    # Schema evolution (Delta autoMerge equivalent, ref conftest.py:101):
+    # union by name with missing columns as NULLs in either direction.
+    if state is not None and set(state.columns) != set(
+        c for c in latest.columns if c != deleted_col
+    ):
+        target_cols = [c for c in latest.columns if c != deleted_col]
+        merged_cols = list(dict.fromkeys(list(state.columns) + target_cols))
+        # typed NULLs (never NullType — parquet can't store void)
+        dtypes = dict(state.dtypes) | dict(latest.dtypes)
+        state = state.select(
+            *[
+                F.col(c)
+                if c in state.columns
+                else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in merged_cols
+            ]
+        )
+        latest = latest.select(
+            *[
+                F.col(c)
+                if c in latest.columns
+                else F.lit(None).cast(dtypes[c]).alias(c)
+                for c in merged_cols
+            ],
+            deleted_col,
+        )
+    new_state = merge_cdc_batch(state, latest, pk_cols, lsn_col, deleted_col)
+    store.overwrite(new_state)
 
 
 def apply_cdc_micro_batch(

@@ -274,3 +274,141 @@ def test_partition_pruning_layout(spark, rig):
     assert state.count() == 1
     # partition filters present in the scan (pruning, not post-filter)
     assert "PartitionFilters" in plan
+
+
+# ---------------------------------------------------------------------------
+# NULL-primary-key observability (2026-08-16 ADVICE): malformed upstream
+# rows are excluded by the merge guard either way, but the exclusion must
+# be VISIBLE — a per-batch warning with the drop count in the default
+# 'drop' policy, a loud batch failure under on_null_key='error'.
+# ---------------------------------------------------------------------------
+
+# a users schema whose id is nullable, so a contract-violating NULL PK can
+# actually arrive through the Avro decode path
+USERS_NULLABLE_ID = json.dumps(
+    {
+        "type": "record",
+        "name": "users_nid",
+        "fields": [
+            {"name": "id", "type": ["null", "int"], "default": None},
+            {"name": "name", "type": "string"},
+            {"name": "__deleted", "type": "string"},
+            {"name": "__timestamp", "type": "long"},
+            {"name": "__log_sequence_number", "type": "long"},
+        ],
+    }
+)
+KEY_NULLABLE = json.dumps(
+    {
+        "type": "record",
+        "name": "users_nid_key",
+        "fields": [{"name": "id", "type": ["null", "int"], "default": None}],
+    }
+)
+
+
+def _nullable_rig(spark, tmp_path, on_null_key):
+    registry = InMemorySchemaRegistry()
+    key_sid = registry.register(KEY_NULLABLE)
+    val_sid = registry.register(USERS_NULLABLE_ID)
+    config = TableConfig(
+        schema_name="cdc",
+        table_name="users_nid",
+        path=str(tmp_path / "users_nid"),
+        on_null_key=on_null_key,
+    )
+    store = make_state_store(spark, config, backend="parquet")
+    store.table_name = None
+    return registry, key_sid, val_sid, config, store
+
+
+def _nullable_record(key_sid, val_sid, uid, lsn):
+    rec = {
+        "id": uid,
+        "name": f"user{uid}" if uid is not None else "ghost",
+        "__deleted": "false",
+        "__timestamp": 1700000000000 + lsn,
+        "__log_sequence_number": lsn,
+    }
+    key = make_confluent_envelope(
+        key_sid, encode_avro_payload({"id": uid}, KEY_NULLABLE)
+    )
+    val = make_confluent_envelope(
+        val_sid, encode_avro_payload(rec, USERS_NULLABLE_ID)
+    )
+    return (TOPIC, 0, lsn, dt.datetime(2024, 3, 15, 12), 0, key, val)
+
+
+def test_null_pk_drop_policy_logs_count(spark, tmp_path, caplog):
+    """Default policy: NULL-PK rows are dropped AND the drop is logged
+    with a count — never silent (the Observation rides the store action,
+    no extra Spark job)."""
+    import logging
+
+    registry, key_sid, val_sid, config, store = _nullable_rig(
+        spark, tmp_path, "drop"
+    )
+    batch = spark.createDataFrame(
+        [
+            _nullable_record(key_sid, val_sid, 1, 10),
+            _nullable_record(key_sid, val_sid, None, 11),
+            _nullable_record(key_sid, val_sid, 2, 12),
+        ],
+        KAFKA_SCHEMA,
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="kafka2delta_spark.streaming.stream"
+    ):
+        apply_cdc_micro_batch(batch, registry, {TOPIC: config}, {TOPIC: store})
+    state = store.read()
+    assert sorted(r["id"] for r in state.collect()) == [1, 2]
+    warned = [r for r in caplog.records if "NULL" in r.getMessage()]
+    assert len(warned) == 1
+    assert "dropped 1 change row" in warned[0].getMessage()
+    assert "cdc.users_nid" in warned[0].getMessage()
+
+
+def test_null_pk_clean_batch_logs_nothing(spark, tmp_path, caplog):
+    """No contract violation -> no warning noise."""
+    import logging
+
+    registry, key_sid, val_sid, config, store = _nullable_rig(
+        spark, tmp_path, "drop"
+    )
+    batch = spark.createDataFrame(
+        [_nullable_record(key_sid, val_sid, 1, 10)], KAFKA_SCHEMA
+    )
+    with caplog.at_level(
+        logging.WARNING, logger="kafka2delta_spark.streaming.stream"
+    ):
+        apply_cdc_micro_batch(batch, registry, {TOPIC: config}, {TOPIC: store})
+    assert [r for r in caplog.records if "NULL" in r.getMessage()] == []
+    assert store.read().count() == 1
+
+
+def test_null_pk_error_policy_fails_the_batch(spark, tmp_path):
+    """Strict mode: the batch fails loudly on the first NULL-PK row
+    (assert_true at the executor), so upstream contract violations cannot
+    be absorbed."""
+    registry, key_sid, val_sid, config, store = _nullable_rig(
+        spark, tmp_path, "error"
+    )
+    batch = spark.createDataFrame(
+        [
+            _nullable_record(key_sid, val_sid, 1, 10),
+            _nullable_record(key_sid, val_sid, None, 11),
+        ],
+        KAFKA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="NULL primary key"):
+        apply_cdc_micro_batch(batch, registry, {TOPIC: config}, {TOPIC: store})
+
+
+def test_on_null_key_policy_is_validated():
+    from kafka2delta_spark.cdc.merge import exclude_null_key_changes
+
+    with pytest.raises(ValueError, match="on_null_key"):
+        TableConfig(schema_name="a", table_name="b", path="/tmp/x",
+                    on_null_key="ignore")
+    with pytest.raises(ValueError, match="on_null_key"):
+        exclude_null_key_changes(None, ["k"], "ignore")

@@ -8,6 +8,7 @@ feature extractor and the zero-windows contract in the PCM decoder, and
 empty partitions pass through untouched.
 """
 
+import pandas as pd
 import pytest
 
 from pyspark.sql import Row
@@ -105,6 +106,46 @@ def test_pcm_energy_null_payload_contributes_zero_windows(spark):
     assert [(r["doc_id"], r["window_id"]) for r in rows] == [(1, 0), (1, 1)]
     assert all(r["peak"] == 256 for r in rows)
     assert all(r["sum_sq"] == 256 * 256 * PCM_WINDOW for r in rows)
+
+
+def test_media_features_empty_payload_is_zero_not_null(spark):
+    """Empty-payload contract (2026-08-16 ADVICE): a PRESENT but zero-byte
+    payload is a measurement — n_bytes 0, header_sum 0 — never NULL (NULL
+    stays reserved for absent payloads). Pinned on BOTH engines: the
+    kernel's sum(b''[:16]) = 0, and the oracle's COALESCE(list_sum(...), 0)
+    over DuckDB's list_sum([]) IS NULL."""
+    import duckdb
+
+    from kafka2delta_spark.functions.multimodal import extract_media_features
+
+    df = _payload_df(
+        spark,
+        [
+            Row(doc_id=1, payload=b""),
+            Row(doc_id=2, payload=None),
+            Row(doc_id=3, payload=b"abc"),
+        ],
+    )
+    got = {r["doc_id"]: r for r in extract_media_features(df).collect()}
+    assert got[1]["n_bytes"] == 0
+    assert got[1]["header_sum"] == 0  # zero, not NULL
+    assert got[2]["header_sum"] is None  # absent payload stays NULL
+    assert got[3]["header_sum"] == ord("a") + ord("b") + ord("c")
+
+    # oracle side, same three docs (text '' / NULL / 'abc')
+    from kafka2delta_spark.queryset import ORACLES, load_all_querysets
+
+    load_all_querysets()
+    con = duckdb.connect()
+    con.execute("""CREATE VIEW documents AS
+        SELECT * FROM (VALUES (1, ''), (2, NULL), (3, 'abc'))
+        AS t(doc_id, text)""")
+    odf = con.execute(ORACLES["q95_multimodal_features"]).fetchdf()
+    con.close()
+    orc = {int(r["doc_id"]): r for _, r in odf.iterrows()}
+    assert orc[1]["n_bytes"] == 0 and orc[1]["header_sum"] == 0
+    assert pd.isna(orc[2]["header_sum"])
+    assert orc[3]["header_sum"] == got[3]["header_sum"]
 
 
 def test_q95_oracle_arithmetic_unchanged_by_null_handling(spark, sf_dir):

@@ -34,6 +34,12 @@ import pytest
 
 sys.path.insert(0, "/root/repo/tools")
 
+from build_degenerate_fixtures import (  # noqa: E402
+    build_nonfinite,
+    build_nullkeys,
+    build_nullvals,
+    build_unicode,
+)
 from check_correctness import ORACLE_TABLES, normalize, register_oracle_views  # noqa: E402
 
 SRC = "/root/testdata/sf0.001"
@@ -72,32 +78,10 @@ AUDITED = [
 @pytest.fixture(scope="module")
 def null_sf_dir(tmp_path_factory):
     """sf0.001 with deterministic NULLs in the pipeline tables' value
-    columns (single parquet files, like the real testdata layout)."""
-    dst = str(tmp_path_factory.mktemp("nullheavy"))
-    con = duckdb.connect()
-    for t in ("region", "nation", "customer", "supplier", "part",
-              "orders", "lineitem"):
-        con.execute(
-            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet'))"
-            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
-        )
-    con.execute(f"""COPY (SELECT doc_id,
-        CASE WHEN doc_id % 7 != 3 THEN text END AS text, lang, source, n_chars
-        FROM read_parquet('{SRC}/documents.parquet'))
-        TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""COPY (SELECT event_id, ts, user_id,
-        CASE WHEN event_id % 17 != 9 THEN event_type END AS event_type,
-        CASE WHEN event_id % 11 != 5 THEN value END AS value,
-        CASE WHEN event_id % 13 != 7 THEN props END AS props
-        FROM read_parquet('{SRC}/events.parquet'))
-        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
-    con.execute(f"""COPY (SELECT vec_id,
-        CASE WHEN vec_id % 9 != 4 THEN embedding END AS embedding,
-        CASE WHEN vec_id % 13 != 6 THEN label END AS label
-        FROM read_parquet('{SRC}/embeddings.parquet'))
-        TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
-    con.close()
-    return dst
+    columns (single parquet files, like the real testdata layout).
+    Injection lives in tools/build_degenerate_fixtures.py — shared with
+    the one-command ``check_correctness.py --fixture nullvals`` sweep."""
+    return build_nullvals(SRC, str(tmp_path_factory.mktemp("nullheavy")))
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,187 @@
+#!/usr/bin/env python
+"""Build the four degenerate test fixtures from a clean sf directory.
+
+Each fixture is a full copy of the source scale factor's ten parquet
+tables with ONE class of real-world corruption injected deterministically
+(same injections the round-9 degenerate-input campaign pinned with tests —
+tests/test_null_corpus.py imports these builders, so the one-command
+artifact and the test suite can never drift):
+
+  nullvals  — NULLs in the value columns of documents/events/embeddings
+              (failed fetches/parses; keys and ts stay NOT NULL).
+  nullkeys  — ~5% anonymous events (user_id IS NULL).
+  nonfinite — NaN (~3%) and ±Infinity (~3%) in events.value
+              (corrupt sensor readings).
+  unicode   — Unicode edge cases in documents.text (emoji, CJK, NBSP,
+              combining chars, zero-width, case-mapping traps), n_chars
+              recomputed.
+
+Usage:
+    python tools/build_degenerate_fixtures.py <name|all> [--src SRC] [--dst DST]
+
+Defaults: SRC=/root/testdata/sf0.001, DST=/tmp/degen_fixtures/<name>.
+The correctness sweep over a built fixture is
+``python tools/check_correctness.py --fixture <name>`` (which calls into
+this module and then runs the full query-vs-oracle comparison).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+DEFAULT_SRC = "/root/testdata/sf0.001"
+DEFAULT_ROOT = "/tmp/degen_fixtures"
+
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+FIXTURES = ("nullvals", "nullkeys", "nonfinite", "unicode")
+
+
+def _copy_tables(con, src: str, dst: str, tables) -> None:
+    for t in tables:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{t}.parquet'))"
+            f" TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+
+
+def build_nullvals(src: str, dst: str) -> str:
+    """NULLs in the pipeline tables' value columns; keys/ts stay NOT NULL
+    (like the TPC-H tables)."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem",
+    ))
+    con.execute(f"""COPY (SELECT doc_id,
+        CASE WHEN doc_id % 7 != 3 THEN text END AS text, lang, source, n_chars
+        FROM read_parquet('{src}/documents.parquet'))
+        TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT event_id, ts, user_id,
+        CASE WHEN event_id % 17 != 9 THEN event_type END AS event_type,
+        CASE WHEN event_id % 11 != 5 THEN value END AS value,
+        CASE WHEN event_id % 13 != 7 THEN props END AS props
+        FROM read_parquet('{src}/events.parquet'))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT vec_id,
+        CASE WHEN vec_id % 9 != 4 THEN embedding END AS embedding,
+        CASE WHEN vec_id % 13 != 6 THEN label END AS label
+        FROM read_parquet('{src}/embeddings.parquet'))
+        TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+def build_nullkeys(src: str, dst: str) -> str:
+    """~5% anonymous events (NULL user_id); all other columns intact."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ))
+    con.execute(f"""COPY (SELECT event_id, ts,
+        CASE WHEN event_id % 19 != 11 THEN user_id END AS user_id,
+        event_type, value, props
+        FROM read_parquet('{src}/events.parquet'))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+def build_nonfinite(src: str, dst: str) -> str:
+    """NaN (~3%) and ±Infinity (~3%) in events.value; everything else
+    intact."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings",
+    ))
+    con.execute(f"""COPY (SELECT event_id, ts, user_id, event_type,
+        CASE WHEN event_id % 29 = 17 THEN 'nan'::DOUBLE
+             WHEN event_id % 31 = 19 THEN 'infinity'::DOUBLE
+             WHEN event_id % 37 = 23 THEN '-infinity'::DOUBLE
+             ELSE value END AS value, props
+        FROM read_parquet('{src}/events.parquet'))
+        TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+def build_unicode(src: str, dst: str) -> str:
+    """Deterministic Unicode edge cases in documents.text (n_chars
+    recomputed from the new text)."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "embeddings",
+    ))
+    con.execute(f"""
+    COPY (
+      WITH m AS (
+        SELECT doc_id, lang, source,
+          CASE doc_id % 11
+            WHEN 1 THEN 'café ñoño ' || text
+            WHEN 2 THEN text || ' 日本語テキスト 中文 한국어'
+            WHEN 3 THEN '🚀🔥💯 ' || text || ' 🎉'
+            WHEN 4 THEN replace(text, ' the ', ' the' || chr(160))
+            WHEN 5 THEN text || ' İstanbul ß STRASSE ligatures ﬁﬂ'
+            WHEN 6 THEN text || ' cafe' || chr(769) || ' naive' || chr(776)
+            WHEN 7 THEN text || ' zero' || chr(8203) || 'width' || chr(8205) || 'joined'
+            ELSE text END AS text
+        FROM read_parquet('{src}/documents.parquet'))
+      SELECT doc_id, text, lang, source, length(text) AS n_chars FROM m
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
+BUILDERS = {
+    "nullvals": build_nullvals,
+    "nullkeys": build_nullkeys,
+    "nonfinite": build_nonfinite,
+    "unicode": build_unicode,
+}
+
+
+def build_fixture(name: str, src: str = DEFAULT_SRC, dst: str | None = None) -> str:
+    """Build one fixture; returns the directory holding its ten tables."""
+    if name not in BUILDERS:
+        raise ValueError(f"unknown fixture {name!r}; one of {sorted(BUILDERS)}")
+    if dst is None:
+        dst = os.path.join(DEFAULT_ROOT, name)
+    return BUILDERS[name](src, dst)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("name", choices=(*FIXTURES, "all"))
+    ap.add_argument("--src", default=DEFAULT_SRC)
+    ap.add_argument("--dst", default=None,
+                    help=f"output dir (default {DEFAULT_ROOT}/<name>)")
+    args = ap.parse_args()
+    names = FIXTURES if args.name == "all" else (args.name,)
+    for n in names:
+        dst = args.dst if (args.dst and args.name != "all") else None
+        out = build_fixture(n, args.src, dst)
+        print(f"built fixture {n}: {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

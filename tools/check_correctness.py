@@ -5,24 +5,46 @@ Runs every registered query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count, sorted column names, and
 order-insensitive values. Usage:
 
-    python tools/check_correctness.py [sf_dir] [query_name ...]
+    python tools/check_correctness.py [--json OUT] [sf_dir] [query_name ...]
+    python tools/check_correctness.py --fixture {nullvals,nullkeys,nonfinite,unicode} [query_name ...]
+
+``--fixture`` builds the named degenerate fixture from sf0.001 via
+tools/build_degenerate_fixtures.py (the same builders the test suite
+imports), runs the full sweep over it, and writes
+CORRECTNESS_DEGEN_<name>.json — the one-command reproduction of the
+"228/228 on all six fixtures" claim (clean sf0.001/sf0.01 plus the four
+degenerate copies).
 """
 
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 _args = sys.argv[1:]
 JSON_OUT = None
+FIXTURE = None
 if _args and _args[0] == "--json":
     JSON_OUT = _args[1]
     _args = _args[2:]
-SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
-ONLY = set(_args[1:])
+if _args and _args[0] == "--fixture":
+    FIXTURE = _args[1]
+    _args = _args[2:]
+    from build_degenerate_fixtures import DEFAULT_SRC, build_fixture
+
+    SF_DIR = build_fixture(FIXTURE, src=DEFAULT_SRC)
+    print(f"fixture {FIXTURE} built at {SF_DIR} (from {DEFAULT_SRC})")
+    if JSON_OUT is None:
+        JSON_OUT = f"/root/repo/CORRECTNESS_DEGEN_{FIXTURE}.json"
+    ONLY = set(_args)
+else:
+    SF_DIR = _args[0] if _args else "/root/testdata/sf0.01"
+    ONLY = set(_args[1:])
 
 
 # The driver pre-registers exactly these testdata tables as DuckDB views
@@ -173,8 +195,11 @@ def main() -> int:
     if JSON_OUT:
         import json
 
+        payload = {"sf_dir": SF_DIR, "results": results}
+        if FIXTURE:
+            payload["fixture"] = FIXTURE
         with open(JSON_OUT, "w") as fh:
-            json.dump({"sf_dir": SF_DIR, "results": results}, fh, indent=1)
+            json.dump(payload, fh, indent=1)
         print(f"wrote {JSON_OUT}")
     return 1 if n_fail else 0
 
