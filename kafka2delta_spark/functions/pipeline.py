@@ -419,49 +419,101 @@ def q75_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # character-based, so unicode-safe).
 CHUNK_SIZE = 200
 CHUNK_STRIDE = 150
+# Block width for the two-level chunker (must be a multiple of the
+# stride so global chunk starts land exactly on block-local offsets).
+# ~sqrt(2 * stride * max_doc_len) balances the outer block walk against
+# the inner chunk walk; 450 strides ≈ optimal for multi-MB bodies.
+CHUNK_BLOCK = CHUNK_STRIDE * 450
 
 
 @register(
     "q78_doc_chunking",
     oracle=f"""
-    SELECT g.doc_id,
-           CAST(g.s / {CHUNK_STRIDE} AS BIGINT)              AS chunk_idx,
-           CAST(g.s AS BIGINT)                               AS chunk_start,
-           CAST(length(substr(g.text, g.s + 1, {CHUNK_SIZE})) AS BIGINT)
-                                                             AS chunk_len,
-           md5(substr(g.text, g.s + 1, {CHUNK_SIZE}))        AS chunk_md5
-    FROM (
-        SELECT doc_id, text,
+    -- same two-level block layout as the engine (each substr re-scans
+    -- its input string, so chunking the full body per chunk is
+    -- O(len^2/stride) here too — blocks bound every substr's input to
+    -- ~{CHUNK_STRIDE * 450} chars); the two unnests zip positionally
+    WITH blocks AS (
+        SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
                unnest(range(0, CAST(length(text) AS BIGINT),
-                            {CHUNK_STRIDE})) AS s
+                            {CHUNK_STRIDE * 450})) AS b,
+               substr(text,
+                      unnest(range(0, CAST(length(text) AS BIGINT),
+                                   {CHUNK_STRIDE * 450})) + 1,
+                      {CHUNK_STRIDE * 450 + CHUNK_SIZE - CHUNK_STRIDE}) AS blk
         FROM documents
-        WHERE length(text) > 0
-    ) g(doc_id, text, s)
+        WHERE length(text) > 0),
+    g AS (
+        SELECT doc_id,
+               b + unnest(range(0, least({CHUNK_STRIDE * 450}, n - b),
+                                {CHUNK_STRIDE})) AS s,
+               substr(blk,
+                      unnest(range(0, least({CHUNK_STRIDE * 450}, n - b),
+                                   {CHUNK_STRIDE})) + 1,
+                      {CHUNK_SIZE}) AS c
+        FROM blocks)
+    SELECT doc_id,
+           CAST(s / {CHUNK_STRIDE} AS BIGINT)   AS chunk_idx,
+           CAST(s AS BIGINT)                    AS chunk_start,
+           CAST(length(c) AS BIGINT)            AS chunk_len,
+           md5(c)                               AS chunk_md5
+    FROM g
     """,
 )
 def q78_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping fixed-size chunking (size {CHUNK_SIZE}, stride
     {CHUNK_STRIDE}): every document becomes ceil(len/stride) training
-    samples with {CHUNK_SIZE - CHUNK_STRIDE}-char overlap. Pure per-row
-    ``sequence`` + ``explode`` — no shuffle, embarrassingly parallel, and
-    the explode factor (~len/stride) is bounded per row, so task memory is
-    flat at any corpus size. Chunk text is emitted as md5 (the artifact
-    stays index-sized; the writer variant would keep the text column)."""
+    samples with {CHUNK_SIZE - CHUNK_STRIDE}-char overlap. No shuffle,
+    embarrassingly parallel. Chunk text is emitted as md5 (the artifact
+    stays index-sized; the writer variant would keep the text column).
+
+    Two-level block layout (round-10 pathological campaign): the naive
+    shape — explode chunk STARTS while carrying ``text`` — copies the
+    whole body into every output UnsafeRow (a 16 MB doc × 110k chunks
+    materializes ~1.8 TB in one task; measured as a never-finishing
+    straggler), and ``substring(text, s, n)`` re-walks code points from
+    offset 0 every call, O(len²/stride) per doc. Instead the body is cut
+    ONCE into ~{CHUNK_BLOCK}-char blocks (each extended by the
+    {CHUNK_SIZE - CHUNK_STRIDE}-char overlap so no chunk straddles), the
+    explode carries only a block, and chunks substring within it — carry
+    is flat per row and the code-point walk is O(len²/block + len·block/
+    stride), ~1000× less than naive at 16 MB. Semantics are identical
+    for any Unicode input (block boundaries are multiples of the stride,
+    offsets stay character-based)."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
-    starts = F.sequence(
-        F.lit(0).cast("bigint"),
-        (F.length("text") - 1).cast("bigint"),
-        F.lit(CHUNK_STRIDE).cast("bigint"),
+    overlap = CHUNK_SIZE - CHUNK_STRIDE
+    blocks = F.expr(
+        f"transform(sequence(0L, bigint(length(text)) - 1L, {CHUNK_BLOCK}L),"
+        f" b -> struct(b AS b,"
+        f"  substring(text, int(b) + 1, {CHUNK_BLOCK + overlap}) AS blk))"
     )
-    chunk = F.substring(F.col("text"), F.col("s").cast("int") + 1, CHUNK_SIZE)
+    b = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n"),
+        F.explode(blocks).alias("e"),
+    ).select(
+        "doc_id",
+        "n",
+        F.col("e.b").alias("b"),
+        # one O(block) char split; chunks below index it O(1) — a
+        # substring per chunk would re-walk code points from the block
+        # start (measured 92 s on the 16 MB doc vs ~seconds this way)
+        F.split(F.col("e.blk"), "").alias("cs"),
+    )
+    chunks = F.expr(
+        f"transform("
+        f" sequence(0L, least({CHUNK_BLOCK - 1}L, n - 1 - b), {CHUNK_STRIDE}L),"
+        f" o -> struct(b + o AS s,"
+        f"  array_join(slice(cs, int(o) + 1, {CHUNK_SIZE}), '') AS c))"
+    )
     return (
-        docs.select("doc_id", "text", F.explode(starts).alias("s"))
+        b.select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
-            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
-            F.col("s").alias("chunk_start"),
-            F.length(chunk).cast("bigint").alias("chunk_len"),
-            F.md5(chunk).alias("chunk_md5"),
+            (F.col("c.s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("c.s").alias("chunk_start"),
+            F.length("c.c").cast("bigint").alias("chunk_len"),
+            F.md5("c.c").alias("chunk_md5"),
         )
     )
 

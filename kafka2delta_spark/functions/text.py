@@ -337,6 +337,10 @@ def qx14_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BPE_TOP_PAIRS = 20
+# Block width for per-document pair extraction (chars; one char of
+# overlap is added per block so boundary pairs survive). Bounds both the
+# per-row substring walk (O(len²/block)) and the per-task array size.
+BPE_BLOCK = 131072
 
 
 @register(
@@ -344,9 +348,10 @@ BPE_TOP_PAIRS = 20
     oracle=f"""
     WITH w AS (SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS wd
                FROM documents),
-    p AS (SELECT unnest([[substr(wd, i, 1), substr(wd, i + 1, 1)]
-                         for i in range(1, length(wd))]) AS pr
-          FROM w WHERE length(wd) >= 2)
+    cs_t AS (SELECT regexp_extract_all(wd, '.') AS cs
+             FROM w WHERE length(wd) >= 2),
+    p AS (SELECT unnest([[cs[i], cs[i + 1]] for i in range(1, len(cs))]) AS pr
+          FROM cs_t)
     SELECT pr[1] AS pair_left, pr[2] AS pair_right,
            CAST(COUNT(*) AS BIGINT) AS n_occurrences
     FROM p
@@ -362,36 +367,51 @@ def qx21_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     because the recount loop is this same query re-run on rewritten
     symbol sequences).
 
-    Plan: explode words → per-word pair arrays built with native
-    ``transform(sequence(...))`` over ``substr`` (codegen, no Python) →
-    explode → one hash-agg on (left, right) with map-side partials —
-    the symbol-pair key space is tiny (alphabet²), so the shuffle carries
-    at most a few thousand partial rows per task regardless of corpus
-    size. Top-N with a total-order tiebreak (count desc, pair asc) so the
-    cut is deterministic across engines. Char-level ``substr`` is
-    code-point-safe in both engines (verified on multibyte input)."""
+    Plan (reworked by the round-10 pathological campaign): a pair is two
+    adjacent non-whitespace code points, so instead of exploding words
+    the text is cut ONCE into ~{BPE_BLOCK}-char blocks (one overlap char
+    so boundary pairs survive; substring per block keeps the code-point
+    walk O(len²/block), the q78 discipline), blocks are repartitioned —
+    the giant-single-document skew fix: without it one 16 MB body is one
+    straggler task; the shuffle moves only corpus bytes once — and each
+    block yields its overlapping pairs in a single codegen'd
+    ``regexp_extract_all`` pass. The pattern ``(?s)(?=(\\S\\S))\\S``
+    CONSUMES one code point per match, which keeps scanning
+    code-point-aligned (a bare lookahead also fires at UTF-16
+    low-surrogate offsets, minting bogus pairs on emoji — measured) and
+    still yields every overlapping pair. One hash-agg on the 2-char pair
+    with map-side partials — alphabet² keys, so the agg shuffle is tiny
+    regardless of corpus size; left/right split off the winning 20 pairs
+    only. Two prior shapes died on the pathological fixture: per-pair
+    ``substr(wd, i, 1)`` is O(len²) per word (never finishes on a 2 MB
+    single token — and the oracle's old substr comprehension had the
+    same bound), and higher-order-function lambdas (``transform``)
+    evaluate interpreted, ~µs per element."""
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        F.explode(F.split(ascii_lower("text"), TOKEN_SPLIT_RE)).alias("wd")
-    ).filter(F.length("wd") >= 2)
-    pairs = words.select(
+    blocks = docs.select(ascii_lower(F.col("text")).alias("lt")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, length(wd) - 1),"
-                " i -> struct(substr(wd, i, 1) AS l, substr(wd, i + 1, 1) AS r))"
+                f"transform(sequence(0L, bigint(length(lt)) - 1L, {BPE_BLOCK}L),"
+                f" b -> substring(lt, int(b) + 1, {BPE_BLOCK + 1}))"
             )
-        ).alias("pr")
+        ).alias("blk")
     )
-    return (
-        pairs.groupBy(
-            F.col("pr.l").alias("pair_left"), F.col("pr.r").alias("pair_right")
-        )
+    pairs = blocks.repartition(spark.sparkContext.defaultParallelism).select(
+        F.explode(
+            F.expr(r"regexp_extract_all(blk, '(?s)(?=(\\S\\S))\\S', 1)")
+        ).alias("p")
+    )
+    top = (
+        pairs.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
-        .orderBy(
-            F.desc("n_occurrences"), F.asc("pair_left"), F.asc("pair_right")
-        )
+        .orderBy(F.desc("n_occurrences"), F.asc("p"))
         .limit(BPE_TOP_PAIRS)
     )
+    return top.select(
+        F.substring("p", 1, 1).alias("pair_left"),
+        F.substring("p", 2, 1).alias("pair_right"),
+        "n_occurrences",
+    ).orderBy(F.desc("n_occurrences"), F.asc("pair_left"), F.asc("pair_right"))
 
 
 VOCAB_KS = [10, 100, 1000]

@@ -15,6 +15,12 @@ artifact and the test suite can never drift):
   unicode   — Unicode edge cases in documents.text (emoji, CJK, NBSP,
               combining chars, zero-width, case-mapping traps), n_chars
               recomputed.
+  pathological — per-row SIZE skew (the round-10 campaign): a ~4 MB
+              all-unique-token body, an exact 100k-token doc, a ~2 MB
+              low-entropy repeated phrase, a 2 MB single unbroken token
+              (no whitespace at all), a ~16.6 MB body crossing parquet's
+              16 MB page edge, and one user reassigned ~50% of all
+              events (hot-key skew for sessionization/collect_list).
 
 Usage:
     python tools/build_degenerate_fixtures.py <name|all> [--src SRC] [--dst DST]
@@ -38,7 +44,17 @@ ALL_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-FIXTURES = ("nullvals", "nullkeys", "nonfinite", "unicode")
+FIXTURES = ("nullvals", "nullkeys", "nonfinite", "unicode", "pathological")
+
+# Pathological-row knobs (deterministic; doc ids chosen from sf0.001's
+# 0..499 range). Sizes are the round-10 campaign targets: "multi-MB
+# bodies, a 100k-token doc, a value at the 16 MB parquet page edge, one
+# user owning ~50% of events".
+PATH_MEGA_DOC = 7        # ~4.1 MB, every token unique (high entropy)
+PATH_100K_DOC = 23       # exactly 100k tokens (~1.3 MB)
+PATH_REPEAT_DOC = 41     # ~2.1 MB, one 11-token phrase repeated 30k times
+PATH_ONE_TOKEN_DOC = 59  # 2 MB single unbroken token (no whitespace)
+PATH_PAGE_EDGE_DOC = 77  # ~16.6 MB (a 1200-unique-token paragraph repeated)
 
 
 def _copy_tables(con, src: str, dst: str, tables) -> None:
@@ -151,11 +167,65 @@ def build_unicode(src: str, dst: str) -> str:
     return dst
 
 
+def build_pathological(src: str, dst: str) -> str:
+    """Per-row size skew: five documents blown up to pathological shapes
+    (n_chars recomputed) and one existing user reassigned ~50% of all
+    events. Embeddings keep their fixed dimension — vector dim is a
+    schema contract (cosine requires equal dims), so array-size stress
+    lives in the multi-MB string columns, which is also where parquet's
+    16 MB page edge bites."""
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "embeddings",
+    ))
+    con.execute(f"""
+    COPY (
+      WITH mega AS (
+        SELECT string_agg(substr(md5(i::VARCHAR), 1, 12), ' ' ORDER BY i) AS body
+        FROM range(320000) t(i)),
+      toks100k AS (
+        SELECT string_agg('w' || substr(md5((i * 7)::VARCHAR), 1, 6), ' ' ORDER BY i) AS body
+        FROM range(100000) t(i)),
+      para AS (
+        SELECT string_agg(substr(md5('p' || i::VARCHAR), 1, 10), ' ' ORDER BY i) AS p
+        FROM range(1200) t(i)),
+      m AS (
+        SELECT d.doc_id, d.lang, d.source,
+          CASE d.doc_id
+            WHEN {PATH_MEGA_DOC}      THEN (SELECT body FROM mega)
+            WHEN {PATH_100K_DOC}      THEN (SELECT body FROM toks100k)
+            WHEN {PATH_REPEAT_DOC}    THEN repeat('lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod ', 30000)
+            WHEN {PATH_ONE_TOKEN_DOC} THEN repeat('x', 2000000)
+            WHEN {PATH_PAGE_EDGE_DOC} THEN (SELECT repeat(p || ' ', 1250) FROM para)
+            ELSE d.text END AS text
+        FROM read_parquet('{src}/documents.parquet') d)
+      SELECT doc_id, text, lang, source, length(text) AS n_chars FROM m
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      WITH hot AS (SELECT min(user_id) AS u
+                   FROM read_parquet('{src}/events.parquet')
+                   WHERE user_id IS NOT NULL)
+      SELECT event_id, ts,
+             CASE WHEN event_id % 2 = 0 THEN (SELECT u FROM hot)
+                  ELSE user_id END AS user_id,
+             event_type, value, props
+      FROM read_parquet('{src}/events.parquet')
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
 BUILDERS = {
     "nullvals": build_nullvals,
     "nullkeys": build_nullkeys,
     "nonfinite": build_nonfinite,
     "unicode": build_unicode,
+    "pathological": build_pathological,
 }
 
 

@@ -6,7 +6,7 @@ same parquet tables, then compares row count, sorted column names, and
 order-insensitive values. Usage:
 
     python tools/check_correctness.py [--json OUT] [sf_dir] [query_name ...]
-    python tools/check_correctness.py --fixture {nullvals,nullkeys,nonfinite,unicode} [query_name ...]
+    python tools/check_correctness.py --fixture {nullvals,nullkeys,nonfinite,unicode,pathological} [query_name ...]
 
 ``--fixture`` builds the named degenerate fixture from sf0.001 via
 tools/build_degenerate_fixtures.py (the same builders the test suite
