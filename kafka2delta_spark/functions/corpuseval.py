@@ -305,8 +305,10 @@ CDC_MOD = 16  # expected chunk length in tokens
                            tok := toks[i],
                            gram := CASE WHEN i >= 2
                                              AND i + {CDC_K - 1} <= len(toks)
-                                        THEN array_to_string(
-                                                 toks[i:i+{CDC_K - 1}], ' ')
+                                        -- indexed concat, not a list
+                                        -- slice: slices copy the outer
+                                        -- list per element, O(len²)
+                                        THEN concat_ws(' ', {", ".join(f"toks[i + {j}]" for j in range(CDC_K))})
                                    END)
                        for i in range(1, len(toks) + 1)]) AS u
         FROM t WHERE len(toks) >= {CDC_K}),

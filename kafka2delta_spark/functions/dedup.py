@@ -109,9 +109,16 @@ def pairs_within_groups(
 
 
 def shingles_sql(col: str = "text", k: int = 3) -> str:
-    """DuckDB: distinct k-token shingles of a text column."""
+    """DuckDB: distinct k-token shingles of a text column.
+
+    Built from O(1) element indexing, NOT ``toks[i:i+n]`` slices — DuckDB
+    evaluates a list slice inside a comprehension by copying the OUTER
+    list per element (measured: 100k slices of a 2.4M-token list never
+    finish, while 2.4M indexed concats take 0.5 s), so the slice form is
+    O(len²) on the pathological fixture's multi-MB documents."""
+    elems = ", ".join(f"toks[i + {j}]" for j in range(k))
     return (
-        f"list_distinct([array_to_string(toks[i:i+{k - 1}], ' ') "
+        f"list_distinct([concat_ws(' ', {elems}) "
         f"for i in range(1, len(toks) - {k - 2})])"
     )
 
@@ -967,8 +974,10 @@ BOILER_MIN_DOCS = 3
         FROM documents),
     chunks AS (
         SELECT doc_id,
-               unnest([md5(array_to_string(
-                           toks[(i-1)*{BOILER_CHUNK}+1 : i*{BOILER_CHUNK}], ' '))
+               -- indexed concat, not a list slice (slices copy the
+               -- outer list per element, O(len²) on multi-MB docs)
+               unnest([md5(concat_ws(' ',
+                           {", ".join(f"toks[(i-1)*{BOILER_CHUNK} + {j}]" for j in range(1, BOILER_CHUNK + 1))}))
                        for i in range(1, len(toks)//{BOILER_CHUNK} + 1)])
                    AS chunk_hash
         FROM t)
@@ -989,9 +998,21 @@ def q67_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-byte chunk hash. Embarrassingly parallel; distinct-doc counting is
     a partial-aggregated count_distinct on a key that CANNOT be skewed
     past corpus size — and at 100 TB the output (shared chunks) is tiny
-    relative to input, so nothing downstream blows up."""
+    relative to input, so nothing downstream blows up.
+
+    The token array is bound BEHIND a repartition barrier before the
+    lambda touches it: the earlier shape captured the raw ``split(...)``
+    EXPRESSION in the lambda, and non-lambda subexpressions inside a
+    higher-order function are re-evaluated per element — the 16.9 MB
+    pathological doc re-split its body once per chunk index (187k ×
+    O(len), a never-finishing task). The barrier also spreads one giant
+    document's chunk work across the cluster instead of one straggler
+    task; the shuffle moves each token array once."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(ascii_lower(F.col("text")), r"\s+")
+    tok_t = docs.select(
+        "doc_id", F.split(ascii_lower(F.col("text")), r"\s+").alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism)
+    toks = F.col("toks")
     n_chunks = F.floor(F.size(toks) / BOILER_CHUNK).cast("int")
     # sequence(1, 0) yields a DESCENDING [1, 0] (Spark defaults step to -1
     # when start > stop), which would emit two bogus chunks for a
@@ -1006,7 +1027,7 @@ def q67_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return (
-        docs.select("doc_id", F.explode(chunks).alias("chunk_hash"))
+        tok_t.select("doc_id", F.explode(chunks).alias("chunk_hash"))
         .groupBy("chunk_hash")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
         .filter(F.col("n_docs") >= BOILER_MIN_DOCS)
@@ -1272,7 +1293,9 @@ SPAN_W = 8
     WITH t AS (SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+') AS w
                FROM documents),
     s AS (SELECT DISTINCT doc_id,
-                 unnest([array_to_string(w[i:i+{SPAN_W - 1}], ' ')
+                 -- indexed concat, not a list slice (slices copy the
+                 -- outer list per element, O(len²) on multi-MB docs)
+                 unnest([concat_ws(' ', {", ".join(f"w[i + {j}]" for j in range(SPAN_W))})
                          for i in range(1, len(w) - {SPAN_W - 2})]) AS gram
           FROM t WHERE len(w) >= {SPAN_W}),
     g AS (SELECT gram, COUNT(*) AS nd FROM s GROUP BY gram)

@@ -47,7 +47,9 @@ REPEAT_MIN_SHINGLES = 8  # below this, ratios are noise
         FROM documents),
     sh AS (
         SELECT doc_id, source,
-               unnest([array_to_string(toks[i:i+{REPEAT_K - 1}], ' ')
+               -- indexed concat, not a list slice (slices copy the
+               -- outer list per element, O(len²) on multi-MB docs)
+               unnest([concat_ws(' ', {", ".join(f"toks[i + {j}]" for j in range(REPEAT_K))})
                        for i in range(1, len(toks) - {REPEAT_K - 2})]) AS shingle
         FROM t WHERE len(toks) >= {REPEAT_K}),
     m AS (

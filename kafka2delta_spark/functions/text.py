@@ -215,7 +215,9 @@ def q83_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh AS (
         SELECT doc_id, lang,
                len(toks) - 2 AS total,
-               len(list_distinct([array_to_string(toks[i:i+2], ' ')
+               -- indexed concat, not a list slice (slices copy the
+               -- outer list per element, O(len²) on multi-MB docs)
+               len(list_distinct([concat_ws(' ', toks[i], toks[i+1], toks[i+2])
                                   for i in range(1, len(toks) - 1)])) AS uniq
         FROM t WHERE len(toks) >= 3)
     SELECT lang,
@@ -259,15 +261,26 @@ def q68_intra_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# qx14's truncation contract: quality scoring reads each document's
+# FIRST (BIGRAM_SCORE_PREFIX - 1) bigrams only — the CCNet-style
+# perplexity filter scores a bounded prefix, so one 100k-token document
+# costs the same as a hundred 1k-token ones. Enforced identically in the
+# Spark plan (least() on the sequence bound) and the oracle (the range
+# cross join); counts in the output reflect the truncation on both.
+BIGRAM_SCORE_PREFIX = 10_000
+
+
 @register(
     "qx14_bigram_logprob_quality",
-    oracle=r"""
+    oracle=rf"""
     WITH t AS (
         SELECT doc_id, regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\s+') AS toks
         FROM documents),
     bg AS (
+        -- scoring reads the first {BIGRAM_SCORE_PREFIX} tokens per doc
+        -- (loud truncation contract, mirrored in the Spark plan)
         SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-        FROM t, (SELECT unnest(range(1, 10000)) AS i) idx
+        FROM t, (SELECT unnest(range(1, {BIGRAM_SCORE_PREFIX})) AS i) idx
         WHERE i <= len(toks) - 1),
     cb AS (SELECT w1, w2, COUNT(*)::DOUBLE AS c12 FROM bg GROUP BY w1, w2),
     cu AS (SELECT w1, COUNT(*)::DOUBLE AS c1 FROM bg GROUP BY w1),
@@ -300,8 +313,14 @@ def qx14_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     above accumulation-order jitter (precedent: q92/qx05)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
+    ).filter(F.size("toks") >= 2)
+    # first (BIGRAM_SCORE_PREFIX - 1) bigrams per doc (truncation
+    # contract above); the size >= 2 filter also keeps sequence() off
+    # its start > stop DESCENDING default for a single-token doc, where
+    # element_at(toks, 0) would throw
+    idx = F.sequence(
+        F.lit(1), F.least(F.size("toks") - 1, F.lit(BIGRAM_SCORE_PREFIX - 1))
     )
-    idx = F.sequence(F.lit(1), F.size("toks") - 1)
     bg = docs.select(
         "doc_id",
         F.explode(

@@ -92,9 +92,13 @@ def _winnow_sql() -> str:
                unnest(generate_series(1, len(toks) - {k - 1})) AS pos
         FROM t WHERE len(toks) >= {k + w - 1}),
     g AS (
+        -- indexed concat, not toks[pos:pos+n]: DuckDB copies the outer
+        -- list per row-level slice, O(len²) on multi-MB docs (measured:
+        -- the slice form never finishes on a 2.4M-token doc, the
+        -- indexed form takes 1 s)
         SELECT doc_id, pos,
-               ('0x' || substr(md5(array_to_string(
-                    toks[pos:pos+{k - 1}], ' ')), 1, 13))::BIGINT AS h
+               ('0x' || substr(md5(concat_ws(' ',
+                    {", ".join(f"toks[pos + {j}]" for j in range(k))})), 1, 13))::BIGINT AS h
         FROM gi),
     fp AS (
         SELECT DISTINCT doc_id, fp FROM (

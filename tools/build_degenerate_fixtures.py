@@ -54,7 +54,8 @@ PATH_MEGA_DOC = 7        # ~4.1 MB, every token unique (high entropy)
 PATH_100K_DOC = 23       # exactly 100k tokens (~1.3 MB)
 PATH_REPEAT_DOC = 41     # ~2.1 MB, one 11-token phrase repeated 30k times
 PATH_ONE_TOKEN_DOC = 59  # 2 MB single unbroken token (no whitespace)
-PATH_PAGE_EDGE_DOC = 77  # ~16.6 MB (a 1200-unique-token paragraph repeated)
+PATH_PAGE_EDGE_DOC = 77  # ~16.9 MB — PAST the 16 MiB parquet page edge
+#                          (a 1200-unique-token paragraph repeated 1280x)
 
 
 def _copy_tables(con, src: str, dst: str, tables) -> None:
@@ -200,7 +201,7 @@ def build_pathological(src: str, dst: str) -> str:
             WHEN {PATH_100K_DOC}      THEN (SELECT body FROM toks100k)
             WHEN {PATH_REPEAT_DOC}    THEN repeat('lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod ', 30000)
             WHEN {PATH_ONE_TOKEN_DOC} THEN repeat('x', 2000000)
-            WHEN {PATH_PAGE_EDGE_DOC} THEN (SELECT repeat(p || ' ', 1250) FROM para)
+            WHEN {PATH_PAGE_EDGE_DOC} THEN (SELECT repeat(p || ' ', 1280) FROM para)
             ELSE d.text END AS text
         FROM read_parquet('{src}/documents.parquet') d)
       SELECT doc_id, text, lang, source, length(text) AS n_chars FROM m
