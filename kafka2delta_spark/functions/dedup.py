@@ -1000,18 +1000,21 @@ def q67_boilerplate_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     past corpus size — and at 100 TB the output (shared chunks) is tiny
     relative to input, so nothing downstream blows up.
 
-    The token array is bound BEHIND a repartition barrier before the
-    lambda touches it: the earlier shape captured the raw ``split(...)``
-    EXPRESSION in the lambda, and non-lambda subexpressions inside a
-    higher-order function are re-evaluated per element — the 16.9 MB
-    pathological doc re-split its body once per chunk index (187k ×
-    O(len), a never-finishing task). The barrier also spreads one giant
-    document's chunk work across the cluster instead of one straggler
-    task; the shuffle moves each token array once."""
+    The token array is bound as a named ALIAS in a child projection
+    before the lambda touches it: the earlier shape captured the raw
+    ``split(...)`` EXPRESSION in the lambda, and non-lambda
+    subexpressions inside a higher-order function are re-evaluated per
+    element — the 16.9 MB pathological doc re-split its body once per
+    chunk index (187k × O(len), a never-finishing task). With the alias,
+    CollapseProject keeps the projections separate (a non-cheap alias
+    referenced more than once is not inlined), so the split runs once
+    per row and no shuffle is needed — an earlier repartition-barrier
+    variant measured 2.4× slower on the 50k-doc clean corpus for the
+    same protection."""
     docs = load_table(spark, sf_dir, "documents")
     tok_t = docs.select(
         "doc_id", F.split(ascii_lower(F.col("text")), r"\s+").alias("toks")
-    ).repartition(spark.sparkContext.defaultParallelism)
+    )
     toks = F.col("toks")
     n_chunks = F.floor(F.size(toks) / BOILER_CHUNK).cast("int")
     # sequence(1, 0) yields a DESCENDING [1, 0] (Spark defaults step to -1

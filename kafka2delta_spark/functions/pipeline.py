@@ -419,11 +419,17 @@ def q75_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # character-based, so unicode-safe).
 CHUNK_SIZE = 200
 CHUNK_STRIDE = 150
-# Block width for the two-level chunker (must be a multiple of the
-# stride so global chunk starts land exactly on block-local offsets).
-# ~sqrt(2 * stride * max_doc_len) balances the outer block walk against
-# the inner chunk walk; 450 strides ≈ optimal for multi-MB bodies.
+# Short/long cutoff for the hybrid chunker: docs up to this length take
+# the naive explode-the-starts shape, whose worst case inside the cutoff
+# stays bounded (carry ≤ cutoff²/stride ≈ 30 MB, substring walk ≤
+# cutoff²/stride ≈ 30M code points per doc).
 CHUNK_BLOCK = CHUNK_STRIDE * 450
+# Block width for the long-doc path (a multiple of the stride so global
+# chunk starts land exactly on block-local offsets). Wider than the
+# cutoff: the per-block substring still walks O(block_start) code
+# points, so the total outer walk is O(len²/block) — 270k chars keeps it
+# ~5×10⁸ steps on a 16.9 MB doc while per-row memory stays ~a block.
+CHUNK_LONG_BLOCK = CHUNK_STRIDE * 1800
 
 
 @register(
@@ -479,34 +485,74 @@ def q78_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     is flat per row and the code-point walk is O(len²/block + len·block/
     stride), ~1000× less than naive at 16 MB. Semantics are identical
     for any Unicode input (block boundaries are multiples of the stride,
-    offsets stay character-based)."""
+    offsets stay character-based).
+
+    HYBRID: the block machinery only pays for itself past ~1 block of
+    text — on a 50k-doc corpus of ~500-char bodies it measured 80×
+    SLOWER than the naive shape (a char-split array per tiny doc). Docs
+    with length ≤ {CHUNK_BLOCK} take the naive path, whose worst case
+    inside the cutoff is bounded (carry ≤ block·chunks ≈ 30 MB, walk ≤
+    block²/stride ≈ 30M); only longer docs take the block path. Both
+    branches read the same scan; at 100 TB the long branch is the rare
+    tail (giant concatenated crawls), the short branch the bulk."""
     docs = load_table(spark, sf_dir, "documents").filter(F.length("text") > 0)
     overlap = CHUNK_SIZE - CHUNK_STRIDE
+
+    naive_chunk = F.substring(F.col("text"), F.col("s").cast("int") + 1, CHUNK_SIZE)
+    short = (
+        docs.filter(F.length("text") <= CHUNK_BLOCK)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("bigint"),
+                    (F.length("text") - 1).cast("bigint"),
+                    F.lit(CHUNK_STRIDE).cast("bigint"),
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_idx"),
+            F.col("s").alias("chunk_start"),
+            F.length(naive_chunk).cast("bigint").alias("chunk_len"),
+            F.md5(naive_chunk).alias("chunk_md5"),
+        )
+    )
+
     blocks = F.expr(
-        f"transform(sequence(0L, bigint(length(text)) - 1L, {CHUNK_BLOCK}L),"
+        f"transform(sequence(0L, bigint(length(text)) - 1L, {CHUNK_LONG_BLOCK}L),"
         f" b -> struct(b AS b,"
-        f"  substring(text, int(b) + 1, {CHUNK_BLOCK + overlap}) AS blk))"
+        f"  substring(text, int(b) + 1, {CHUNK_LONG_BLOCK + overlap}) AS blk))"
     )
-    b = docs.select(
-        "doc_id",
-        F.length("text").cast("bigint").alias("n"),
-        F.explode(blocks).alias("e"),
-    ).select(
-        "doc_id",
-        "n",
-        F.col("e.b").alias("b"),
-        # one O(block) char split; chunks below index it O(1) — a
-        # substring per chunk would re-walk code points from the block
-        # start (measured 92 s on the 16 MB doc vs ~seconds this way)
-        F.split(F.col("e.blk"), "").alias("cs"),
+    b = (
+        docs.filter(F.length("text") > CHUNK_BLOCK)
+        .select(
+            "doc_id",
+            F.explode(blocks).alias("e"),
+        )
+        .select(
+            "doc_id",
+            F.col("e.b").alias("b"),
+            # one O(block) char split; chunks below index it O(1) — a
+            # substring per chunk would re-walk code points from the
+            # block start (measured 92 s on the 16 MB doc)
+            F.split(F.col("e.blk"), "").alias("cs"),
+        )
     )
+    # NOTE the sequence bound reads size(cs): besides being the correct
+    # local bound, it makes `cs` a MULTIPLY-referenced non-cheap alias,
+    # which stops CollapseProject from inlining the char split into the
+    # lambda — inlined, the block re-splits once per chunk (measured
+    # +27 s on the pathological fixture for exactly that plan).
     chunks = F.expr(
         f"transform("
-        f" sequence(0L, least({CHUNK_BLOCK - 1}L, n - 1 - b), {CHUNK_STRIDE}L),"
+        f" sequence(0L, least({CHUNK_LONG_BLOCK - 1}L, size(cs) - 1), {CHUNK_STRIDE}L),"
         f" o -> struct(b + o AS s,"
         f"  array_join(slice(cs, int(o) + 1, {CHUNK_SIZE}), '') AS c))"
     )
-    return (
+    long = (
         b.select("doc_id", F.explode(chunks).alias("c"))
         .select(
             "doc_id",
@@ -516,6 +562,7 @@ def q78_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("c.c").alias("chunk_md5"),
         )
     )
+    return short.unionByName(long)
 
 
 # q59: per-language token-budget selection — "take the best documents until
