@@ -544,28 +544,38 @@ def bpe_merge_expr(s, left: str, right: str):
 
 
 def _bpe_oracle() -> str:
+    # Every CTE is AS MATERIALIZED: DuckDB inlines plain CTEs, and each
+    # s_k references b_k FOUR times (two scalar subqueries, each twice
+    # in the replace), so the inlined chain re-evaluates s_{k-1} — and
+    # transitively s0 — ~4^k times. Invisible on a small corpus; on the
+    # pathological fixture each chain evaluation is seconds and the
+    # blowup measured 64 CPU-minutes before timing out. Materialized,
+    # each round is computed once, like the Spark loop's localCheckpoint.
     ctes = [
-        """w AS (
+        """w AS MATERIALIZED (
         SELECT wd, COUNT(*) AS cnt
         FROM (SELECT unnest(regexp_split_to_array(translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+')) AS wd
               FROM documents)
         WHERE wd <> '' GROUP BY wd),
-    s0 AS (
+    s0 AS MATERIALIZED (
+        -- regexp char split, not a substr(wd, i, 1) comprehension:
+        -- substr re-walks from the word start per element, O(len²) on
+        -- the pathological fixture's 2 MB single token ('.' is safe —
+        -- words cannot contain the newlines RE2's '.' excludes)
         SELECT wd, cnt,
-               array_to_string([substr(wd, i, 1)
-                                for i in range(1, length(wd) + 1)], ' ') AS s
+               array_to_string(regexp_extract_all(wd, '.'), ' ') AS s
         FROM w)"""
     ]
     for k in range(1, BPE_N_MERGES + 1):
-        ctes.append(f"""p{k} AS (
+        ctes.append(f"""p{k} AS MATERIALIZED (
         SELECT pr[1] AS l, pr[2] AS r, CAST(SUM(cnt) AS BIGINT) AS n
         FROM (SELECT cnt, unnest([[toks[i], toks[i + 1]]
                                   for i in range(1, len(toks))]) AS pr
               FROM (SELECT cnt, string_split(s, ' ') AS toks FROM s{k - 1})
               WHERE len(toks) >= 2)
         GROUP BY pr[1], pr[2]),
-    b{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
-    s{k} AS (
+    b{k} AS MATERIALIZED (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+    s{k} AS MATERIALIZED (
         SELECT wd, cnt,
                trim(regexp_replace(
                    replace(' ' || replace(s, ' ', '  ') || ' ',
@@ -618,6 +628,13 @@ def qx43_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges = []
     for k in range(1, BPE_N_MERGES + 1):
+        # the pair is emitted as ONE 'l r' string and split only on the
+        # vocabulary-sized agg output: a transform lambda building
+        # STRUCTS evaluates interpreted at ~17x the cost of the concat
+        # form (measured 53.7 s vs 3.2 s over 2M elements — the
+        # pathological fixture's 2 MB single token is 2M symbols in one
+        # row, times BPE_N_MERGES rounds). Symbols never contain spaces,
+        # so the split is unambiguous.
         pairs = (
             syms.select("cnt", F.split("s", " ").alias("toks"))
             .filter(F.size("toks") >= 2)
@@ -626,12 +643,17 @@ def qx43_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.explode(
                     F.expr(
                         "transform(sequence(1, size(toks) - 1),"
-                        " i -> struct(toks[i - 1] AS l, toks[i] AS r))"
+                        " i -> concat(toks[i - 1], ' ', toks[i]))"
                     )
-                ).alias("pr"),
+                ).alias("p"),
             )
-            .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+            .groupBy("p")
             .agg(F.sum("cnt").cast("bigint").alias("n"))
+            .select(
+                F.split_part("p", F.lit(" "), F.lit(1)).alias("l"),
+                F.split_part("p", F.lit(" "), F.lit(2)).alias("r"),
+                "n",
+            )
         )
         best = pairs.orderBy(F.desc("n"), F.asc("l"), F.asc("r")).limit(1).collect()
         if not best:
