@@ -2360,12 +2360,17 @@ def _split_oov_oracle() -> str:
                      100.0 * CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 8))
                                   AS BIGINT) / {_SPLIT_U32} AS pct
               FROM cl)),
-    tok AS (
-        SELECT sp.split, t.tok
+    tok AS MATERIALIZED (
+        -- select-level unnest, not LATERAL: DuckDB's lateral unnest
+        -- never finishes on the pathological fixture's multi-MB token
+        -- arrays (the select-level form takes seconds); materialized
+        -- because two consumers would otherwise re-run the inlined
+        -- split/CC chain above
+        SELECT sp.split,
+               unnest(regexp_split_to_array(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'))
+                   AS tok
         FROM documents d
-        JOIN sp ON sp.doc_id = d.doc_id,
-        LATERAL (SELECT UNNEST(regexp_split_to_array(translate(d.text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '\\s+'))
-                     AS tok) t),
+        JOIN sp ON sp.doc_id = d.doc_id),
     train_vocab AS MATERIALIZED (
         SELECT DISTINCT tok FROM tok WHERE split = 'train'),
     ev AS (

@@ -916,7 +916,7 @@ SEQ_MIN_BUCKET = 16      # smallest padded width
         SELECT doc_id, n_tokens, width,
                ROW_NUMBER() OVER (PARTITION BY width ORDER BY doc_id) - 1
                    AS rk,
-               {SEQ_TOKEN_BUDGET} // width AS cap
+               GREATEST(1, {SEQ_TOKEN_BUDGET} // width) AS cap
         FROM b)
     SELECT CAST(width AS BIGINT)       AS width,
            CAST(rk // cap AS BIGINT)   AS batch_seq,
@@ -975,7 +975,11 @@ def qx93_length_bucketed_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.row_number().over(W.partitionBy("width").orderBy("doc_id")) - 1
         ).alias("rk"),
-        F.expr(f"{SEQ_TOKEN_BUDGET} div width").alias("cap"),
+        # a sequence longer than the whole batch budget still forms its
+        # own batch — without the floor, cap = budget div width = 0 and
+        # the batch number divides by zero (found by the pathological
+        # fixture's 2.4M-token docs; same floor in the oracle)
+        F.expr(f"greatest(cast(1 as bigint), {SEQ_TOKEN_BUDGET} div width)").alias("cap"),
     )
     return (
         r.groupBy("width", F.expr("rk div cap").alias("batch_seq"))
