@@ -34,14 +34,29 @@ PHONE_RE = r"\d{3}-\d{3}-\d{4}"
 # never-finishing task), while RE2 (DuckDB) is linear by construction.
 # The negative lookbehind restricts match ATTEMPTS to run starts (O(1)
 # failure everywhere else) and the possessive ++ skips the pointless
-# backtrack at a failed run; the MATCH SET is identical to EMAIL_RE —
-# any email match's start is necessarily preceded by a character outside
-# the local-part class (or string start), because '+' is greedy and the
-# engine reports leftmost matches. RE2 has no lookbehind, so the oracle
-# keeps the bare form; parity is pinned on the pathological fixture.
+# backtrack at a failed run.
+#
+# CONTRACT (round 11): the lookbehind makes the semantics RUN-START-ONLY,
+# which is NOT the bare pattern's match set — on abutting emails like
+# 'a@bb.cc1@dd.ee' the second candidate starts mid-run (preceded by the
+# first match's TLD letter) and is suppressed, where the bare pattern
+# would match '1@dd.ee'. Run-start-only is the defined contract: an
+# email must begin at a token-run boundary (string start or a character
+# outside the local-part class); mid-run fragments exposed by an earlier
+# match's end are not independently redactable addresses. RE2 has no
+# lookbehind, so the oracle reproduces the same contract with a CONSUMING
+# prefix group ``(^|[^local-part])`` and a ``\1`` backreference in the
+# replacement (EMAIL_ORACLE_PFX below); parity on abutting emails is
+# pinned by tests/test_curation.py and a pathological-fixture row.
 EMAIL_RE_JAVA = (
     r"(?<![A-Za-z0-9._%+-])[A-Za-z0-9._%+-]++@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 )
+# DuckDB (RE2) form of the run-start-only contract. Group 2 is the email
+# itself: count with regexp_extract_all(t, pat, 2); redact with
+# regexp_replace(t, pfx_pat, '\1[EMAIL]', 'g') to keep the consumed
+# boundary character.
+EMAIL_ORACLE_PFX = r"(^|[^A-Za-z0-9._%+-])"
+EMAIL_ORACLE_RE = EMAIL_ORACLE_PFX + "(" + EMAIL_RE + ")"
 
 
 def redact_pii(col: F.Column) -> F.Column:
@@ -84,9 +99,9 @@ def _augmented_spark() -> F.Column:
         SELECT doc_id, source, {_AUG_SQL} AS t FROM documents),
     red AS (
         SELECT source,
-               len(regexp_extract_all(t, '{EMAIL_RE}'))   AS n_emails,
+               len(regexp_extract_all(t, '{EMAIL_ORACLE_RE}', 2)) AS n_emails,
                len(regexp_extract_all(t, '{PHONE_RE}'))   AS n_phones,
-               LENGTH(regexp_replace(regexp_replace(t, '{EMAIL_RE}', '[EMAIL]', 'g'),
+               LENGTH(regexp_replace(regexp_replace(t, '{EMAIL_ORACLE_PFX}{EMAIL_RE}', '\1[EMAIL]', 'g'),
                                      '{PHONE_RE}', '[PHONE]', 'g')) AS red_len
         FROM aug)
     SELECT source,
@@ -99,8 +114,11 @@ def _augmented_spark() -> F.Column:
 )
 def q73_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction: find-and-replace emails and phone numbers with typed
-    placeholders, counting hits per source. Regex patterns restricted to
-    the RE2 ∩ java.util.regex common subset so both engines agree."""
+    placeholders, counting hits per source. Both engines implement the
+    run-start-only email contract (see EMAIL_RE_JAVA/EMAIL_ORACLE_RE):
+    Spark via a negative lookbehind (O(len) on token runs), DuckDB via a
+    consuming boundary prefix with a backreference — identical match sets
+    including on abutting emails."""
     docs = load_table(spark, sf_dir, "documents")
     aug = docs.select("doc_id", "source", _augmented_spark().alias("t"))
     red = aug.select(

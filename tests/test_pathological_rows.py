@@ -141,10 +141,16 @@ def test_pathological_rows_oracle_parity(spark, path_sf_dir, path_oracle_con, na
 def test_chunker_block_layout_matches_naive_semantics(spark):
     """The q78 rewrite's unit pin: block-layout chunks are byte-identical
     to the naive per-start substring definition, including the partial
-    last chunk and a doc shorter than one block."""
+    last chunk, a doc shorter than one block, and — the 2026-08-16 ADVICE
+    gap — docs spanning MULTIPLE CHUNK_LONG_BLOCKs, so the block-boundary
+    stitching (overlap carry, exclusion of chunk starts inside the
+    overlap region via the CHUNK_LONG_BLOCK-1 bound, chunk_idx
+    continuity across blocks) is pinned by this fast unit test and not
+    only by the fixture parity sweep."""
     from pyspark.sql import functions as F
 
     from kafka2delta_spark.functions.pipeline import (
+        CHUNK_LONG_BLOCK,
         CHUNK_SIZE,
         CHUNK_STRIDE,
         q78_doc_chunking,
@@ -152,27 +158,63 @@ def test_chunker_block_layout_matches_naive_semantics(spark):
 
     import tempfile
 
-    body_long = "".join(chr(0x3041 + (i % 80)) + "ab" for i in range(80_000))
-    body_short = "short ünïcode ✨ text"
+    def body_of(n_chars: int) -> str:
+        # period-free BMP content: a repeat with period 150 or 270,000
+        # would make block-misaligned slices hash-equal by accident
+        return "".join(chr(0x3041 + (i * 7919) % 83) for i in range(n_chars))
+
+    assert CHUNK_LONG_BLOCK == 270_000 and CHUNK_STRIDE == 150  # pins below
+    bodies = {
+        1: body_of(240_000),                  # 1 long-block (prior coverage)
+        2: "short ünïcode ✨ text",            # naive path, partial chunk
+        3: body_of(600_000),                  # 3 blocks; exact stride multiple
+        4: body_of(CHUNK_LONG_BLOCK + 30),    # ends INSIDE block 0's overlap
+        5: body_of(2 * CHUNK_LONG_BLOCK),     # len exactly on a block edge
+    }
     with tempfile.TemporaryDirectory() as d:
         spark.createDataFrame(
-            [(1, body_long, "ja", "s", len(body_long)),
-             (2, body_short, "en", "s", len(body_short))],
+            [(i, b, "ja", "s", len(b)) for i, b in bodies.items()],
             "doc_id bigint, text string, lang string, source string, n_chars bigint",
         ).write.parquet(f"{d}/documents.parquet")
         got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["chunk_len"], r["chunk_md5"])
                for r in q78_doc_chunking(spark, d).collect()}
 
-    for doc_id, body in ((1, body_long), (2, body_short)):
+    import hashlib
+
+    for doc_id, body in bodies.items():
         starts = list(range(0, len(body), CHUNK_STRIDE))
         rows = [r for r in got if r[0] == doc_id]
-        assert len(rows) == len(starts)
+        assert len(rows) == len(starts), f"doc {doc_id}"
         for s in starts:
             chunk = body[s:s + CHUNK_SIZE]
-            import hashlib
             st, ln, h = got[(doc_id, s // CHUNK_STRIDE)]
-            assert st == s and ln == len(chunk)
-            assert h == hashlib.md5(chunk.encode()).hexdigest()
+            assert st == s and ln == len(chunk), f"doc {doc_id} start {s}"
+            assert h == hashlib.md5(chunk.encode()).hexdigest(), \
+                f"doc {doc_id} start {s}"
+
+
+def test_split_alias_not_inlined_into_lambda(spark):
+    """Plan-shape guard (2026-08-16 ADVICE): q78's long path and q67 keep
+    their O(block)/O(len) token/char split evaluated ONCE per row by
+    binding it as a named alias that CollapseProject declines to inline
+    (a non-cheap alias referenced more than once). That optimizer
+    heuristic is undocumented and version-dependent; if a Spark upgrade
+    starts inlining it, the split re-runs once per lambda element
+    (measured +27 s per block on the pathological fixture, never-
+    finishing for q67 on a 16.9 MB doc) with no correctness test
+    failing. Pin the plan: exactly one `split(` in each optimized plan —
+    an inlined split appears once per reference site instead."""
+    from kafka2delta_spark.functions.dedup import q67_boilerplate_chunks
+    from kafka2delta_spark.functions.pipeline import q78_doc_chunking
+
+    sf = "/root/testdata/sf0.001"
+    for name, fn in (("q78", q78_doc_chunking), ("q67", q67_boilerplate_chunks)):
+        df = fn(spark, sf)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        n = plan.count("split(")
+        assert n == 1, f"{name}: expected exactly 1 split( in optimized " \
+                       f"plan, found {n} — CollapseProject inlined the " \
+                       f"multiply-referenced alias?\n{plan}"
 
 
 def test_bpe_pairs_code_point_aligned_on_emoji(spark):

@@ -55,6 +55,7 @@ PATH_100K_DOC = 23       # exactly 100k tokens (~1.3 MB)
 PATH_REPEAT_DOC = 41     # ~2.1 MB, one 11-token phrase repeated 30k times
 PATH_ONE_TOKEN_DOC = 59  # 2 MB single unbroken token (no whitespace)
 PATH_PAGE_EDGE_DOC = 77  # ~16.9 MB — PAST the 16 MiB parquet page edge
+PATH_ABUT_PII_DOC = 95   # abutting emails/phones: run-start-only contract
 #                          (a 1200-unique-token paragraph repeated 1280x)
 
 
@@ -202,6 +203,7 @@ def build_pathological(src: str, dst: str) -> str:
             WHEN {PATH_REPEAT_DOC}    THEN repeat('lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod ', 30000)
             WHEN {PATH_ONE_TOKEN_DOC} THEN repeat('x', 2000000)
             WHEN {PATH_PAGE_EDGE_DOC} THEN (SELECT repeat(p || ' ', 1280) FROM para)
+            WHEN {PATH_ABUT_PII_DOC}  THEN 'a@bb.cc1@dd.ee then a@b.cc.x@d.ee chain a@b.cc1@d.ee2@e.ff digits 555-123-45678901 tail x@y.zz.a@b.cc done'
             ELSE d.text END AS text
         FROM read_parquet('{src}/documents.parquet') d)
       SELECT doc_id, text, lang, source, length(text) AS n_chars FROM m
