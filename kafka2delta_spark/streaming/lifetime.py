@@ -40,10 +40,10 @@ FLUSH_DELAY_MS = 3_600_000  # timer at last_seen + 1h — before the sentinel's
 
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf for its state
-    server; absent in this sandbox (no installs). Re-probed round 10
+    server; absent in this sandbox (no installs). Re-probed round 11
     (2026-08-16): ``import google.protobuf`` still fails, and ``pip
-    download protobuf`` dies at DNS resolution ("Name or service not
-    known") — the package index is unreachable, not merely filtered. The
+    download protobuf`` still dies at DNS resolution ("Name or service
+    not known") — the package index is unreachable, not merely filtered. The
     round-9 full-disk sweep found only a renamed-namespace protobuf 4.23.2
     (``cloudsdk.google.protobuf`` inside the gcloud SDK) while pyspark's
     generated ``StateMessage_pb2`` hard-validates runtime >= 6.33.0

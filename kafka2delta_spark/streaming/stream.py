@@ -24,6 +24,7 @@ Scale notes vs the reference:
 from __future__ import annotations
 
 import logging
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Mapping
 
@@ -83,7 +84,7 @@ def process_topic_slice(
     store: ParquetStateStore | DeltaStateStore,
     lsn_col: str = LSN_COL,
     deleted_col: str = DELETED_COL,
-) -> None:
+) -> dict[str, int]:
     """Apply one topic's envelope-parsed records to its state store.
 
     Mirrors the per-topic body of the reference's foreachBatch closure
@@ -93,7 +94,15 @@ def process_topic_slice(
     per pair: decode → Debezium casts → latest-per-key → derived columns →
     merge. Only schema-ID *pairs* ever hit the driver (tiny metadata), never
     data rows.
+
+    Returns slice metrics: ``{"null_key_rows": n}`` — change rows dropped
+    for a NULL primary key under ``on_null_key='drop'`` (always 0 under
+    'error', which raises instead). Summed over schema pairs. Counted on
+    the DEDUPED slice (the Observation rides the merge input), so n is
+    the number of rows the merge excluded — several raw NULL-key records
+    collapse to one under latest-per-key, like any other key.
     """
+    null_key_total = 0
     pairs = [
         (r["key_schema_id"], r["value_schema_id"])
         for r in (
@@ -161,6 +170,7 @@ def process_topic_slice(
                     config.full_table_name,
                 )
             elif metrics["null_key_rows"]:
+                null_key_total += int(metrics["null_key_rows"])
                 logger.warning(
                     "CDC merge for %s: dropped %d change row(s) with NULL "
                     "primary key (cols: %s) — upstream Debezium contract "
@@ -170,6 +180,8 @@ def process_topic_slice(
                     metrics["null_key_rows"],
                     ", ".join(pk_cols),
                 )
+
+    return {"null_key_rows": null_key_total}
 
 
 def _observation_result(obs: Observation, timeout: float = 30.0) -> dict | None:
@@ -261,28 +273,34 @@ def apply_cdc_micro_batch(
     table_configs: Mapping[str, TableConfig],
     stores: Mapping[str, ParquetStateStore | DeltaStateStore],
     max_concurrent_topics: int = 4,
-) -> None:
+) -> dict[str, dict[str, int]]:
     """One micro-batch: envelope parse once, fan out per topic.
 
     Equivalent of the reference's ``merge_micro_batch`` closure
     (ref stream/stream.py:39-156) with the batch cached once and topics
     processed concurrently (independent target tables → independent jobs).
+
+    Returns per-topic slice metrics (see :func:`process_topic_slice`),
+    e.g. ``{"server.db.users": {"null_key_rows": 1}}`` — collected after
+    the concurrent fan-out joins, so no cross-thread mutation.
     """
     parsed = parse_confluent_envelope(batch_df).cache()
     try:
         topics = [r["topic"] for r in parsed.select("topic").distinct().collect()]
         work = [t for t in topics if t in table_configs]
 
-        def _one(topic: str) -> None:
+        def _one(topic: str) -> dict[str, int]:
             slice_df = parsed.filter(F.col("topic") == F.lit(topic))
-            process_topic_slice(slice_df, registry, table_configs[topic], stores[topic])
+            return process_topic_slice(
+                slice_df, registry, table_configs[topic], stores[topic]
+            )
 
         if len(work) <= 1 or max_concurrent_topics <= 1:
-            for t in work:
-                _one(t)
+            results = [_one(t) for t in work]
         else:
             with ThreadPoolExecutor(max_workers=max_concurrent_topics) as pool:
-                list(pool.map(_one, work))
+                results = list(pool.map(_one, work))
+        return dict(zip(work, results))
     finally:
         parsed.unpersist()
 
@@ -309,6 +327,42 @@ def kafka_source_options(
     }
 
 
+class CdcMetrics:
+    """Harness-consumable counters for one CDC streaming query.
+
+    ``stream_to_delta`` records each micro-batch's per-topic slice metrics
+    here and attaches the instance to the returned query as
+    ``query.cdc_metrics`` — so a test or monitoring harness can ASSERT on
+    contract-violation counts (e.g. NULL-PK drops) instead of scraping
+    warning logs. Thread-safe: foreachBatch writes from the streaming
+    thread while the harness reads from its own.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._batches: list[tuple[int, dict[str, dict[str, int]]]] = []
+
+    def record(self, batch_id: int, per_topic: dict[str, dict[str, int]]) -> None:
+        with self._lock:
+            self._batches.append((batch_id, per_topic))
+
+    @property
+    def batches(self) -> list[tuple[int, dict[str, dict[str, int]]]]:
+        with self._lock:
+            return list(self._batches)
+
+    def null_key_rows(self, topic: str | None = None) -> int:
+        """Total change rows dropped for NULL primary keys, across all
+        recorded batches (optionally for one topic)."""
+        total = 0
+        with self._lock:
+            for _, per_topic in self._batches:
+                for t, m in per_topic.items():
+                    if topic is None or t == topic:
+                        total += int(m.get("null_key_rows", 0))
+        return total
+
+
 def stream_to_delta(
     spark: SparkSession,
     query_name: str,
@@ -322,6 +376,7 @@ def stream_to_delta(
     processing_time: str = "0 seconds",
     source_df: DataFrame | None = None,
     store_backend: str = "auto",
+    metrics: CdcMetrics | None = None,
 ):
     """Start the CDC replication streaming query.
 
@@ -331,8 +386,11 @@ def stream_to_delta(
     live broker — the Kafka connector jar is environment-dependent.
     ``store_backend`` selects the sink: ``auto`` (Delta MERGE when
     delta-spark is importable, else versioned parquet), ``delta``,
-    ``parquet``.
+    ``parquet``. ``metrics`` (optional, created if absent) accumulates
+    per-batch contract counters and is exposed as ``query.cdc_metrics``.
     """
+    if metrics is None:
+        metrics = CdcMetrics()
     stores = {
         t: make_state_store(spark, cfg, store_backend)
         for t, cfg in table_configs.items()
@@ -349,7 +407,10 @@ def stream_to_delta(
         source_df = reader.load()
 
     def _batch(batch_df: DataFrame, batch_id: int) -> None:
-        apply_cdc_micro_batch(batch_df, schema_registry, table_configs, stores)
+        per_topic = apply_cdc_micro_batch(
+            batch_df, schema_registry, table_configs, stores
+        )
+        metrics.record(batch_id, per_topic)
 
     query = (
         source_df.writeStream.queryName(query_name)
@@ -361,4 +422,5 @@ def stream_to_delta(
     )
     if not query.isActive:  # liveness check, ref stream/stream.py:233-235
         raise RuntimeError(f"streaming query {query_name} failed to start")
+    query.cdc_metrics = metrics
     return query

@@ -359,13 +359,59 @@ def test_null_pk_drop_policy_logs_count(spark, tmp_path, caplog):
     with caplog.at_level(
         logging.WARNING, logger="kafka2delta_spark.streaming.stream"
     ):
-        apply_cdc_micro_batch(batch, registry, {TOPIC: config}, {TOPIC: store})
+        per_topic = apply_cdc_micro_batch(
+            batch, registry, {TOPIC: config}, {TOPIC: store}
+        )
     state = store.read()
     assert sorted(r["id"] for r in state.collect()) == [1, 2]
     warned = [r for r in caplog.records if "NULL" in r.getMessage()]
     assert len(warned) == 1
     assert "dropped 1 change row" in warned[0].getMessage()
     assert "cdc.users_nid" in warned[0].getMessage()
+    # the drop count is a RETURNED metric too, not only a log line
+    assert per_topic == {TOPIC: {"null_key_rows": 1}}
+
+
+def test_null_pk_drop_count_on_streaming_query_metrics(spark, tmp_path):
+    """The streaming shell exposes the NULL-PK drop counter on the
+    returned query (``query.cdc_metrics``), so a harness can assert on it
+    without log scraping — closes the observability loop opened in round
+    10 (the strict mode was testable, the drop count was caplog-only)."""
+    from kafka2delta_spark.streaming.stream import stream_to_delta
+
+    registry, key_sid, val_sid, config, store = _nullable_rig(
+        spark, tmp_path, "drop"
+    )
+    src = str(tmp_path / "source")
+    spark.createDataFrame(
+        [
+            _nullable_record(key_sid, val_sid, 1, 10),
+            _nullable_record(key_sid, val_sid, None, 11),
+            _nullable_record(key_sid, val_sid, None, 12),
+            _nullable_record(key_sid, val_sid, 2, 13),
+        ],
+        KAFKA_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    source = spark.readStream.schema(KAFKA_SCHEMA).parquet(src)
+    q = stream_to_delta(
+        spark, "nullpk_metrics_test", "none:9092", [TOPIC], {TOPIC: config},
+        str(tmp_path / "ckpt"), registry, source_df=source,
+        store_backend="parquet",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 2]
+    # the counter rides the DEDUPED slice (latest_per_key groups both
+    # NULL-key rows into one), so it counts rows excluded from the merge,
+    # not raw upstream rows: 2 NULL-PK records -> 1 excluded merge row
+    assert q.cdc_metrics.null_key_rows() == 1
+    assert q.cdc_metrics.null_key_rows(TOPIC) == 1
+    assert q.cdc_metrics.null_key_rows("other.topic") == 0
+    batches = q.cdc_metrics.batches
+    assert len(batches) == 1
+    assert batches[0][1] == {TOPIC: {"null_key_rows": 1}}
 
 
 def test_null_pk_clean_batch_logs_nothing(spark, tmp_path, caplog):
