@@ -51,7 +51,16 @@ SENTINEL_USER = 99_999_999
 # trigger, so the micro-batch boundary still falls between the halves.
 SPLIT_SHARDS = 4
 
-_SPLIT_DIRS: dict[str, str] = {}
+# Where the batch boundary lands inside [min(ts), max(ts)], as a fraction.
+# 0.5 (the default, the oracle-checked configuration) is the time
+# midpoint. The maintained-aggregate families claim their results are
+# INVARIANT to this boundary (additive/idempotent state); the round-11
+# boundary-shuffle regression test (tests/test_boundary_shuffle.py)
+# proves it by monkeypatching several placements and asserting identical
+# hashes — don't change the default.
+SPLIT_FRAC = 0.5
+
+_SPLIT_DIRS: dict[tuple[str, float], str] = {}
 
 
 def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -90,23 +99,25 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
     files oldest-mtime-first (path-order for ties), so the b0 shard
     files get an mtime strictly older than b1's, and the symlink names
     sort b0 first as a tie-breaker."""
-    if sf_dir in _SPLIT_DIRS:
-        return _SPLIT_DIRS[sf_dir]
+    if (sf_dir, SPLIT_FRAC) in _SPLIT_DIRS:
+        return _SPLIT_DIRS[(sf_dir, SPLIT_FRAC)]
     # deterministic scratch path keyed by the source dir AND the events
     # file's identity (mtime_ns, size) -> built once per machine, reused
     # across processes (bench runs pay the split only once), but a
     # REGENERATED events table gets a fresh split instead of a stale one
     # (the same staleness contract as the shingle postings cache's
-    # content fingerprint — see test_cache_fingerprint.py)
+    # content fingerprint — see test_cache_fingerprint.py). The split
+    # fraction is part of the key so the boundary-shuffle test's
+    # placements never collide with the default build.
     st = os.stat(os.path.join(sf_dir, "events.parquet"))
     key = (
         f"{sf_dir.strip('/').replace('/', '_')}"
-        f"_{st.st_mtime_ns}_{st.st_size}"
+        f"_{st.st_mtime_ns}_{st.st_size}_f{SPLIT_FRAC:g}"
     )
     d = os.path.join(tempfile.gettempdir(), f"events_split3_{key}")
     stream_dir = f"{d}/stream"
     if os.path.isdir(stream_dir) and len(os.listdir(stream_dir)) == 2 * SPLIT_SHARDS:
-        _SPLIT_DIRS[sf_dir] = stream_dir
+        _SPLIT_DIRS[(sf_dir, SPLIT_FRAC)] = stream_dir
         return stream_dir
     ev = load_table(spark, sf_dir, "events")
     os.makedirs(d, exist_ok=True)
@@ -118,7 +129,9 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
         raise RuntimeError(
             "events table is empty: the two-batch scaffold cannot be built"
         )
-    mid_us = (rng["lo"] + rng["hi"]) // 2
+    # frac=0.5 reduces exactly to the (lo+hi)//2 midpoint the oracles
+    # assume (lo + floor((hi-lo)*0.5) == floor((lo+hi)/2) for int inputs)
+    mid_us = rng["lo"] + int((rng["hi"] - rng["lo"]) * SPLIT_FRAC)
     if mid_us <= rng["lo"]:
         # max-min < 2µs: every row would land in b1 (ts < mid matches
         # nothing), so there is no two-batch split to build — fail
@@ -195,7 +208,7 @@ def _events_multibatch_dir(spark: SparkSession, sf_dir: str) -> str:
             os.symlink(tgt, f"{tmp_stream}/part-{bi:03d}-{si:03d}.parquet")
     shutil.rmtree(stream_dir, ignore_errors=True)
     os.replace(tmp_stream, stream_dir)
-    _SPLIT_DIRS[sf_dir] = stream_dir
+    _SPLIT_DIRS[(sf_dir, SPLIT_FRAC)] = stream_dir
     return stream_dir
 
 

@@ -134,13 +134,13 @@ def test_split_dir_refreshes_when_events_regenerate(spark, tmp_path):
     d1 = st._events_multibatch_dir(spark, sf)
 
     # "regenerate" the table: same path, different file identity
-    st._SPLIT_DIRS.pop(sf, None)  # simulate a fresh process
+    st._SPLIT_DIRS.pop((sf, st.SPLIT_FRAC), None)  # simulate a fresh process
     os.utime(f"{sf}/events.parquet")
     d2 = st._events_multibatch_dir(spark, sf)
     assert d1 != d2, "stale split dir reused after events regenerated"
 
     # same identity from a fresh process -> same dir (the cache works)
-    st._SPLIT_DIRS.pop(sf, None)
+    st._SPLIT_DIRS.pop((sf, st.SPLIT_FRAC), None)
     d3 = st._events_multibatch_dir(spark, sf)
     assert d3 == d2
     for d in (d1, d2):
@@ -207,7 +207,7 @@ def test_time_skewed_half_pads_to_split_shards(spark, tmp_path):
         b1_rows = spark.read.parquet(*b1_files).count()
         assert b1_rows == 2, b1_rows
     finally:
-        st._SPLIT_DIRS.pop(sf, None)
+        st._SPLIT_DIRS.pop((sf, st.SPLIT_FRAC), None)
         shutil.rmtree(os.path.dirname(d), ignore_errors=True)
 
 
@@ -241,7 +241,7 @@ def test_degenerate_midpoint_fails_loudly(spark, tmp_path):
         with pytest.raises(RuntimeError, match="midpoint degenerated"):
             st._events_multibatch_dir(spark, sf)
     finally:
-        st._SPLIT_DIRS.pop(sf, None)
+        st._SPLIT_DIRS.pop((sf, st.SPLIT_FRAC), None)
         stf = os.stat(f"{sf}/events.parquet")
         leftover = os.path.join(
             tempfile.gettempdir(),
