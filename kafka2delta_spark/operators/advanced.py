@@ -120,8 +120,13 @@ def q62_salted_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q46_sql_api_revenue_rank",
     oracle="""
     WITH rev AS (
+        -- DECIMAL(18,4) per-row cast before SUM: exact, order-independent
+        -- accumulation (the q09 pattern) — a double SUM rounds to a
+        -- different cent depending on row order (caught by the timeskew
+        -- fixture's hash-shuffled physical order)
         SELECT n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         JOIN orders   ON o_orderkey = l_orderkey
         JOIN customer ON c_custkey = o_custkey
@@ -147,7 +152,9 @@ def q46_sql_api_revenue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH rev AS (
             SELECT /*+ BROADCAST(v_customer, v_nation) */
                    n_name AS nation, CAST(YEAR(o_orderdate) AS INT) AS o_year,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                       AS DECIMAL(18,4))), 2)
+                        AS DOUBLE) AS revenue
             FROM v_lineitem
             JOIN v_orders   ON o_orderkey = l_orderkey
             JOIN v_customer ON c_custkey = o_custkey

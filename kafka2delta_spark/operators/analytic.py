@@ -202,6 +202,10 @@ def q34_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     sessionization's gap computation."""
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # unix_timestamp TRUNCATES fractional seconds toward zero — exactly
+    # DuckDB date_diff('second')'s per-endpoint semantics (probed on
+    # pre-1970 fractional timestamps: date_diff(-0.5s, +0.7s) = 0, not
+    # the floor-diff 1), so the pair stays engine-exact on skewed clocks
     return ev.select(
         "user_id",
         "event_id",
@@ -742,7 +746,7 @@ RESAMPLE_USER_MOD = 50  # exhibit subset: user_id % 50 == 0
     "q47_resample_ffill",
     oracle=f"""
     WITH ev AS (
-        SELECT user_id, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hr,
+        SELECT user_id, CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hr,
                (CASE WHEN isfinite(value) THEN CAST(FLOOR(value * 1000) AS BIGINT) END) AS v1000, event_type,
                ts, event_id
         FROM events WHERE user_id % {RESAMPLE_USER_MOD} = 0),
@@ -782,7 +786,12 @@ def q47_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") % RESAMPLE_USER_MOD == 0)
         .select(
             "user_id",
-            F.floor(F.unix_timestamp("ts") / 3600).cast("bigint").alias("hr"),
+            # µs-exact floor bucketing: unix_timestamp TRUNCATES toward
+            # zero (-0.5 s -> 0), so pre-1970 fractional seconds would
+            # land one hour high vs the oracle's floor (timeskew fixture)
+            F.floor(F.unix_micros("ts") / F.lit(3_600_000_000))
+            .cast("bigint")
+            .alias("hr"),
             v1000_m("value").alias("v1000"),
             "event_type",
             "ts",
@@ -1114,10 +1123,15 @@ def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported slope as micro-units/hour by integer division. DuckDB's //
     and Spark's div BOTH truncate toward zero (verified on negative
     numerators: -7//2 = -3 in each engine, and about half the corpus'
-    slopes are negative), and the scale multiply precedes the divide;
-    magnitudes stay far inside int64 (t <= hours-per-user,
-    v <= 1e3 * value). Users observed in a single hour have no slope
-    (denominator 0) and are excluded via the distinct-t count.
+    slopes are negative), and the scale multiply precedes the divide.
+    The moment arithmetic runs in DECIMAL(38,0) on Spark because DuckDB
+    integer SUMs are HUGEINT (int128) implicitly: with clock-skewed data
+    (timeskew fixture: a user spanning 1944..2124 has t up to ~1.6e6
+    hours) the TREND_SCALE*num product exceeds int64 and ANSI Spark threw
+    ARITHMETIC_OVERFLOW where the oracle silently widened. The exported
+    slope_num/slope_den stay bigint (they fit; only intermediates widen).
+    Users observed in a single hour have no slope (denominator 0) and
+    are excluded via the distinct-t count.
 
     Plan: one shuffle on user_id serves the min-window AND the final
     hash-agg (same key); everything else is per-row codegen. At 100 TB:
@@ -1132,29 +1146,35 @@ def qx29_user_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
         v1000_m("value").alias("v"),
     )
+    dec = "decimal(38,0)"
+    t_d = F.col("t").cast(dec)
     agg = base.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("t").alias("st"),
-        F.sum("v").alias("sv"),
-        F.sum(F.col("t") * F.col("t")).alias("stt"),
-        F.sum(F.col("t") * F.col("v")).alias("stv"),
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(t_d).alias("st"),
+        F.sum(F.col("v").cast(dec)).alias("sv"),
+        F.sum(t_d * F.col("t")).alias("stt"),
+        F.sum(t_d * F.col("v")).alias("stv"),
         F.countDistinct("t").alias("nt"),
     )
-    num = F.col("n") * F.col("stv") - F.col("st") * F.col("sv")
-    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    num = (F.col("n") * F.col("stv") - F.col("st") * F.col("sv")).cast(dec)
+    den = (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).cast(dec)
     return (
         agg.filter(F.col("nt") >= 2)
         .select(
             "user_id",
             F.col("n").cast("bigint").alias("n_events"),
-            num.cast("bigint").alias("slope_num"),
-            den.cast("bigint").alias("slope_den"),
-            F.expr(
-                f"cast({TREND_SCALE} * (n * stv - st * sv)"
-                f" div (n * stt - st * st) as bigint)"
-            ).alias("slope_e6"),
-            F.when(num > 0, "up")
-            .when(num < 0, "down")
+            num.alias("__num"),
+            den.alias("__den"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.col("__num").cast("bigint").alias("slope_num"),
+            F.col("__den").cast("bigint").alias("slope_den"),
+            F.expr(f"cast((cast({TREND_SCALE} as {dec}) * __num)"
+                   f" div __den as bigint)").alias("slope_e6"),
+            F.when(F.col("__num") > 0, "up")
+            .when(F.col("__num") < 0, "down")
             .otherwise("flat")
             .alias("trend"),
         )

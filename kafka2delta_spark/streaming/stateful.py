@@ -45,6 +45,24 @@ from kafka2delta_spark.streaming.drain import drain_to_memory
 SESSION_GAP_MIN = 30
 SENTINEL_USER = 99_999_999
 
+# Spark's event-time watermark is EPOCH-FLOORED: the internal watermark
+# value starts at 0 ms (1970-01-01T00:00:00Z) and can never go below it,
+# so a pre-1970 event is late-by-definition from the very first batch and
+# every watermark-stateful operator (dropDuplicatesWithinWatermark,
+# stream-stream joins, event-time timeouts) silently drops it. The
+# watermark queries therefore declare ``event_time >= epoch 0`` as an
+# explicit input contract, applied identically on both engines (found by
+# the round-11 timeskew fixture: 118 pre-1970 rows vanished from Spark's
+# side only). The additive maintained families have no watermark-drop
+# path and take all rows — no floor there.
+EPOCH_FLOOR_SQL = "ts >= TIMESTAMP '1970-01-01 00:00:00'"
+
+
+def _epoch_floor(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    return df.filter(
+        F.col(ts_col) >= F.lit("1970-01-01 00:00:00").cast("timestamp")
+    )
+
 # shard files per half-split (= files per micro-batch). Each half is
 # written by SPLIT_SHARDS parallel tasks — no coalesce(1) single-task
 # funnel — and the stream consumes exactly SPLIT_SHARDS files per
@@ -237,9 +255,12 @@ def _open_stream(
 @register(
     "q56_stream_stream_interval_join",
     oracle="""
+    -- epoch-floor contract: see stateful.EPOCH_FLOOR_SQL
+    WITH ev AS (SELECT * FROM events
+                WHERE ts >= TIMESTAMP '1970-01-01 00:00:00')
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
-    FROM events p JOIN events c
+    FROM ev p JOIN ev c
       ON p.user_id = c.user_id
      AND p.event_type = 'purchase' AND c.event_type = 'click'
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
@@ -253,7 +274,7 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     state at any scale. Inner-join matches emit eagerly, so with the file
     fully processed the append-mode result equals the batch interval join
     — hence SQL-oracle-checkable."""
-    ev = _open_stream(spark, sf_dir, files_per_trigger=None)
+    ev = _epoch_floor(_open_stream(spark, sf_dir, files_per_trigger=None))
     purchases = (
         ev.filter(F.col("event_type") == "purchase")
         .select(
@@ -296,9 +317,11 @@ def q56_stream_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFra
     SELECT p.event_id AS purchase_id, c.event_id AS click_id,
            p.user_id, p.ts AS purchase_ts, c.ts AS click_ts
     FROM (SELECT * FROM events
-          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            AND ts >= TIMESTAMP '1970-01-01 00:00:00') p
     LEFT JOIN (SELECT * FROM events
-          WHERE event_type = 'click' AND user_id IS NOT NULL) c
+          WHERE event_type = 'click' AND user_id IS NOT NULL
+            AND ts >= TIMESTAMP '1970-01-01 00:00:00') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
     """,
@@ -324,9 +347,9 @@ def q58_stream_stream_left_outer_join(
     # (NULL-key rows sit in join state until watermark eviction for
     # nothing). Filtering here trims that state up front. The sentinel
     # user is non-NULL, so watermark advancement is unaffected.
-    ev = _open_stream(spark, sf_dir, files_per_trigger=None).filter(
-        F.col("user_id").isNotNull()
-    )
+    ev = _epoch_floor(
+        _open_stream(spark, sf_dir, files_per_trigger=None)
+    ).filter(F.col("user_id").isNotNull())
     purchases = (
         ev.filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(
@@ -434,6 +457,7 @@ def _sessionize(key, pdf_iter, state):  # noqa: ANN001 — applyInPandasWithStat
                                 + INTERVAL '{SESSION_GAP_MIN} minutes'
                     THEN 1 ELSE 0 END AS new_session
         FROM events WHERE user_id IS NOT NULL
+          AND ts >= TIMESTAMP '1970-01-01 00:00:00'
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
     sessions AS (
         SELECT user_id, ts,
@@ -463,7 +487,7 @@ def q57_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stateful exchange — they cannot address keyed state, and filtering
     # here keeps them out of the Arrow worker round-trips entirely
     ev = (
-        _open_stream(spark, sf_dir)
+        _epoch_floor(_open_stream(spark, sf_dir))
         .filter(F.col("user_id").isNotNull())
         .select("user_id", "ts")
     )
@@ -493,9 +517,11 @@ def q57_stateful_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(p.user_id, c.user_id) AS user_id,
            p.ts AS purchase_ts, c.ts AS click_ts
     FROM (SELECT * FROM events
-          WHERE event_type = 'purchase' AND user_id IS NOT NULL) p
+          WHERE event_type = 'purchase' AND user_id IS NOT NULL
+            AND ts >= TIMESTAMP '1970-01-01 00:00:00') p
     FULL JOIN (SELECT * FROM events
-          WHERE event_type = 'click' AND user_id IS NOT NULL) c
+          WHERE event_type = 'click' AND user_id IS NOT NULL
+            AND ts >= TIMESTAMP '1970-01-01 00:00:00') c
       ON p.user_id = c.user_id
      AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
     """,
@@ -514,9 +540,9 @@ def qx08_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop NULL keys before they enter (full-outer) join state — without
     # this, NULL-key rows would emit as unmatched outer rows and only the
     # trailing sentinel filter's three-valued logic would hide them.
-    ev = _open_stream(spark, sf_dir, files_per_trigger=None).filter(
-        F.col("user_id").isNotNull()
-    )
+    ev = _epoch_floor(
+        _open_stream(spark, sf_dir, files_per_trigger=None)
+    ).filter(F.col("user_id").isNotNull())
     purchases = (
         ev.filter(F.col("event_type").isin("purchase", "sentinel"))
         .select(

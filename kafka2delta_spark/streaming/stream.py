@@ -126,7 +126,10 @@ def process_topic_slice(
             mode=DEFAULT_AVRO_OPTIONS["mode"],
         )
         typed = decoded.select(*cast_debezium_columns(value_schema))
-        latest = latest_per_key(typed, pk_cols, lsn_col)
+        # tie_break_hash: Debezium snapshot boundaries emit duplicate
+        # LSNs; the content-hash tiebreak keeps the winner deterministic
+        # under replay/repartition (round-11 temporal-disorder campaign)
+        latest = latest_per_key(typed, pk_cols, lsn_col, tie_break_hash=True)
         if config.additional_cols:
             latest = latest.select(
                 *latest.columns, *[F.expr(e) for e in config.additional_cols]

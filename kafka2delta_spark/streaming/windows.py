@@ -189,7 +189,11 @@ def q54_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4-6 carried a count-only row_oracle out of caution about the
     # surviving-payload ambiguity; the projection makes that caution
     # unnecessary and graduates q55 to a full hash-checked driver row.
-    oracle="SELECT event_id, user_id, event_type FROM events",
+    # Epoch-floor contract (stateful.EPOCH_FLOOR_SQL): the watermark
+    # starts at epoch 0, so pre-1970 rows are dropped as late — declared
+    # identically on both engines.
+    oracle="SELECT event_id, user_id, event_type FROM events "
+           "WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'",
 )
 def q55_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicatesWithinWatermark on event_id — bounded-state
@@ -197,7 +201,9 @@ def q55_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataF
     key-determined columns, so the output is value-checkable against the
     batch DISTINCT even though which physical arrival survives a true
     duplicate is watermark-dependent (see the register comment)."""
-    ev = _events_stream(spark, sf_dir)
+    from kafka2delta_spark.streaming.stateful import _epoch_floor
+
+    ev = _epoch_floor(_events_stream(spark, sf_dir))
     deduped = ev.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
         ["event_id"]
     )

@@ -44,7 +44,10 @@ ALL_TABLES = (
     "orders", "lineitem", "events", "documents", "embeddings",
 )
 
-FIXTURES = ("nullvals", "nullkeys", "nonfinite", "unicode", "pathological")
+FIXTURES = (
+    "nullvals", "nullkeys", "nonfinite", "unicode", "pathological",
+    "timeskew",
+)
 
 # Pathological-row knobs (deterministic; doc ids chosen from sf0.001's
 # 0..499 range). Sizes are the round-10 campaign targets: "multi-MB
@@ -223,12 +226,83 @@ def build_pathological(src: str, dst: str) -> str:
     return dst
 
 
+def build_timeskew(src: str, dst: str) -> str:
+    """Temporal disorder (the round-11 campaign; seventh parity
+    dimension): clock-skewed timestamps and destroyed physical time
+    order, injected deterministically by key.
+
+    events (by event_id % 17):
+      == 3  -> ts shifted 80 YEARS into the past (~1944: negative epoch;
+               floor-vs-truncate integer division on negative epoch
+               microseconds is the classic engine divergence)
+      == 5  -> ts shifted 100 YEARS into the future (~2124)
+      == 7  -> ts pinned to 1969-12-31 23:59:59.5 (epoch -0.5 s: a
+               NEGATIVE epoch with a FRACTIONAL second — rounding-mode
+               traps on every epoch/bucket conversion)
+      == 9  -> ts pinned to 2024-01-15 12:00:00 exactly (mass ties:
+               order-sensitivity under equal sort keys)
+    plus the physical row order is shuffled by hash(event_id), so any
+    operator that silently relied on the parquet's near-time-order
+    (sessionization, inter-arrival, as-of logic) sees worst-case input.
+
+    orders (by o_orderkey % 23): == 7 -> o_orderdate -100 years
+    (pre-1970 DATEs), == 11 -> +100 years; physical order shuffled by
+    hash(o_orderkey). lineitem's l_shipdate shifts with the parent order
+    (join consistency: date arithmetic between the two tables stays
+    coherent).
+    """
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+        "documents", "embeddings",
+    ))
+    con.execute(f"""
+    COPY (
+      SELECT event_id,
+             CASE event_id % 17
+               WHEN 3 THEN ts - INTERVAL 80 YEARS
+               WHEN 5 THEN ts + INTERVAL 100 YEARS
+               WHEN 7 THEN TIMESTAMP '1969-12-31 23:59:59.5'
+               WHEN 9 THEN TIMESTAMP '2024-01-15 12:00:00'
+               ELSE ts END AS ts,
+             user_id, event_type, value, props
+      FROM read_parquet('{src}/events.parquet')
+      ORDER BY hash(event_id)
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      SELECT * REPLACE (
+        CASE o_orderkey % 23
+          WHEN 7 THEN o_orderdate - INTERVAL 100 YEARS
+          WHEN 11 THEN o_orderdate + INTERVAL 100 YEARS
+          ELSE o_orderdate END AS o_orderdate)
+      FROM read_parquet('{src}/orders.parquet')
+      ORDER BY hash(o_orderkey)
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      SELECT l.* REPLACE (
+        CASE l.l_orderkey % 23
+          WHEN 7 THEN l.l_shipdate - INTERVAL 100 YEARS
+          WHEN 11 THEN l.l_shipdate + INTERVAL 100 YEARS
+          ELSE l.l_shipdate END AS l_shipdate)
+      FROM read_parquet('{src}/lineitem.parquet') l
+      ORDER BY hash(l.l_orderkey), hash(l.l_linenumber)
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
 BUILDERS = {
     "nullvals": build_nullvals,
     "nullkeys": build_nullkeys,
     "nonfinite": build_nonfinite,
     "unicode": build_unicode,
     "pathological": build_pathological,
+    "timeskew": build_timeskew,
 }
 
 

@@ -5,15 +5,22 @@ Runs every registered query on Spark and its oracle SQL on DuckDB over the
 same parquet tables, then compares row count, sorted column names, and
 order-insensitive values. Usage:
 
-    python tools/check_correctness.py [--json OUT] [sf_dir] [query_name ...]
-    python tools/check_correctness.py --fixture {nullvals,nullkeys,nonfinite,unicode,pathological} [query_name ...]
+    python tools/check_correctness.py [--json OUT] [--layout stress] [sf_dir] [query_name ...]
+    python tools/check_correctness.py --fixture {nullvals,nullkeys,nonfinite,unicode,pathological,timeskew} [query_name ...]
 
 ``--fixture`` builds the named degenerate fixture from sf0.001 via
 tools/build_degenerate_fixtures.py (the same builders the test suite
 imports), runs the full sweep over it, and writes
 CORRECTNESS_DEGEN_<name>.json — the one-command reproduction of the
-"228/228 on all six fixtures" claim (clean sf0.001/sf0.01 plus the four
+"228/228 on all fixtures" claim (clean sf0.001/sf0.01 plus the
 degenerate copies).
+
+``--layout stress`` runs the sweep under a radically different physical
+layout — 64 KB input splits, 64-way shuffle, AQE disabled — the task
+geometry a 1000-executor cluster would see. Any query whose hash depends
+on partition layout (per-partition ids, within-partition ordering,
+accumulation order) fails here even though the default layout hides it.
+Default JSON artifact: CORRECTNESS_LAYOUT.json.
 """
 
 from __future__ import annotations
@@ -29,9 +36,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _args = sys.argv[1:]
 JSON_OUT = None
 FIXTURE = None
+LAYOUT = None
 if _args and _args[0] == "--json":
     JSON_OUT = _args[1]
     _args = _args[2:]
+if _args and _args[0] == "--layout":
+    LAYOUT = _args[1]
+    _args = _args[2:]
+    if LAYOUT != "stress":
+        raise SystemExit(f"unknown --layout {LAYOUT!r}; only 'stress'")
+    if JSON_OUT is None:
+        JSON_OUT = "/root/repo/CORRECTNESS_LAYOUT.json"
 if _args and _args[0] == "--fixture":
     FIXTURE = _args[1]
     _args = _args[2:]
@@ -97,6 +112,14 @@ def main() -> int:
 
     load_all_querysets()
     spark = build_session("check_correctness")
+    if LAYOUT == "stress":
+        # the task geometry of a 1000-executor cluster: tiny input
+        # splits, wide shuffles, and no AQE re-planning to coalesce the
+        # mess back — layout-sensitive operators have nowhere to hide
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        spark.conf.set("spark.sql.shuffle.partitions", "64")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        print("layout=stress: 64 KB splits, 64-way shuffle, AQE off")
 
     con = duckdb.connect()
     register_oracle_views(con, SF_DIR)
@@ -198,6 +221,8 @@ def main() -> int:
         payload = {"sf_dir": SF_DIR, "results": results}
         if FIXTURE:
             payload["fixture"] = FIXTURE
+        if LAYOUT:
+            payload["layout"] = LAYOUT
         with open(JSON_OUT, "w") as fh:
             json.dump(payload, fh, indent=1)
         print(f"wrote {JSON_OUT}")
