@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round driver rows plus this round's local tri-scale artifacts
 # (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
 # query (watermark progression by design).
-_ALIAS_PREFIX = "a10_"
+_ALIAS_PREFIX = "a11_"
 
 # Round 7 (``a7_``) targets, exactly 50:
 #   * round-7 additions (10): qy01..qy10 — intra-doc repetition,
@@ -193,9 +193,41 @@ _A10_KEYS = (
 )
 
 
+# Round 11 (``a11_``) targets, exactly 50 — the round-10 verdict's
+# "rotate oldest-first" item 1, computed from CORRECTNESS_r01..r10 on
+# round-11 session start (histogram r04:1 — the exempt q01 ``entry()``
+# flagship — r06:31, r07:49, r08:48, r09:49, r10:50):
+#   * all 31 queries whose newest driver row is r06: the q12..q22 TPC-H
+#     band (11) and qx26 qx33 qx40 qx53 qx75..qx79 qx81..qx83 qx85 qx86
+#     qx88 qx89 qx94 qx96..qx98 (20);
+#   * modified this round (9), re-gated because their oracles or Spark
+#     arithmetic CHANGED in the timeskew/ADVICE fixes: q73 (email
+#     run-start-only contract, oracle CHANGED), q46 (decimal revenue sum,
+#     oracle CHANGED), q47 (µs floor bucketing, oracle CHANGED), qx29
+#     (decimal moment widening), and the epoch-floor watermark family
+#     q55/q56/q57/q58/qx08 (oracles CHANGED);
+#   * oldest-r07 fill (10): q24..q33.
+# After this gate no query's newest driver row predates r07 except the
+# exempt q01 and the 39 remaining r07 rows (q34..q36, q75, q84, q87b,
+# q88, qx22/qx24/qx34/qx42/qx49/qx80/qx84/qx87/qx90/qx91/qx93/qx95,
+# qy01..qy09, qz01..qz10), which rotate in a12_. Queries touched this
+# round with UNCHANGED semantics and oracles (q34 probe-confirmed, q71's
+# tie-break/metrics observability, the SPLIT_FRAC scaffold default) are
+# covered by this round's local artifacts (timeskew 228/228, layout
+# sweep, tri-scale).
+_A11_KEYS = (
+    {f"q{i:02d}" for i in range(12, 23)}  # q12..q22
+    | {"qx26", "qx33", "qx40", "qx53"}
+    | {f"qx{i:02d}" for i in (75, 76, 77, 78, 79, 81, 82, 83, 85, 86,
+                              88, 89, 94, 96, 97, 98)}
+    | {"q73", "q46", "q47", "qx29", "q55", "q56", "q57", "q58", "qx08"}
+    | {f"q{i:02d}" for i in range(24, 34)}  # q24..q33
+)
+
+
 def _alias_block() -> list[str]:
     return [
-        name for name in sorted(QUERIES) if name.split("_")[0] in _A10_KEYS
+        name for name in sorted(QUERIES) if name.split("_")[0] in _A11_KEYS
     ]
 
 
