@@ -206,11 +206,16 @@ _A10_KEYS = (
 #     oracle CHANGED), q47 (µs floor bucketing, oracle CHANGED), qx29
 #     (decimal moment widening), and the epoch-floor watermark family
 #     q55/q56/q57/q58/qx08 (oracles CHANGED);
-#   * oldest-r07 fill (10): q24..q33.
+#   * modified by the compound-fixture campaign (2), re-gated because
+#     their oracles/arithmetic CHANGED: qx58 (IVM fold now maintains a
+#     non-null count so an all-NULL group sums to NULL, not 0) and qx74
+#     (zero-variance pearson_r is NULL on both engines, was ANSI
+#     DIVIDE_BY_ZERO);
+#   * oldest-r07 fill (8): q24..q31.
 # After this gate no query's newest driver row predates r07 except the
-# exempt q01 and the 39 remaining r07 rows (q34..q36, q75, q84, q87b,
-# q88, qx22/qx24/qx34/qx42/qx49/qx80/qx84/qx87/qx90/qx91/qx93/qx95,
-# qy01..qy09, qz01..qz10), which rotate in a12_. Queries touched this
+# exempt q01 and the 41 remaining r07 rows (q32/q33, q34..q36, q75,
+# q84, q87b, q88, qx22/qx24/qx34/qx42/qx49/qx80/qx84/qx87/qx90/qx91/
+# qx93/qx95, qy01..qy09, qz01..qz10), which rotate in a12_. Queries touched this
 # round with UNCHANGED semantics and oracles (q34 probe-confirmed, q71's
 # tie-break/metrics observability, the SPLIT_FRAC scaffold default) are
 # covered by this round's local artifacts (timeskew 228/228, layout
@@ -221,7 +226,8 @@ _A11_KEYS = (
     | {f"qx{i:02d}" for i in (75, 76, 77, 78, 79, 81, 82, 83, 85, 86,
                               88, 89, 94, 96, 97, 98)}
     | {"q73", "q46", "q47", "qx29", "q55", "q56", "q57", "q58", "qx08"}
-    | {f"q{i:02d}" for i in range(24, 34)}  # q24..q33
+    | {"qx58", "qx74"}
+    | {f"q{i:02d}" for i in range(24, 32)}  # q24..q31
 )
 
 

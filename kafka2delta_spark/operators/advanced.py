@@ -1720,12 +1720,18 @@ def _qx74_oracle() -> str:
         num = f"(n * sp_{i}{j} - s_{a} * s_{b})"
         da = f"(n * ss_{a} - s_{a} * s_{a})"
         db = f"(n * ss_{b} - s_{b} * s_{b})"
+        # zero-variance contract (shared with the Spark side): a constant
+        # feature has no defined correlation — r is NULL, not 0/0. The
+        # compound fixture hits this for real (its NULL event_type group
+        # is ALSO the pinned-timestamp group, so hod/dow are constant
+        # there), and Spark's ANSI mode rejects the raw 0/0 outright.
         rows.append(
             f"""SELECT event_type, '{a}' AS feat_a, '{b}' AS feat_b,
                CAST(n AS BIGINT) AS n,
                {num}::VARCHAR AS cov_num,
-               ROUND({num}::DOUBLE / sqrt({da}::DOUBLE * {db}::DOUBLE), 4)
-                   AS pearson_r
+               CASE WHEN {da} > 0 AND {db} > 0 THEN
+                 ROUND({num}::DOUBLE / sqrt({da}::DOUBLE * {db}::DOUBLE), 4)
+               END AS pearson_r
             FROM agg"""
         )
     feats = ", ".join(f"{expr} AS {name}" for name, expr, _ in _QX74_FEATS)
@@ -1790,10 +1796,15 @@ def qx74_feature_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFram
                 F.lit(b).alias("feat_b"),
                 F.col("n").cast("bigint").alias("n"),
                 num.cast("string").alias("cov_num"),
-                F.round(
-                    num.cast("double")
-                    / F.sqrt(da.cast("double") * db.cast("double")),
-                    4,
+                # zero-variance -> NULL (see the oracle note); the guard
+                # also keeps ANSI mode from throwing DIVIDE_BY_ZERO
+                F.when(
+                    (da > F.lit(0)) & (db > F.lit(0)),
+                    F.round(
+                        num.cast("double")
+                        / F.sqrt(da.cast("double") * db.cast("double")),
+                        4,
+                    ),
                 ).alias("pearson_r"),
             )
         )

@@ -640,10 +640,17 @@ def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v1000").alias("c_v"),
         (F.col("event_type") == "error").alias("is_del"),
     )
-    # prior aggregate: the maintained view before this batch
+    # prior aggregate: the maintained view before this batch. The
+    # non-null-value count `nv` rides along because SQL SUM over an
+    # all-NULL group is NULL, not 0 — an incremental fold built on
+    # coalesce(sum, 0) + delta cannot tell "group absent" from "sum is
+    # NULL", so NULL-ness must be maintained as its own additive cell
+    # (the classic IVM COUNT-column trick). Found by the compound
+    # fixture, where some users' latest values are NULL/NaN.
     agg0 = state0.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("v1000").cast("bigint").alias("v1000_sum"),
+        F.count("v1000").cast("bigint").alias("nv"),
     )
     j = state0.join(chg, "user_id", "full_outer")
     c_wins = F.col("c_eid").isNotNull() & (
@@ -653,17 +660,26 @@ def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type"),
         F.lit(-1).cast("bigint").alias("dn"),
         (-F.col("v1000")).alias("dv"),
+        F.when(F.col("v1000").isNotNull(), -1)
+        .otherwise(0).cast("bigint").alias("dnv"),
     )
     add = j.where(c_wins & ~F.col("is_del")).select(
         F.col("c_type").alias("event_type"),
         F.lit(1).cast("bigint").alias("dn"),
         F.col("c_v").alias("dv"),
+        F.when(F.col("c_v").isNotNull(), 1)
+        .otherwise(0).cast("bigint").alias("dnv"),
     )
     deltas = (
         retract.unionByName(add)
         .groupBy("event_type")
-        .agg(F.sum("dn").alias("dn"), F.sum("dv").alias("dv"))
+        .agg(
+            F.sum("dn").alias("dn"),
+            F.sum("dv").alias("dv"),
+            F.sum("dnv").alias("dnv"),
+        )
     )
+    nv_total = F.coalesce("nv", F.lit(0)) + F.coalesce("dnv", F.lit(0))
     return (
         agg0.join(deltas, "event_type", "full_outer")
         .select(
@@ -671,8 +687,10 @@ def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 F.coalesce("n_users", F.lit(0)) + F.coalesce("dn", F.lit(0))
             ).cast("bigint").alias("n_users"),
-            (
-                F.coalesce("v1000_sum", F.lit(0)) + F.coalesce("dv", F.lit(0))
+            # all contributing values NULL -> SQL SUM semantics say NULL
+            F.when(
+                nv_total > 0,
+                F.coalesce("v1000_sum", F.lit(0)) + F.coalesce("dv", F.lit(0)),
             ).cast("bigint").alias("v1000_sum"),
         )
         .where(F.col("n_users") > 0)

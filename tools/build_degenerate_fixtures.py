@@ -46,7 +46,7 @@ ALL_TABLES = (
 
 FIXTURES = (
     "nullvals", "nullkeys", "nonfinite", "unicode", "pathological",
-    "timeskew",
+    "timeskew", "compound",
 )
 
 # Pathological-row knobs (deterministic; doc ids chosen from sf0.001's
@@ -296,6 +296,124 @@ def build_timeskew(src: str, dst: str) -> str:
     return dst
 
 
+COMPOUND_BIG_UNI_DOC = 61   # ~1.1 MB emoji/CJK/combining body: size x unicode
+COMPOUND_ABUT_PII_DOC = 95  # abutting emails: PII x unicode fixture context
+
+
+def build_compound(src: str, dst: str) -> str:
+    """ALL six corruption classes composed on one fixture (the round-11
+    interaction campaign). Each single-dimension fixture proves one class
+    in isolation; this one proves the classes don't mask or amplify each
+    other — the overlaps are deliberate and deterministic:
+
+      events: timeskew shifts (1944/2124/epoch -0.5 s/mass ties, same
+        ``% 17`` sites as build_timeskew) x NULL user_id (``% 19 = 11``,
+        so some anonymous rows are ALSO pre-1970 — NULL-keyed late data)
+        x NULL value/props/event_type (nullvals sites; ``% 17 = 9`` makes
+        every mass-tie row ALSO a NULL event_type — ties under a NULL
+        group key) x NaN/±Inf (nonfinite sites, NULL wins where both
+        match) x a hot user owning ~half the non-anonymous events
+        (hot-key skew ON TOP of NULL keys) x physical order shuffled.
+      documents: the unicode traps (same ``% 11`` sites) x NULL text
+        (``% 7 = 3``, NULL wins) x a NEW multi-MB emoji/CJK/combining
+        body (doc 61, ~1.2 M code points / ~2.2 MB UTF-8 — per-row size
+        skew expressed in non-ASCII, where code-point != byte !=
+        grapheme) x the abutting-PII row (doc 95).
+      embeddings: NULL embedding (``% 9 = 4``) and NULL label
+        (``% 13 = 6``).
+      orders/lineitem: ±100-year date shifts (same ``% 23`` sites,
+        join-consistent) x shuffled physical order.
+    """
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+    ))
+    con.execute(f"""
+    COPY (
+      WITH hot AS (SELECT min(user_id) AS u
+                   FROM read_parquet('{src}/events.parquet')
+                   WHERE user_id IS NOT NULL)
+      SELECT event_id,
+             CASE event_id % 17
+               WHEN 3 THEN ts - INTERVAL 80 YEARS
+               WHEN 5 THEN ts + INTERVAL 100 YEARS
+               WHEN 7 THEN TIMESTAMP '1969-12-31 23:59:59.5'
+               WHEN 9 THEN TIMESTAMP '2024-01-15 12:00:00'
+               ELSE ts END AS ts,
+             CASE WHEN event_id % 19 = 11 THEN NULL
+                  WHEN event_id % 2 = 0 THEN (SELECT u FROM hot)
+                  ELSE user_id END AS user_id,
+             CASE WHEN event_id % 17 != 9 THEN event_type END AS event_type,
+             CASE WHEN event_id % 11 = 5 THEN NULL
+                  WHEN event_id % 29 = 17 THEN 'nan'::DOUBLE
+                  WHEN event_id % 31 = 19 THEN 'infinity'::DOUBLE
+                  WHEN event_id % 37 = 23 THEN '-infinity'::DOUBLE
+                  ELSE value END AS value,
+             CASE WHEN event_id % 13 != 7 THEN props END AS props
+      FROM read_parquet('{src}/events.parquet')
+      ORDER BY hash(event_id)
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      WITH uni AS (
+        SELECT string_agg(
+          '🚀日本語' || chr(160) || 'cafe' || chr(769) || ' 中文테스트 ﬁß'
+            || chr(8203) || 'x' || substr(md5(i::VARCHAR), 1, 8), ' '
+          ORDER BY i) AS body
+        FROM range(40000) t(i)),
+      m AS (
+        SELECT d.doc_id, d.lang, d.source,
+          CASE
+            WHEN d.doc_id = {COMPOUND_BIG_UNI_DOC} THEN (SELECT body FROM uni)
+            WHEN d.doc_id = {COMPOUND_ABUT_PII_DOC} THEN
+              'a@bb.cc1@dd.ee then a@b.cc.x@d.ee chain a@b.cc1@d.ee2@e.ff'
+              || ' digits 555-123-45678901 tail x@y.zz.a@b.cc done'
+            WHEN d.doc_id % 7 = 3 THEN NULL
+            ELSE CASE d.doc_id % 11
+              WHEN 1 THEN 'café ñoño ' || d.text
+              WHEN 2 THEN d.text || ' 日本語テキスト 中文 한국어'
+              WHEN 3 THEN '🚀🔥💯 ' || d.text || ' 🎉'
+              WHEN 4 THEN replace(d.text, ' the ', ' the' || chr(160))
+              WHEN 5 THEN d.text || ' İstanbul ß STRASSE ligatures ﬁﬂ'
+              WHEN 6 THEN d.text || ' cafe' || chr(769) || ' naive' || chr(776)
+              WHEN 7 THEN d.text || ' zero' || chr(8203) || 'width' || chr(8205) || 'joined'
+              ELSE d.text END
+          END AS text
+        FROM read_parquet('{src}/documents.parquet') d)
+      SELECT doc_id, text, lang, source, length(text) AS n_chars FROM m
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""COPY (SELECT vec_id,
+        CASE WHEN vec_id % 9 != 4 THEN embedding END AS embedding,
+        CASE WHEN vec_id % 13 != 6 THEN label END AS label
+        FROM read_parquet('{src}/embeddings.parquet'))
+        TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      SELECT * REPLACE (
+        CASE o_orderkey % 23
+          WHEN 7 THEN o_orderdate - INTERVAL 100 YEARS
+          WHEN 11 THEN o_orderdate + INTERVAL 100 YEARS
+          ELSE o_orderdate END AS o_orderdate)
+      FROM read_parquet('{src}/orders.parquet')
+      ORDER BY hash(o_orderkey)
+    ) TO '{dst}/orders.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      SELECT l.* REPLACE (
+        CASE l.l_orderkey % 23
+          WHEN 7 THEN l.l_shipdate - INTERVAL 100 YEARS
+          WHEN 11 THEN l.l_shipdate + INTERVAL 100 YEARS
+          ELSE l.l_shipdate END AS l_shipdate)
+      FROM read_parquet('{src}/lineitem.parquet') l
+      ORDER BY hash(l.l_orderkey), hash(l.l_linenumber)
+    ) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
 BUILDERS = {
     "nullvals": build_nullvals,
     "nullkeys": build_nullkeys,
@@ -303,6 +421,7 @@ BUILDERS = {
     "unicode": build_unicode,
     "pathological": build_pathological,
     "timeskew": build_timeskew,
+    "compound": build_compound,
 }
 
 
