@@ -13,8 +13,9 @@ query band at factors 1/2/4, and fits the per-query scaling exponent
 using the min of REPS interleaved runs per cell (min is the standard
 noise-robust location estimator on a co-tenant host; the round-9
 calibration experiment measured ~5x within-session wall-clock spread, so
-single-shot timings are meaningless here). alpha ~ 1 = linear; the tool
-flags alpha > FLAG_ALPHA after subtracting a fixed-cost floor estimate.
+single-shot timings are meaningless here). alpha ~ 1 = linear; the flag
+uses the TAIL exponent (top factor segment, where per-query fixed cost
+matters least) and only fires when the top point carries real work.
 
 Replication notes (deliberate, documented):
   * documents/embeddings replicas carry IDENTICAL text/vectors under new
@@ -26,10 +27,11 @@ Replication notes (deliberate, documented):
     volume grows, matching how a real corpus densifies. Grid-dominated
     ops (q47's resample) should show alpha < 1 (fixed grid + linear
     scan).
-  * q90_cosine_topk_bruteforce is the documented O(n_q x n_corpus)
-    baseline; with both sides replicated its alpha ~ 2 is BY DESIGN (the
-    scale path is q91/q93/qx94). It is included as the honesty control:
-    the tool proves it can measure a quadratic shape when one exists.
+  * q90_cosine_topk_bruteforce broadcasts a FIXED query set (vec_id <
+    N_QUERIES) against the linearly-scanned corpus, so O(n_q x corpus)
+    degenerates to linear-in-corpus by construction; its inclusion pins
+    that the broadcast side really is fixed (a corpus-proportional
+    broadcast would read as alpha > 1 here and as an OOM at 100 TB).
 
 Usage:
     python tools/bench_scaling.py [--src /root/testdata/sf0.1]
@@ -142,7 +144,7 @@ def main() -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("queries", nargs="*", default=None)
     ap.add_argument("--src", default=DEFAULT_SRC)
-    ap.add_argument("--factors", default="1,2,4")
+    ap.add_argument("--factors", default="1,8,64")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="/root/repo/SCALING.json")
     args = ap.parse_args()
@@ -172,8 +174,16 @@ def main() -> int:
     spark = build_session("bench_scaling")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+    def run(name: str, sf_dir: str) -> None:
+        # full materialization through the noop sink (same as bench.py):
+        # .count() would let Catalyst prune the expensive projections
+        # and measure a different, much cheaper plan
+        QUERIES[name](spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     # warm the JVM/session once on the smallest factor
-    QUERIES[names[0]](spark, dirs[factors[0]]).count()
+    run(names[0], dirs[factors[0]])
 
     times: dict[str, dict[int, list[float]]] = {
         n: {k: [] for k in factors} for n in names
@@ -184,39 +194,38 @@ def main() -> int:
         for n in names:
             for k in factors:
                 t0 = time.monotonic()
-                QUERIES[n](spark, dirs[k]).count()
+                run(n, dirs[k])
                 dt = time.monotonic() - t0
                 times[n][k].append(dt)
                 print(f"rep{rep} {n} x{k}: {dt:.2f}s", flush=True)
 
     lo, hi = min(factors), max(factors)
+    mid = sorted(factors)[1] if len(factors) > 2 else lo
     report = {}
     for n in names:
         best = {k: min(times[n][k]) for k in factors}
         alpha = math.log(best[hi] / best[lo]) / math.log(hi / lo)
-        # floor-adjusted exponent: subtract the per-query fixed cost
-        # (planning + session overhead) estimated as the part of t(lo)
-        # that doesn't grow — linear extrapolation through the two
-        # smallest factors. Guards against tiny-t queries reading as
-        # sub-linear and against the floor masking a super-linear tail.
-        mid = sorted(factors)[1] if len(factors) > 2 else hi
-        slope = max((best[mid] - best[lo]) / (mid - lo), 1e-9)
-        floor = max(best[lo] - slope * lo, 0.0)
-        adj = {k: max(best[k] - floor, 1e-9) for k in factors}
-        alpha_adj = math.log(adj[hi] / adj[lo]) / math.log(hi / lo)
+        # tail exponent over the top segment (mid -> hi): at the largest
+        # factors the per-query fixed cost (planning, session overhead)
+        # matters least, so this is the exponent that predicts the 100x
+        # scale-up. A floor-subtraction estimate was tried first and is
+        # numerically fragile when noise makes t(mid) <= t(lo).
+        alpha_tail = math.log(best[hi] / best[mid]) / math.log(hi / mid)
+        # only flag when the top point carries real work — a sub-2 s
+        # t(hi) is fixed-cost-dominated and its exponent is noise
+        flagged = alpha_tail > FLAG_ALPHA and best[hi] > 2.0
         report[n] = {
             "best_sec": {str(k): round(best[k], 3) for k in factors},
             "all_sec": {
                 str(k): [round(x, 3) for x in times[n][k]] for k in factors
             },
             "alpha": round(alpha, 3),
-            "alpha_floor_adjusted": round(alpha_adj, 3),
-            "floor_sec": round(floor, 3),
-            "flag_superlinear": alpha_adj > FLAG_ALPHA,
+            "alpha_tail": round(alpha_tail, 3),
+            "flag_superlinear": flagged,
         }
-        mark = " **SUPER-LINEAR**" if report[n]["flag_superlinear"] else ""
-        print(f"{n}: t1={best[lo]:.2f}s t{hi}={best[hi]:.2f}s "
-              f"alpha={alpha:.2f} adj={alpha_adj:.2f}{mark}", flush=True)
+        mark = " **SUPER-LINEAR**" if flagged else ""
+        print(f"{n}: t{lo}={best[lo]:.2f}s t{hi}={best[hi]:.2f}s "
+              f"alpha={alpha:.2f} tail={alpha_tail:.2f}{mark}", flush=True)
 
     payload = {
         "src": args.src,
