@@ -71,7 +71,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # prior-round driver rows plus this round's local tri-scale artifacts
 # (175/0/1 at sf0.001, sf0.01, sf0.1). q55 remains the only rows-only
 # query (watermark progression by design).
-_ALIAS_PREFIX = "a11_"
+_ALIAS_PREFIX = "a12_"
 
 # Round 7 (``a7_``) targets, exactly 50:
 #   * round-7 additions (10): qy01..qy10 — intra-doc repetition,
@@ -231,9 +231,39 @@ _A11_KEYS = (
 )
 
 
+# Round 12 (``a12_``) targets, exactly 50 — the round-11 verdict's
+# "rotate oldest-first" item 2, computed from CORRECTNESS_r01..r11 on
+# round-12 session start (newest-green-row histogram r04:1 — the exempt
+# q01 ``entry()`` flagship — r07:40, r08:43, r09:48, r10:46, r11:50):
+#   * all 40 queries whose newest driver row is r07 (the full census
+#     ROUNDLOG scoped for this rotation): q32 q33 q34 q35 q36 q75 q84
+#     q87b q88, the qx22/qx24/qx34/qx42/qx49/qx80/qx84/qx87/qx90/qx91/
+#     qx93/qx95 census (12), qy01..qy09 (9), qz01..qz10 (10);
+#   * modified this round (1): qx58 — the agg0/deltas fold join is now
+#     NULL-SAFE on event_type (eqNullSafe + coalesced key; the
+#     2026-08-16 ADVICE medium). Semantics only change for NULL-type
+#     groups spanning the split, but the fold is rewritten, so re-gate;
+#   * oldest-r08 fill (9): q23 q37..q44.
+# After this gate no query's newest driver row predates r08 except the
+# exempt q01. Queries touched this round with UNCHANGED semantics and
+# oracles (the q55..qx08 epoch-floor family — the boundary literal
+# became timezone-independent but evaluates to the identical instant
+# under the UTC session) hold their r11 rows + this round's local
+# artifacts.
+_A12_KEYS = (
+    {"q32", "q33", "q34", "q35", "q36", "q75", "q84", "q87b", "q88"}
+    | {f"qx{i:02d}" for i in (22, 24, 34, 42, 49, 80, 84, 87, 90, 91,
+                              93, 95)}
+    | {f"qy{i:02d}" for i in range(1, 10)}   # qy01..qy09
+    | {f"qz{i:02d}" for i in range(1, 11)}   # qz01..qz10
+    | {"qx58"}
+    | {"q23"} | {f"q{i:02d}" for i in range(37, 45)}  # q23, q37..q44
+)
+
+
 def _alias_block() -> list[str]:
     return [
-        name for name in sorted(QUERIES) if name.split("_")[0] in _A11_KEYS
+        name for name in sorted(QUERIES) if name.split("_")[0] in _A12_KEYS
     ]
 
 

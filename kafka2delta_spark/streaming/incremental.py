@@ -680,10 +680,23 @@ def qx58_ivm_retraction_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nv_total = F.coalesce("nv", F.lit(0)) + F.coalesce("dnv", F.lit(0))
+    # The fold key is nullable (event_type can be NULL), and a
+    # using-column full_outer join is NULL-UNSAFE: a NULL-group
+    # retraction in `deltas` would land on its own row instead of
+    # folding into agg0's NULL group, leaving the unretracted count
+    # behind while the oracle's GROUP BY merges NULLs into one group.
+    # Join with eqNullSafe and coalesce the key back (2026-08-16 ADVICE).
     return (
-        agg0.join(deltas, "event_type", "full_outer")
+        agg0.alias("a")
+        .join(
+            deltas.alias("d"),
+            F.col("a.event_type").eqNullSafe(F.col("d.event_type")),
+            "full_outer",
+        )
         .select(
-            "event_type",
+            F.coalesce(F.col("a.event_type"), F.col("d.event_type")).alias(
+                "event_type"
+            ),
             (
                 F.coalesce("n_users", F.lit(0)) + F.coalesce("dn", F.lit(0))
             ).cast("bigint").alias("n_users"),

@@ -59,9 +59,11 @@ EPOCH_FLOOR_SQL = "ts >= TIMESTAMP '1970-01-01 00:00:00'"
 
 
 def _epoch_floor(df: DataFrame, ts_col: str = "ts") -> DataFrame:
-    return df.filter(
-        F.col(ts_col) >= F.lit("1970-01-01 00:00:00").cast("timestamp")
-    )
+    # timezone-INDEPENDENT boundary (2026-08-16 ADVICE): a string cast is
+    # interpreted in spark.sql.session.timeZone, but the real watermark
+    # floor this models is fixed at epoch-0 UTC. timestamp_micros(0) is
+    # the same instant under any session timezone.
+    return df.filter(F.col(ts_col) >= F.timestamp_micros(F.lit(0)))
 
 # shard files per half-split (= files per micro-batch). Each half is
 # written by SPLIT_SHARDS parallel tasks — no coalesce(1) single-task

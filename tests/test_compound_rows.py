@@ -149,3 +149,66 @@ def test_compound_oracle_parity(
     assert cols == sorted(odf.columns)
     assert len(sdf) == len(odf), f"{name}: {len(sdf)} vs {len(odf)} rows"
     assert normalize(sdf, cols) == normalize(odf, cols)
+
+
+def test_qx58_fold_merges_null_event_type_groups(spark, tmp_path):
+    """2026-08-16 ADVICE (medium): the agg0/deltas fold key (event_type)
+    is nullable, and a using-column full_outer join is null-UNSAFE — a
+    user whose PRE-split latest row has NULL event_type and then receives
+    a post-split change produces a NULL-group retraction that must fold
+    into agg0's NULL group, not sit on its own row. The compound fixture
+    pins NULL-type rows to post-split timestamps, so this is the one
+    interaction it cannot see; pin it with a minimal fixture where the
+    NULL group is exercised on every delta path (retract-out,
+    retract+re-add, fresh add, all-NULL-sum survivor)."""
+    import pandas as pd
+
+    from kafka2delta_spark.streaming.incremental import (
+        qx58_ivm_retraction_agg,
+    )
+
+    pre = pd.Timestamp("2024-01-10 00:00:00")
+    post = pd.Timestamp("2024-01-20 00:00:00")
+    rows = [
+        # pre-split latest is NULL-type; post-split change retracts it
+        # out of the NULL group into 'click'
+        (1, 10, None, 1.0, pre), (1, 20, "click", 2.0, post),
+        # NULL-type survivor whose value is NULL: the NULL group's SUM
+        # must stay NULL-aware through the fold
+        (2, 11, None, None, pre),
+        # fresh post-split arrival INTO the NULL group
+        (3, 12, None, 3.0, post),
+        # control: non-NULL retraction (delete)
+        (4, 13, "view", 4.0, pre), (4, 14, "error", None, post),
+        # NULL -> NULL update: retraction and add in the same NULL group
+        (5, 15, None, 5.0, pre), (5, 16, None, 6.0, post),
+        # untouched non-NULL state
+        (6, 17, "click", 7.0, pre),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["user_id", "event_id", "event_type", "value", "ts"]
+    )
+    sf = str(tmp_path / "nulltype_fold")
+    os.makedirs(sf)
+    pdf.to_parquet(f"{sf}/events.parquet", index=False)
+
+    sdf = qx58_ivm_retraction_agg(spark, sf).toPandas()
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS "
+            f"SELECT * FROM read_parquet('{sf}/events.parquet')"
+        )
+        import __spark_entry__ as entry
+
+        odf = con.execute(
+            entry.oracle_sql()["qx58_ivm_retraction_agg"]
+        ).fetchdf()
+    finally:
+        con.close()
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns)
+    # exactly ONE NULL-group row may survive the fold
+    assert int(sdf["event_type"].isna().sum()) == 1
+    assert len(sdf) == len(odf), f"{len(sdf)} vs {len(odf)} rows"
+    assert normalize(sdf, cols) == normalize(odf, cols)

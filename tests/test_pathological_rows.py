@@ -208,10 +208,15 @@ def test_split_alias_not_inlined_into_lambda(spark):
     from kafka2delta_spark.functions.pipeline import q78_doc_chunking
 
     sf = "/root/testdata/sf0.001"
+    import re
+
     for name, fn in (("q78", q78_doc_chunking), ("q67", q67_boilerplate_chunks)):
         df = fn(spark, sf)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
-        n = plan.count("split(")
+        # word-boundary anchor (2026-08-16 ADVICE): a bare substring
+        # count also matches split_part( / str_split( etc., so a
+        # harmless refactor could flip the assertion either way.
+        n = len(re.findall(r"(?<![A-Za-z_])split\(", plan))
         assert n == 1, f"{name}: expected exactly 1 split( in optimized " \
                        f"plan, found {n} — CollapseProject inlined the " \
                        f"multiply-referenced alias?\n{plan}"
