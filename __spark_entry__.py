@@ -243,7 +243,11 @@ _A11_KEYS = (
 #     NULL-SAFE on event_type (eqNullSafe + coalesced key; the
 #     2026-08-16 ADVICE medium). Semantics only change for NULL-type
 #     groups spanning the split, but the fold is rewritten, so re-gate;
-#   * oldest-r08 fill (9): q23 q37..q44.
+#   * modified this round (1 more): q55 — its oracle CHANGED (bare
+#     SELECT silently assumed event_id unique; the collisions fixture
+#     shipped 44 exact-duplicate event_ids and the oracle now takes the
+#     DISTINCT of the key-determined projection);
+#   * oldest-r08 fill (8): q23 q37..q43.
 # After this gate no query's newest driver row predates r08 except the
 # exempt q01. Queries touched this round with UNCHANGED semantics and
 # oracles (the q55..qx08 epoch-floor family — the boundary literal
@@ -256,8 +260,8 @@ _A12_KEYS = (
                               93, 95)}
     | {f"qy{i:02d}" for i in range(1, 10)}   # qy01..qy09
     | {f"qz{i:02d}" for i in range(1, 11)}   # qz01..qz10
-    | {"qx58"}
-    | {"q23"} | {f"q{i:02d}" for i in range(37, 45)}  # q23, q37..q44
+    | {"qx58", "q55"}
+    | {"q23"} | {f"q{i:02d}" for i in range(37, 44)}  # q23, q37..q43
 )
 
 

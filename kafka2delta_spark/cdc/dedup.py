@@ -15,11 +15,15 @@ arbitrary winner, as does ``row_number`` — and "arbitrary" means
 partition-layout-dependent, so a replayed batch could crown a DIFFERENT
 winner and break replay idempotence. Duplicate LSNs are real: Debezium
 emits them on snapshot boundaries (all snapshot READ events may share one
-source LSN). The CDC path therefore orders by ``(lsn, xxhash64(payload))``
-(``tie_break_hash=True``): the hash depends only on row CONTENT, so the
-winner is a pure function of the batch's rows — stable across input
-order, partitioning, and replays. Identical duplicate rows hash equal and
-collapse to the same state either way.
+source LSN). The CDC path therefore orders by ``(lsn, xxhash64(payload),
+payload struct)`` (``tie_break_hash=True``): the hash depends only on row
+CONTENT, so the winner is a pure function of the batch's rows — stable
+across input order, partitioning, and replays — and the trailing row
+struct resolves genuine 64-bit hash collisions (constructible: Spark's
+xxhash64 skips NULL columns and its per-long step is invertible), keeping
+the winner deterministic for EVERY input, not just collision-free ones.
+Identical duplicate rows compare equal everywhere and collapse to the
+same state either way.
 """
 
 from __future__ import annotations
@@ -43,18 +47,37 @@ def latest_per_key(
     ``strategy='max_by'`` (default): hash-agg, scale path.
     ``strategy='window'``: the reference's ranking-window form, kept for
     plan comparison.
-    ``tie_break_hash=True`` appends ``xxhash64(<all columns>)`` as the
-    final order component, making the winner among duplicate order keys a
-    deterministic function of row content (never of partition layout) —
-    required on the CDC path, where Debezium snapshot boundaries emit
-    duplicate LSNs and replay idempotence depends on re-picking the SAME
-    winner.
+    ``tie_break_hash=True`` appends ``xxhash64(<all columns>)`` and then
+    the full row struct as the final order components, making the winner
+    among duplicate order keys a deterministic TOTAL function of row
+    content (never of partition layout) — required on the CDC path,
+    where Debezium snapshot boundaries emit duplicate LSNs and replay
+    idempotence depends on re-picking the SAME winner.
+
+    Collision contract (round-12 campaign): xxhash64 collisions between
+    DISTINCT rows are constructible, not just theoretical — Spark skips
+    NULL columns when chaining (``xxhash64(5, NULL) == xxhash64(NULL,
+    5)``), and the per-column XXH64 step on longs is invertible, so an
+    adversary (or sheer 100 TB volume) can present tied hashes. The hash
+    alone therefore CANNOT be the last word: the full row struct after
+    it resolves any hash tie by lexicographic field comparison, so the
+    winner is deterministic for every possible input. The hash stays as
+    the first discriminator because it is one word to compare and
+    almost always differs; the struct is only consulted on genuine
+    collisions. Requires orderable column types — the CDC path's
+    flattened Avro primitives always are. Pinned by
+    tests/test_collision_rows.py with engineered colliding rows.
     """
     if not key_cols:
         raise ValueError("key_cols must be non-empty")
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     tie_exprs = (
-        [F.xxhash64(*[F.col(c) for c in df.columns])] if tie_break_hash else []
+        [
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            F.struct(*[F.col(c) for c in df.columns]),
+        ]
+        if tie_break_hash
+        else []
     )
     if strategy == "window":
         w = Window.partitionBy(*key_cols).orderBy(

@@ -182,17 +182,21 @@ def q54_stream_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One output row per distinct event_id, projected to columns that are
     # FUNCTIONS OF THE KEY. In general, WHICH arrival of a duplicated
     # event_id survives dropDuplicatesWithinWatermark is watermark-
-    # progression-dependent (non-SQL-expressible) — but the projection
-    # below keeps only key-determined columns, and on the harness tables
-    # event_id is additionally unique at every SF (verified 1000/10000/
-    # 100000 distinct = total), so the full value oracle is exact. Rounds
-    # 4-6 carried a count-only row_oracle out of caution about the
-    # surviving-payload ambiguity; the projection makes that caution
-    # unnecessary and graduates q55 to a full hash-checked driver row.
+    # progression-dependent (non-SQL-expressible) — the oracle is
+    # therefore the batch DISTINCT of the projection, exact whenever
+    # duplicate event_ids are content-identical on these columns (the
+    # at-least-once redelivery case the operator exists for; the
+    # collisions fixture ships 44 such duplicates). Distinct-content
+    # duplicates keyed alike remain ambiguous BY DESIGN — that is the
+    # CDC path's job, where LSN + tie_break_hash defines the winner.
+    # Rounds 4-6 carried a count-only row_oracle; round 7 graduated it to
+    # a full value oracle on the key-determined projection; round 12
+    # replaced the bare SELECT (which silently assumed event_id unique —
+    # the collisions fixture's exact target) with DISTINCT.
     # Epoch-floor contract (stateful.EPOCH_FLOOR_SQL): the watermark
     # starts at epoch 0, so pre-1970 rows are dropped as late — declared
     # identically on both engines.
-    oracle="SELECT event_id, user_id, event_type FROM events "
+    oracle="SELECT DISTINCT event_id, user_id, event_type FROM events "
            "WHERE ts >= TIMESTAMP '1970-01-01 00:00:00'",
 )
 def q55_stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:

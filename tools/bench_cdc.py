@@ -19,7 +19,24 @@ Workload shape: ``--events`` change events over ``--keys`` primary keys
 (so later batches are mostly updates hitting existing state), 2% deletes,
 spread over ``--batches`` micro-batch files consumed one per trigger.
 
-Env knobs: SPARK_GRAFT_CDC_EVENTS / _KEYS / _BATCHES override defaults.
+Cardinality shapes (round-12 campaign — the CDC core must hold its
+throughput story under the distributions that break hash-agg/merge
+plans, not just the uniform one):
+
+  uniform  — the default above.
+  skew     — ONE key receives ~50% of all events: maximum hot-key
+             pressure through latest_per_key's hash aggregation and the
+             merge join (the map-side combine is what keeps this from
+             shuffling the hot key's every event).
+  churn    — delete-majority (60% deletes) with delete-then-reinsert
+             loops as each key cycles: state is built and torn down
+             continuously, stressing both LSN-guarded merge branches.
+  distinct — every event a NEW key: state size == change volume, no
+             update locality at all (snapshot/backfill shape).
+
+Env knobs: SPARK_GRAFT_CDC_EVENTS / _KEYS / _BATCHES / _SHAPE override
+defaults. Output includes the ``cdc_metrics`` contract counters
+(null_key_rows) so drop-behavior regressions are visible in artifacts.
 """
 
 from __future__ import annotations
@@ -40,7 +57,23 @@ import pandas as pd
 N_EVENTS = int(os.environ.get("SPARK_GRAFT_CDC_EVENTS", "200000"))
 N_KEYS = int(os.environ.get("SPARK_GRAFT_CDC_KEYS", "50000"))
 N_BATCHES = int(os.environ.get("SPARK_GRAFT_CDC_BATCHES", "4"))
+SHAPE = os.environ.get("SPARK_GRAFT_CDC_SHAPE", "uniform")
+SHAPES = ("uniform", "skew", "churn", "distinct")
 TOPIC = "postgres.public.users"
+
+
+def _shape_row(i: int) -> tuple[int, str]:
+    """(uid, deleted) for event i under the configured cardinality shape."""
+    if SHAPE == "skew":
+        uid = 0 if i % 2 == 0 else i % N_KEYS
+        return uid, "true" if i % 50 == 49 else "false"
+    if SHAPE == "churn":
+        # keys cycle every N_KEYS events at ascending LSN; 60% deletes so
+        # most keys live through repeated delete -> reinsert loops
+        return i % N_KEYS, "true" if i % 10 < 6 else "false"
+    if SHAPE == "distinct":
+        return i, "true" if i % 50 == 49 else "false"
+    return i % N_KEYS, "true" if i % 50 == 49 else "false"
 
 USERS_SCHEMA = json.dumps(
     {
@@ -89,8 +122,7 @@ def _encode_partition(
             )}
             for i in pdf["id"]:
                 i = int(i)
-                uid = i % N_KEYS
-                deleted = "true" if (i % 50 == 49) else "false"
+                uid, deleted = _shape_row(i)
                 rec = {
                     "id": uid,
                     "name": f"user_{uid}_v{i}",
@@ -176,6 +208,16 @@ def main() -> None:
     state = ParquetStateStore(spark, store_path, []).read()
     n_state = state.count()
     shutil.rmtree(tmp, ignore_errors=True)
+    # analytic oracle: last op per key wins (LSN == i is ascending), so
+    # the final state is exactly the keys whose newest op is an upsert —
+    # the bench doubles as a correctness check at every shape
+    last: dict[int, str] = {}
+    for i in range(N_EVENTS):
+        uid, deleted = _shape_row(i)
+        last[uid] = deleted
+    expected_state = sum(1 for d in last.values() if d == "false")
+
+    metrics = q.cdc_metrics
     print(
         json.dumps(
             {
@@ -183,10 +225,19 @@ def main() -> None:
                 "value": round(N_EVENTS / sec, 1),
                 "unit": "rows/sec",
                 "n_events": N_EVENTS,
-                "n_keys": N_KEYS,
+                "n_keys": N_EVENTS if SHAPE == "distinct" else N_KEYS,
                 "batches": N_BATCHES,
+                "shape": SHAPE,
                 "sec": round(sec, 2),
                 "state_rows": n_state,
+                "expected_state_rows": expected_state,
+                "state_ok": n_state == expected_state,
+                # contract counters — drop-behavior regressions belong in
+                # artifacts, not just test assertions (round-11 verdict #6)
+                "cdc_metrics": {
+                    "null_key_rows": metrics.null_key_rows(),
+                    "batches_recorded": len(metrics.batches),
+                },
             }
         )
     )

@@ -46,7 +46,7 @@ ALL_TABLES = (
 
 FIXTURES = (
     "nullvals", "nullkeys", "nonfinite", "unicode", "pathological",
-    "timeskew", "compound",
+    "timeskew", "compound", "collisions",
 )
 
 # Pathological-row knobs (deterministic; doc ids chosen from sf0.001's
@@ -414,6 +414,123 @@ def build_compound(src: str, dst: str) -> str:
     return dst
 
 
+# --- collisions fixture (round-12 campaign; eighth parity dimension) ------
+#
+# Adversarial hash/band collisions: every cap, tie-break, and bucket path
+# in the dedup/retrieval/CDC core assumes collisions are RARE; this
+# fixture makes them the common case.
+#
+# The magnet shingle: a 3-token phrase brute-forced (40M md5 candidates)
+# so that md5('0:'||s) and md5('1:'||s) BOTH start with '000' — i.e. it
+# wins the min over seeds 0 and 1 against any realistic 40-shingle doc.
+# Two documents that share ONLY this phrase (token Jaccard ~1.2%)
+# therefore collide in LSH band 0 while bands 1-3 differ: a candidate
+# pair with NO textual similarity. Verified deterministically by
+# tests/test_collision_rows.py against the real pipeline.
+COLL_MAGNET = "mag7831402a mag7831402b mag7831402c"
+# md5('0:'||magnet) = 0004fbf2..., md5('1:'||magnet) = 0007e7dd...
+COLL_MAG_DOC_A = 310
+COLL_MAG_DOC_B = 311
+COLL_MAG_TEXT_A = COLL_MAGNET + " " + " ".join(f"fa0x{i}" for i in range(40))
+COLL_MAG_TEXT_B = COLL_MAGNET + " " + " ".join(f"fb0x{i}" for i in range(40))
+# Rotation pair: different texts (different token MULTISETS, so exact
+# dedup keeps them distinct) whose k=3 shingle SETS are identical —
+# MinHash signatures match in all 8 seeds, so they collide in ALL 4
+# bands and their shingle-space Jaccard is exactly 1.0.
+COLL_ROT_DOC_A = 300
+COLL_ROT_DOC_B = 301
+COLL_ROT_TEXT_A = "alpha beta " * 50 + "alpha"
+COLL_ROT_TEXT_B = "beta alpha " * 50 + "beta"
+# Identical-text clusters bracketing the candidate caps: every shingle
+# and band bucket of the 65-cluster has width 65 (one past
+# SHINGLE_DF_CAP/BAND_BUCKET_CAP=64, dropped on both engines); the
+# 64-cluster sits exactly AT the cap (kept -> C(64,2)=2016 pairs).
+COLL_OVER_LO, COLL_OVER_HI = 100, 164     # 65 docs
+COLL_AT_LO, COLL_AT_HI = 200, 263         # 64 docs
+COLL_OVER_TEXT = "over cap duplicate cluster body " + " ".join(
+    f"ovr{i}tok" for i in range(24)
+)
+COLL_AT_TEXT = "at cap duplicate cluster body " + " ".join(
+    f"atc{i}tok" for i in range(24)
+)
+# Stop phrase appended to doc_id % 5 == 4 (75 docs after exclusions):
+# its 5 interior shingles exceed SHINGLE_DF_CAP and leave q88's shingle
+# space; the crossing shingles at each doc's tail stay.
+COLL_STOP_PHRASE = "shared stop phrase occurs verbatim here everywhere"
+
+
+def build_collisions(src: str, dst: str) -> str:
+    """Adversarial hash/band collisions (round-12 campaign; the eighth
+    parity dimension):
+
+      documents: the 65/64 identical-text clusters bracketing
+        BAND_BUCKET_CAP/SHINGLE_DF_CAP, the rotation pair (identical
+        shingle sets, different texts), the magnet pair (band-0 LSH
+        collision at ~1% token Jaccard), and a 75-doc shared stop
+        phrase saturating the shingle-DF cap. The identical clusters
+        also force mass SCORE ties in every retrieval/ranking query
+        (equal BM25, equal TF-IDF, equal quality scores) — any top-k
+        that breaks ties by partition layout instead of a key diverges
+        here.
+      events: ~4% of rows duplicated EXACTLY (same event_id, same
+        everything — at-least-once upstream delivery), physical order
+        shuffled: every latest-per-key / distinct / join path sees
+        duplicate primary keys whose winner must be value-identical.
+      embeddings: vec_ids 100..169 share ONE identical vector — exact
+        cosine ties in every ANN/top-k path, and a 70-wide sign-LSH /
+        IVF bucket of zero-distance neighbors.
+    """
+    import duckdb
+
+    os.makedirs(dst, exist_ok=True)
+    con = duckdb.connect()
+    _copy_tables(con, src, dst, (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem",
+    ))
+    con.execute(f"""
+    COPY (
+      WITH m AS (
+        SELECT d.doc_id, d.lang, d.source,
+          CASE
+            WHEN d.doc_id BETWEEN {COLL_OVER_LO} AND {COLL_OVER_HI}
+              THEN '{COLL_OVER_TEXT}'
+            WHEN d.doc_id BETWEEN {COLL_AT_LO} AND {COLL_AT_HI}
+              THEN '{COLL_AT_TEXT}'
+            WHEN d.doc_id = {COLL_ROT_DOC_A} THEN '{COLL_ROT_TEXT_A}'
+            WHEN d.doc_id = {COLL_ROT_DOC_B} THEN '{COLL_ROT_TEXT_B}'
+            WHEN d.doc_id = {COLL_MAG_DOC_A} THEN '{COLL_MAG_TEXT_A}'
+            WHEN d.doc_id = {COLL_MAG_DOC_B} THEN '{COLL_MAG_TEXT_B}'
+            WHEN d.doc_id % 5 = 4 THEN d.text || ' {COLL_STOP_PHRASE}'
+            ELSE d.text END AS text
+        FROM read_parquet('{src}/documents.parquet') d)
+      SELECT doc_id, text, lang, source, length(text) AS n_chars FROM m
+    ) TO '{dst}/documents.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      WITH base AS (
+        SELECT * FROM read_parquet('{src}/events.parquet')),
+      dupd AS (
+        SELECT * FROM base
+        UNION ALL
+        SELECT * FROM base WHERE event_id % 23 = 5)
+      SELECT * FROM dupd ORDER BY hash(event_id + 1e6::BIGINT), hash(ts)
+    ) TO '{dst}/events.parquet' (FORMAT PARQUET)""")
+    con.execute(f"""
+    COPY (
+      WITH shared AS (
+        SELECT embedding AS e FROM read_parquet('{src}/embeddings.parquet')
+        WHERE vec_id = 100)
+      SELECT vec_id,
+             CASE WHEN vec_id BETWEEN 100 AND 169 THEN (SELECT e FROM shared)
+                  ELSE embedding END AS embedding,
+             label
+      FROM read_parquet('{src}/embeddings.parquet')
+    ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)""")
+    con.close()
+    return dst
+
+
 BUILDERS = {
     "nullvals": build_nullvals,
     "nullkeys": build_nullkeys,
@@ -422,6 +539,7 @@ BUILDERS = {
     "pathological": build_pathological,
     "timeskew": build_timeskew,
     "compound": build_compound,
+    "collisions": build_collisions,
 }
 
 
