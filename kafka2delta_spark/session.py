@@ -20,7 +20,7 @@ from pyspark.sql import SparkSession
 
 
 def delta_available() -> bool:
-    """Gate for the delta-spark leg. Re-probed round 11 (2026-08-16):
+    """Gate for the delta-spark leg. Re-probed round 12 (2026-08-16):
     ``import delta`` still fails, no ``delta-*.jar`` anywhere on disk, no
     ivy/maven cache, and ``pip download delta-spark`` still dies at DNS
     resolution ("Name or service not known" against the package index),

@@ -40,7 +40,7 @@ FLUSH_DELAY_MS = 3_600_000  # timer at last_seen + 1h — before the sentinel's
 
 def tws_available() -> bool:
     """transformWithStateInPandas needs google.protobuf for its state
-    server; absent in this sandbox (no installs). Re-probed round 11
+    server; absent in this sandbox (no installs). Re-probed round 12
     (2026-08-16): ``import google.protobuf`` still fails, and ``pip
     download protobuf`` still dies at DNS resolution ("Name or service
     not known") — the package index is unreachable, not merely filtered. The

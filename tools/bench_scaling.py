@@ -37,6 +37,25 @@ Usage:
     python tools/bench_scaling.py [--src /root/testdata/sf0.1]
         [--factors 1,2,4] [--reps 3] [--out /root/repo/SCALING.json]
         [query ...]
+
+Ratchet mode (round-12 verdict item 4 — the one-shot study becomes a
+regression gate):
+
+    # pin the current exponents (after a believed-good run)
+    python tools/bench_scaling.py --factors 1,8 --write-pin
+    # per-round: re-measure and FAIL (exit 1) on exponent regressions
+    python tools/bench_scaling.py --factors 1,8 \
+        --assert-against SCALING_PIN.json
+
+``--assert-against`` compares each query's tail exponent to the pinned
+value + ``--margin`` (default 0.25 — wider than the verdict's nominal
+0.1 because the round-11 noise study measured interval-separated
+same-code swings on this co-tenant host; exponents of minima are
+steadier than raw times but not 0.1-steady) and ignores queries whose
+top-factor time is under the 2 s real-work floor (fixed-cost-dominated
+exponents are noise). A future quadratic regression (the q78/qx21
+class) fails THIS gate instead of waiting for the next ad-hoc study;
+tests/test_scaling_pin.py keeps the pin file itself honest.
 """
 
 from __future__ import annotations
@@ -45,7 +64,10 @@ import argparse
 import json
 import math
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DEFAULT_SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_ROOT = "/tmp/scaling"
@@ -147,6 +169,13 @@ def main() -> int:
     ap.add_argument("--factors", default="1,8,64")
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--out", default="/root/repo/SCALING.json")
+    ap.add_argument("--write-pin", action="store_true",
+                    help="write per-query exponent pins to --pin-file")
+    ap.add_argument("--assert-against", metavar="PIN_JSON", default=None,
+                    help="fail (exit 1) if any query's tail exponent "
+                         "exceeds its pinned value + --margin")
+    ap.add_argument("--pin-file", default="/root/repo/SCALING_PIN.json")
+    ap.add_argument("--margin", type=float, default=0.25)
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
     names = args.queries or DEFAULT_QUERIES
@@ -240,7 +269,56 @@ def main() -> int:
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=1)
     print(f"wrote {args.out}")
+
+    if args.write_pin:
+        pin = {
+            "src": args.src,
+            "factors": factors,
+            "margin": args.margin,
+            "real_work_floor_sec": 2.0,
+            "exponents": {
+                n: report[n]["alpha_tail"] for n in names
+            },
+            "top_sec": {
+                n: report[n]["best_sec"][str(hi)] for n in names
+            },
+        }
+        with open(args.pin_file, "w") as f:
+            json.dump(pin, f, indent=1)
+        print(f"wrote pin {args.pin_file}")
+
+    if args.assert_against:
+        with open(args.assert_against) as f:
+            pin = json.load(f)
+        pinned = pin["exponents"]
+        regressions = []
+        for n in names:
+            if n not in pinned:
+                continue  # new query: no ratchet yet, pin it next run
+            got = report[n]["alpha_tail"]
+            if got > pinned[n] + args.margin and best_hi_real(report, n):
+                regressions.append(
+                    f"{n}: tail exponent {got:.3f} > pinned "
+                    f"{pinned[n]:.3f} + {args.margin}"
+                )
+        if regressions:
+            print("SCALING RATCHET FAILED:")
+            for r in regressions:
+                print("  " + r)
+            return 1
+        print(
+            f"scaling ratchet OK: {len([n for n in names if n in pinned])} "
+            f"queries within pinned exponent + {args.margin}"
+        )
     return 0
+
+
+def best_hi_real(report: dict, name: str, floor: float = 2.0) -> bool:
+    """Real-work guard: exponents of fixed-cost-dominated cells (top
+    factor under ``floor`` seconds) are noise, not signal."""
+    best = report[name]["best_sec"]
+    hi = max(best, key=lambda k: int(k))
+    return best[hi] > floor
 
 
 if __name__ == "__main__":
