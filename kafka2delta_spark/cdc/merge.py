@@ -58,8 +58,8 @@ def exclude_null_key_changes(
     MERGE (ref stream/stream.py:114-148).
 
     * ``on_null_key='drop'`` (default): filter the rows out. Callers that
-      want the drop to be *observable* attach an ``Observation`` counting
-      NULL-key rows before the merge (see
+      want the drop to be *observable* count NULL-key rows on the deduped
+      slice before the merge (see
       ``streaming.stream.process_topic_slice``) — an upstream contract
       violation should be visible, not silent.
     * ``on_null_key='error'``: strict mode — the job fails loudly at the

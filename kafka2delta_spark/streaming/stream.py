@@ -28,7 +28,7 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Mapping
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -98,9 +98,12 @@ def process_topic_slice(
     Returns slice metrics: ``{"null_key_rows": n}`` — change rows dropped
     for a NULL primary key under ``on_null_key='drop'`` (always 0 under
     'error', which raises instead). Summed over schema pairs. Counted on
-    the DEDUPED slice (the Observation rides the merge input), so n is
+    the DEDUPED slice (the merge input), so n is
     the number of rows the merge excluded — several raw NULL-key records
-    collapse to one under latest-per-key, like any other key.
+    collapse to one under latest-per-key, like any other key. Counted by
+    an explicit aggregate over the persisted deduped slice (see the
+    in-body note on why the prior Observation was structurally unreliable
+    past batch 0).
     """
     null_key_total = 0
     pairs = [
@@ -141,10 +144,21 @@ def process_topic_slice(
         # 'error' fails the batch BEFORE the store mutates (an eager scan
         # of the deduped slice — deterministic, unlike an in-plan assert
         # that Catalyst can short-circuit past once fused with the merge's
-        # own IS NOT NULL filters), 'drop' counts them via an Observation
-        # riding the store action (no extra Spark job) and logs a warning
-        # when nonzero.
-        obs: Observation | None = None
+        # own IS NOT NULL filters), 'drop' persists the deduped slice and
+        # counts them with an explicit aggregate job.
+        #
+        # Round 12 replaced the previous ``Observation`` here after
+        # profiling the multi-batch CDC bench: on every batch whose merge
+        # joins against EXISTING state, the observed node lands in a plan
+        # subtree whose metrics never reach the main execution, so
+        # ``Observation.get`` hit its full 30 s safety timeout per batch
+        # (~4x per-trigger cost) AND returned None — the drop counter
+        # silently degraded to batch-0-only. The explicit count is one
+        # cheap job over the persisted slice, which the store merge then
+        # re-reads from cache (the selective path scanned ``latest`` twice
+        # anyway), and the counter is now deterministic on EVERY batch.
+        persisted = False
+        null_key_rows = 0
         if pk_cols and config.on_null_key == "error":
             if latest.filter(~defined_keys_predicate(pk_cols)).take(1):
                 raise ValueError(
@@ -154,60 +168,31 @@ def process_topic_slice(
                     "violation; batch rejected (on_null_key='error')"
                 )
         elif pk_cols:
-            obs = Observation()
-            latest = latest.observe(
-                obs,
-                F.count(
-                    F.when(~defined_keys_predicate(pk_cols), F.lit(1))
-                ).alias("null_key_rows"),
+            latest = latest.persist()
+            persisted = True
+            null_key_rows = latest.filter(
+                ~defined_keys_predicate(pk_cols)
+            ).count()
+
+        try:
+            _apply_latest_to_store(latest, store, pk_cols, lsn_col, deleted_col)
+        finally:
+            if persisted:
+                latest.unpersist()
+
+        if null_key_rows:
+            null_key_total += int(null_key_rows)
+            logger.warning(
+                "CDC merge for %s: dropped %d change row(s) with NULL "
+                "primary key (cols: %s) — upstream Debezium contract "
+                "violation; set TableConfig.on_null_key='error' to "
+                "fail instead",
+                config.full_table_name,
+                null_key_rows,
+                ", ".join(pk_cols),
             )
 
-        _apply_latest_to_store(latest, store, pk_cols, lsn_col, deleted_col)
-
-        if obs is not None:
-            metrics = _observation_result(obs)
-            if metrics is None:
-                logger.debug(
-                    "CDC merge for %s: NULL-key drop count unavailable "
-                    "(observation did not resolve)",
-                    config.full_table_name,
-                )
-            elif metrics["null_key_rows"]:
-                null_key_total += int(metrics["null_key_rows"])
-                logger.warning(
-                    "CDC merge for %s: dropped %d change row(s) with NULL "
-                    "primary key (cols: %s) — upstream Debezium contract "
-                    "violation; set TableConfig.on_null_key='error' to "
-                    "fail instead",
-                    config.full_table_name,
-                    metrics["null_key_rows"],
-                    ", ".join(pk_cols),
-                )
-
     return {"null_key_rows": null_key_total}
-
-
-def _observation_result(obs: Observation, timeout: float = 30.0) -> dict | None:
-    """Read ``Observation.get`` with a bound: the store action has already
-    completed when this is called, so the metrics are normally available
-    immediately — but ``get`` blocks indefinitely if the JVM-side
-    observation listener crashed (e.g. an unrelated failed execution on the
-    same listener bus), and a missing drop-count warning must never hang
-    the pipeline. Returns None if unavailable within ``timeout``."""
-    import threading
-
-    out: dict = {}
-
-    def _read() -> None:
-        try:
-            out.update(obs.get)
-        except Exception:  # noqa: BLE001 — diagnostics only, never fatal
-            pass
-
-    t = threading.Thread(target=_read, daemon=True)
-    t.start()
-    t.join(timeout)
-    return out if out else None
 
 
 def _apply_latest_to_store(

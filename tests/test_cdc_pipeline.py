@@ -341,8 +341,8 @@ def _nullable_record(key_sid, val_sid, uid, lsn):
 
 def test_null_pk_drop_policy_logs_count(spark, tmp_path, caplog):
     """Default policy: NULL-PK rows are dropped AND the drop is logged
-    with a count — never silent (the Observation rides the store action,
-    no extra Spark job)."""
+    with a count — never silent (an explicit count over the persisted
+    deduped slice; the store merge re-reads the cache)."""
     import logging
 
     registry, key_sid, val_sid, config, store = _nullable_rig(
@@ -458,3 +458,57 @@ def test_on_null_key_policy_is_validated():
                     on_null_key="ignore")
     with pytest.raises(ValueError, match="on_null_key"):
         exclude_null_key_changes(None, ["k"], "ignore")
+
+
+def test_null_pk_drop_counted_on_later_batches(spark, tmp_path):
+    """Round-12 regression pin: the drop counter must be real on batches
+    whose merge joins EXISTING state, not only batch 0. The previous
+    Observation-based counter resolved only on the first (stateless)
+    batch — on later batches the observed node's metrics never reached
+    the main execution, so ``Observation.get`` burned its full 30 s
+    timeout per batch (found by profiling the multi-batch CDC bench:
+    ~107 s for a 4-batch run whose work was ~14 s) and returned None,
+    silently zeroing the counter exactly where snapshot-boundary NULL-PK
+    noise is most likely to arrive. The explicit persisted-slice count
+    has no such dependence; this test drives the NULL-PK rows in through
+    batch 1, after state exists."""
+    from kafka2delta_spark.streaming.stream import stream_to_delta
+
+    registry, key_sid, val_sid, config, store = _nullable_rig(
+        spark, tmp_path, "drop"
+    )
+    src = str(tmp_path / "source")
+    spark.createDataFrame(
+        [_nullable_record(key_sid, val_sid, 1, 10)], KAFKA_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [
+            _nullable_record(key_sid, val_sid, None, 11),
+            _nullable_record(key_sid, val_sid, 2, 12),
+        ],
+        KAFKA_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(src)
+    source = (
+        spark.readStream.schema(KAFKA_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream_to_delta(
+        spark, "nullpk_late_batch_test", "none:9092", [TOPIC],
+        {TOPIC: config}, str(tmp_path / "ckpt"), registry,
+        source_df=source, store_backend="parquet",
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert sorted(r["id"] for r in store.read().collect()) == [1, 2]
+    per_batch = {
+        bid: m for bid, per_topic in q.cdc_metrics.batches
+        for m in [per_topic.get(TOPIC, {})]
+    }
+    assert len(per_batch) >= 2
+    # the NULL-PK drop arrived AFTER state existed and is still counted
+    assert q.cdc_metrics.null_key_rows() == 1
+    assert per_batch[0].get("null_key_rows", 0) == 0
+    assert sum(m.get("null_key_rows", 0) for b, m in per_batch.items() if b > 0) == 1
