@@ -89,10 +89,29 @@ def latest_per_key(
             .drop("__row_number")
         )
     non_key = [c for c in df.columns if c not in key_cols]
+    if tie_exprs:
+        # the final tie component IS the full row, so fold everything
+        # into ONE ordered struct and take max() of it directly — the
+        # agg buffer then carries a single (order, hash, row) struct
+        # instead of max_by's value struct PLUS an order key that
+        # duplicates the row (measured on the CDC bench: the duplicated
+        # buffer cost real throughput). Lexicographic max over
+        # (order_cols, xxhash64, row) is exactly the documented contract.
+        hash_expr = F.xxhash64(*[F.col(c) for c in df.columns])
+        packed = df.groupBy(*key_cols).agg(
+            F.max(
+                F.struct(
+                    *[F.col(c) for c in order_cols],
+                    hash_expr.alias("__tie_hash"),
+                    F.struct(*[F.col(c) for c in df.columns]).alias("__row"),
+                )
+            ).alias("__m")
+        )
+        return packed.select("__m.__row.*").select(*df.columns)
     order_key = (
         F.col(order_cols[0])
-        if len(order_cols) == 1 and not tie_exprs
-        else F.struct(*[F.col(c) for c in order_cols], *tie_exprs)
+        if len(order_cols) == 1
+        else F.struct(*[F.col(c) for c in order_cols])
     )
     packed = df.groupBy(*key_cols).agg(
         F.max_by(F.struct(*[F.col(c) for c in non_key]), order_key).alias("__latest")

@@ -157,9 +157,18 @@ def process_topic_slice(
         # cheap job over the persisted slice, which the store merge then
         # re-reads from cache (the selective path scanned ``latest`` twice
         # anyway), and the counter is now deterministic on EVERY batch.
+        # Schema-level fast path: when every PK field is NON-NULLABLE in
+        # the decoded+cast frame (a non-union Avro key type under
+        # FAILFAST — the normal Debezium PK), a NULL key is impossible by
+        # construction and both policies cost zero extra jobs. The
+        # nullability is read BEFORE latest_per_key (whose struct
+        # round-trip widens everything to nullable).
+        typed_nullable = {f.name: f.nullable for f in typed.schema.fields}
+        pk_maybe_null = any(typed_nullable.get(c, True) for c in pk_cols)
+
         persisted = False
         null_key_rows = 0
-        if pk_cols and config.on_null_key == "error":
+        if pk_cols and pk_maybe_null and config.on_null_key == "error":
             if latest.filter(~defined_keys_predicate(pk_cols)).take(1):
                 raise ValueError(
                     f"CDC batch for {config.full_table_name} contains "
@@ -167,7 +176,7 @@ def process_topic_slice(
                     f"{', '.join(pk_cols)}) — Debezium PK contract "
                     "violation; batch rejected (on_null_key='error')"
                 )
-        elif pk_cols:
+        elif pk_cols and pk_maybe_null:
             latest = latest.persist()
             persisted = True
             null_key_rows = latest.filter(
