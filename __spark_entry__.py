@@ -247,13 +247,14 @@ _A11_KEYS = (
 #     SELECT silently assumed event_id unique; the collisions fixture
 #     shipped 44 exact-duplicate event_ids and the oracle now takes the
 #     DISTINCT of the key-determined projection);
-#   * oldest-r08 fill (8): q23 q37..q43.
-# After this gate no query's newest driver row predates r08 except the
-# exempt q01. Queries touched this round with UNCHANGED semantics and
-# oracles (the q55..qx08 epoch-floor family — the boundary literal
-# became timezone-independent but evaluates to the identical instant
-# under the UTC session) hold their r11 rows + this round's local
-# artifacts.
+#   * fill (8): oracle-changed decimal-exactness queries, see the note
+#     on the fill line below (was q23 q37..q43 before the scale-parity
+#     campaign landed mid-round).
+# After this gate no query's newest driver row predates r08. Queries
+# touched this round with UNCHANGED semantics and oracles (the
+# q55..qx08 epoch-floor family — the boundary literal became
+# timezone-independent but evaluates to the identical instant under the
+# UTC session) hold their r11 rows + this round's local artifacts.
 _A12_KEYS = (
     {"q32", "q33", "q34", "q35", "q36", "q75", "q84", "q87b", "q88"}
     | {f"qx{i:02d}" for i in (22, 24, 34, 42, 49, 80, 84, 87, 90, 91,
@@ -261,7 +262,18 @@ _A12_KEYS = (
     | {f"qy{i:02d}" for i in range(1, 10)}   # qy01..qy09
     | {f"qz{i:02d}" for i in range(1, 11)}   # qz01..qz10
     | {"qx58", "q55"}
-    | {"q23"} | {f"q{i:02d}" for i in range(37, 44)}  # q23, q37..q43
+    # Fill slots re-pointed mid-round: the factor-8 scale-parity sweep
+    # (ninth parity dimension) caught q20's grand-total cent flip and the
+    # fix — exact DECIMAL accumulation for monetary SUM/AVG — changed 14
+    # queries' oracles (q01 q03 q05 q06 q07 q08 q14 q15 q17 q19 q20 q23
+    # q30 q69). The 8 discretionary slots (q23 was already one) take the
+    # most-changed: q01 (flagship, 5 cells), q20 (the observed flip),
+    # q30 (window sum), q08/q14 (ratio-of-sums rewrites), q15
+    # (MAX-equality over the sum), q17 (sum/7.0). The 6-query overflow
+    # (q03 q05 q06 q07 q19 q69) is re-verified this round by the local
+    # tri-scale + eight-fixture + layout + SCALE8 artifacts (all on
+    # final code) and is the a13 rotation's first priority.
+    | {"q23", "q01", "q20", "q30", "q08", "q14", "q15", "q17"}
 )
 
 

@@ -238,7 +238,8 @@ def bloom_might_contain(key: F.Column, bloom_col: str = "bloom") -> F.Column:
     oracle="""
     SELECT l.l_returnflag,
            CAST(COUNT(*) AS BIGINT)                          AS n_items,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)
                                                              AS urgent_revenue
     FROM lineitem l
     WHERE EXISTS (SELECT 1 FROM orders o
@@ -276,8 +277,11 @@ def q69_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.round(
-            F.sum(F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))), 2
-        ).alias("urgent_revenue"),
+            F.sum(
+                (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")))
+                .cast("decimal(18,4)")
+            ), 2,
+        ).cast("double").alias("urgent_revenue"),
     )
 
 

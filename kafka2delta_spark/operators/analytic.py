@@ -32,7 +32,8 @@ from kafka2delta_spark.sources.tables import load_table
     "q30_running_order_totals",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           ROUND(SUM(o_totalprice) OVER w, 2)  AS running_total,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w, 2)
+                AS DOUBLE)                     AS running_total,
            ROW_NUMBER() OVER w                 AS order_seq,
            ROUND(LAG(o_totalprice) OVER w, 2)  AS prev_price
     FROM orders
@@ -53,7 +54,8 @@ def q30_running_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(w), 2)
+        .cast("double").alias("running_total"),
         F.row_number().over(wo).alias("order_seq"),
         F.round(F.lag("o_totalprice").over(wo), 2).alias("prev_price"),
     )

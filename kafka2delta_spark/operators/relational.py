@@ -34,12 +34,17 @@ from kafka2delta_spark.operators.hints import dim_broadcast
     oracle="""
     SELECT l_returnflag, l_linestatus,
            ROUND(SUM(l_quantity), 2)                                   AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2)                              AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2)
+                AS DOUBLE)                                             AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE)        AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(18,6))), 2) AS DOUBLE)        AS sum_charge,
            ROUND(AVG(l_quantity), 4)                                   AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                              AS avg_price,
-           ROUND(AVG(l_discount), 4)                                   AS avg_disc,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(l_extendedprice), 4)                          AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(l_discount), 4)                               AS avg_disc,
            COUNT(*)                                                    AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,20 +53,47 @@ from kafka2delta_spark.operators.hints import dim_broadcast
 )
 def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter pushed to the parquet scan; single hash-agg with partial
-    combine — at 100 TB this is one shuffle of ~6 grouped rows per mapper."""
+    combine — at 100 TB this is one shuffle of ~6 grouped rows per mapper.
+
+    Monetary sums/averages accumulate as per-row DECIMAL casts (the
+    q09/q46 idiom, both engines): exact and order-independent, where a
+    double SUM rounds to a different cent depending on row order — caught
+    at the grand-total magnitude by the factor-8 scale-parity sweep
+    (q20's class; quantity is integer-valued so its double sum is already
+    exact). The decimal scale must make the cast EXACT, not a rounding
+    step: 2dp money and 4dp two-factor products fit DECIMAL(18,4), but
+    sum_charge's three-factor product (2dp × 2dp × 2dp) is a 6dp-exact
+    rational, so it casts to DECIMAL(18,6) — at 18,4 the forced midpoint
+    rounding of a 6dp value diverges between engines (BigDecimal's exact
+    binary expansion vs scaled-double nearbyint). Averages are pinned as
+    exact-sum / count — engine-internal AVG(decimal) result scales
+    differ between engines."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def _dec(col):
+        return col.cast("decimal(18,4)")
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.sum(_dec(F.col("l_extendedprice"))), 2)
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(_dec(disc_price)), 2).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum((disc_price * (1 + F.col("l_tax"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("sum_charge"),
             F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(
+                F.sum(_dec(F.col("l_extendedprice"))).cast("double")
+                / F.count("l_extendedprice"), 4,
+            ).alias("avg_price"),
+            F.round(
+                F.sum(_dec(F.col("l_discount"))).cast("double")
+                / F.count("l_discount"), 4,
+            ).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -74,7 +106,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
            o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -104,8 +137,11 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ), 2,
+            ).cast("double").alias("revenue")
         )
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
@@ -120,7 +156,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier_volume",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -160,8 +197,11 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                    .cast("decimal(18,4)")
+                ), 2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -280,17 +320,25 @@ def q13_full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS total
     FROM orders
     GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
 )
 def q20_rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP — Spark expands to a single Expand+hash-agg (one pass)."""
+    """ROLLUP — Spark expands to a single Expand+hash-agg (one pass).
+
+    The grand-total cell sums the WHOLE table, so the money sum runs as
+    per-row DECIMAL(18,4) (exact, order-independent): the double form
+    flipped its last cent at 1.2M rows in the factor-8 scale-parity
+    sweep (…68.49 vs …68.48) — the q46 accumulation-order class, just
+    needing the rollup's largest group to surface."""
     orders = load_table(spark, sf_dir, "orders")
     return orders.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+        .cast("double").alias("total"),
     )
 
 

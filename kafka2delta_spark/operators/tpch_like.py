@@ -43,6 +43,15 @@ def _revenue() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+def _revenue_dec() -> F.Column:
+    """Per-row DECIMAL(18,4) revenue for SUM accumulation (the q09/q46
+    idiom): the double product is IEEE-identical on both engines, the
+    4dp cast makes the subsequent SUM exact and order-independent. A
+    double SUM rounds to a different cent depending on row order — the
+    factor-8 scale-parity sweep flipped q20's grand total exactly so."""
+    return _revenue().cast("decimal(18,4)")
+
+
 # ---------------------------------------------------------------------------
 # Q2 shape — min-cost supplier per part (aggregate + argmin join-back)
 # ---------------------------------------------------------------------------
@@ -159,7 +168,8 @@ def q04_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q06_forecast_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount
+                               AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -181,9 +191,12 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            )
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * F.col("l_discount"))
+                    .cast("decimal(18,4)")
+                ), 2,
+            ).cast("double").alias("revenue")
         )
     )
 
@@ -196,7 +209,8 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
            CAST(YEAR(l_shipdate) AS INT) AS l_year,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN orders   ON o_orderkey = l_orderkey
@@ -244,7 +258,7 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -268,8 +282,11 @@ def q07_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN region   ON r_regionkey = n2.n_regionkey
         WHERE r_name = 'ASIA' AND p_type = 'ECONOMY')
     SELECT o_year,
-           ROUND(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-                 / SUM(volume), 4) AS mkt_share
+           ROUND(CAST(SUM(CAST(CASE WHEN supp_nation = 'NATION_3'
+                                    THEN volume ELSE 0 END
+                               AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(volume AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS mkt_share
     FROM all_nations GROUP BY o_year
     """,
 )
@@ -304,10 +321,14 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     national = F.sum(
-        F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0)
-    )
+        F.when(F.col("supp_nation") == "NATION_3", F.col("volume"))
+        .otherwise(0.0)
+        .cast("decimal(18,4)")
+    ).cast("double")
     return base.groupBy("o_year").agg(
-        F.round(national / F.sum("volume"), 4).alias("mkt_share")
+        F.round(
+            national / F.sum(F.col("volume").cast("decimal(18,4)")).cast("double"), 4
+        ).alias("mkt_share")
     )
 
 
@@ -364,10 +385,13 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle="""
-    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
-                                  ELSE 0 END)
-                 / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+    SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                                            THEN l_extendedprice * (1 - l_discount)
+                                            ELSE 0 END
+                                       AS DECIMAL(18,4))) AS DOUBLE)
+                 / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(18,4))) AS DOUBLE), 4)
+               AS promo_revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
@@ -382,11 +406,17 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     part = load_table(spark, sf_dir, "part")
     promo = F.sum(
-        F.when(F.col("p_type") == "PROMO", _revenue()).otherwise(0.0)
-    )
+        F.when(F.col("p_type") == "PROMO", _revenue())
+        .otherwise(0.0)
+        .cast("decimal(18,4)")
+    ).cast("double")
     return (
         li.join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.round(100.0 * promo / F.sum(_revenue()), 4).alias("promo_revenue"))
+        .agg(
+            F.round(
+                100.0 * promo / F.sum(_revenue_dec()).cast("double"), 4
+            ).alias("promo_revenue")
+        )
     )
 
 
@@ -398,7 +428,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH rev AS (
         SELECT l_suppkey AS suppkey,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                  AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
@@ -418,7 +450,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier")
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
-        F.round(F.sum(_revenue()), 2).alias("total_revenue")
+        F.round(F.sum(_revenue_dec()), 2).cast("double").alias("total_revenue")
     )
     mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
     return (
@@ -474,7 +506,8 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#23'
       AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
@@ -495,7 +528,12 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(avg_q, F.col("l_partkey") == F.col("ap_key"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double") / 7.0, 2,
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -547,7 +585,8 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
            AND l_quantity BETWEEN 1 AND 11)
@@ -578,7 +617,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(dim_broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(pred)
-        .agg(F.round(F.sum(_revenue()), 2).alias("revenue"))
+        .agg(F.round(F.sum(_revenue_dec()), 2).cast("double").alias("revenue"))
     )
 
 
@@ -590,9 +629,12 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_mktsegment,
            CAST(COUNT(*) AS BIGINT) AS numcust,
-           ROUND(SUM(c_acctbal), 2) AS totacctbal
+           CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE)
+               AS totacctbal
     FROM customer
-    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4)))
+                                   AS DOUBLE) / COUNT(*)
+                       FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                           AND o_orderpriority = '1-URGENT')
     GROUP BY c_mktsegment
@@ -607,7 +649,10 @@ def q23_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
     )
     return (
         cust.crossJoin(F.broadcast(avg_bal))
@@ -620,7 +665,8 @@ def q23_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double").alias("totacctbal"),
         )
     )
 
