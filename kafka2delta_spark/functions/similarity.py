@@ -1175,31 +1175,35 @@ HARDNEG_ANCHOR_CAP = 65536
 
 
 def _hardneg_oracle() -> str:
+    """Brute-force triplet-mining oracle via the same norm expansion the
+    Spark kernel uses (d² = |a|² + |b|² − 2·a·b over the int-scaled
+    vectors; every dot product is integer-valued and < 2^53, so the
+    double list_dot_product is exact). The previous formulation unnested
+    the 64 dimensions into rows and joined on dimension id, which
+    materializes |anchors| × |corpus| × 64 rows before its GROUP BY —
+    4.1 BILLION rows on the factor-8 scale replica, where DuckDB spilled
+    unboundedly (found by the ninth-parity-dimension sweep). This form
+    keeps the pair space at |anchors| × |corpus| rows with one fused dot
+    product each: identical results at sf0.001/sf0.01 (verified
+    row-for-row), ~92 s at factor 8."""
     from kafka2delta_spark.functions.clustering import SCALE
 
     return f"""
     WITH usable AS (
-        SELECT vec_id, embedding, label FROM embeddings
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              e -> CAST(floor(e * {SCALE}) AS DOUBLE)) AS iv
+        FROM embeddings
         WHERE embedding IS NOT NULL AND label IS NOT NULL),
-    vl AS (
-        SELECT vec_id, t.i - 1 AS d,
-               CAST(floor((embedding::DOUBLE[])[t.i] * {SCALE}) AS BIGINT) AS x
-        FROM usable, range(1, 65) AS t(i)),
-    lab AS (SELECT vec_id, label FROM usable),
-    anch AS (SELECT vec_id AS aid FROM usable
-             WHERE vec_id % {HARDNEG_MOD} = 0),
-    dist AS (
-        SELECT a.vec_id AS aid, b.vec_id AS nid,
-               SUM((a.x - b.x) * (a.x - b.x)) AS d2
-        FROM vl a JOIN anch ON anch.aid = a.vec_id
-        JOIN vl b ON b.d = a.d AND b.vec_id <> a.vec_id
-        GROUP BY a.vec_id, b.vec_id),
+    normed AS (
+        SELECT vec_id, label, iv, list_dot_product(iv, iv) AS n2 FROM usable),
+    anch AS (SELECT * FROM normed WHERE vec_id % {HARDNEG_MOD} = 0),
     typed AS (
-        SELECT dist.aid, dist.nid, dist.d2, la.label AS a_label,
-               (la.label = lb.label) AS same
-        FROM dist
-        JOIN lab la ON la.vec_id = dist.aid
-        JOIN lab lb ON lb.vec_id = dist.nid),
+        SELECT a.vec_id AS aid, b.vec_id AS nid,
+               CAST(a.n2 + b.n2 - 2 * list_dot_product(a.iv, b.iv) AS BIGINT)
+                   AS d2,
+               a.label AS a_label, (a.label = b.label) AS same
+        FROM anch a JOIN normed b ON b.vec_id <> a.vec_id),
     pos AS (
         SELECT aid, nid AS pos_id, d2 AS d_pos FROM typed WHERE same
         QUALIFY ROW_NUMBER() OVER (PARTITION BY aid
@@ -1208,13 +1212,13 @@ def _hardneg_oracle() -> str:
         SELECT aid, nid AS neg_id, d2 AS d_neg FROM typed WHERE NOT same
         QUALIFY ROW_NUMBER() OVER (PARTITION BY aid
                                    ORDER BY d2 ASC, nid) = 1)
-    SELECT p.aid AS vec_id, la.label,
+    SELECT p.aid AS vec_id, la.a_label AS label,
            p.pos_id, CAST(p.d_pos AS BIGINT) AS d_pos,
            n.neg_id, CAST(n.d_neg AS BIGINT) AS d_neg,
            CAST(n.d_neg - p.d_pos AS BIGINT) AS margin,
            (n.d_neg <= p.d_pos) AS is_violation
     FROM pos p JOIN neg n USING (aid)
-    JOIN lab la ON la.vec_id = p.aid
+    JOIN (SELECT DISTINCT aid, a_label FROM typed) la ON la.aid = p.aid
     """
 
 
