@@ -92,6 +92,17 @@ def _group_ranked(
         .sortWithinPartitions(*(keys + [value_col]))
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.spark_partition_id())
+        # PIN the materialization: __mid/__pid are nondeterministic
+        # expressions, so Catalyst does not canonically dedupe the two
+        # consumers below (counts path and final join) into one reused
+        # exchange — under load the range exchange can be planned twice
+        # with INDEPENDENT boundary samples (reservoir order differs),
+        # making the offsets disagree with the final partitioning and
+        # the ranks collide. Observed once at factor-8 scale under
+        # concurrent sweeps (qx95's deciles: 4158/4236/3906 instead of
+        # exact 4000). localCheckpoint forces exactly one
+        # materialization that every consumer reads.
+        .localCheckpoint(eager=True)
     )
     counts = ranked.groupBy("__pid", *keys).agg(
         F.count(F.lit(1)).alias("__cnt"),
@@ -245,6 +256,11 @@ def global_ranks(
         .sortWithinPartitions(*order_cols)
         .withColumn("__mid", F.monotonically_increasing_id())
         .withColumn("__pid", F.spark_partition_id())
+        # Same materialization pin as _group_ranked: nondeterministic
+        # __mid defeats exchange reuse, and two independently-sampled
+        # range exchanges make offsets disagree with the final
+        # partitioning (flaky rank collisions at scale).
+        .localCheckpoint(eager=True)
     )
     counts = ranked.groupBy("__pid").agg(
         F.count(F.lit(1)).alias("__cnt"), F.min("__mid").alias("__mid0")
