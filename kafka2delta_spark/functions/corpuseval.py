@@ -750,7 +750,12 @@ def qz06_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dl = docs.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
     tr = docs.select("doc_id", F.explode("toks").alias("term"))
     nt = tr.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    hits = tr.filter(F.col("term").isin(*BM25_TERMS))
+    # hits is query-term-bounded (tiny) but its parent is the full token
+    # explode; cf and tf each consumed it, re-running the explode twice
+    # (guide §7.2, duplicated subtrees). One materialization for both.
+    hits = tr.filter(F.col("term").isin(*BM25_TERMS)).localCheckpoint(
+        eager=False
+    )
     cf = (
         hits.groupBy("term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))

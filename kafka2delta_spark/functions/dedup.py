@@ -2279,13 +2279,27 @@ def qx87_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     nodes = docs.select(F.col("doc_id").alias("node"))
     n_docs = docs.count()
-    outs = []
-    for t in THRESH_SWEEP_E3:
+
+    # The three thresholds' CC runs are INDEPENDENT fixpoint loops, each a
+    # chain of driver-synchronized rounds (join + agg + convergence first())
+    # over a tiny edge set — sequential execution leaves the cluster idle
+    # between rounds. Overlap them from a small thread pool (guide §2.6:
+    # actions are only sequential because the driver calls them
+    # sequentially); each loop is deterministic, so results are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _labels_for(t: int) -> tuple[DataFrame, DataFrame]:
         edges = stats.filter(
             1000 * F.col("n_common")
             >= t * (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
         ).select("doc_a", "doc_b").localCheckpoint(eager=False)
-        labels = connected_components(nodes, edges)
+        return edges, connected_components(nodes, edges)
+
+    with ThreadPoolExecutor(max_workers=len(THRESH_SWEEP_E3)) as pool:
+        cc_runs = list(pool.map(_labels_for, THRESH_SWEEP_E3))
+
+    outs = []
+    for t, (edges, labels) in zip(THRESH_SWEEP_E3, cc_runs):
         agg = labels.agg(
             F.countDistinct("label").cast("bigint").alias("n_clusters")
         )

@@ -511,8 +511,14 @@ def qz14_spearman_length_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka2delta_spark.operators.rankstats import global_ranks
 
     docs = load_table(spark, sf_dir, "documents")
-    base = quality_logits(docs).join(
-        docs.select("doc_id", "n_chars"), "doc_id"
+    base = (
+        quality_logits(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        # base feeds BOTH midrank passes (rx over n_chars, ry over
+        # logit_micro); without a checkpoint each pass re-runs the
+        # regex-heavy quality-logit scan (guide §7.2, duplicated
+        # subtrees). One materialization, two consumers.
+        .localCheckpoint(eager=False)
     )
 
     def midrank2(col: str, out: str) -> DataFrame:
@@ -735,10 +741,20 @@ def qz16_kendall_retrieval_agreement(
     bounded); the pair join is constant-sized at any corpus scale."""
     from kafka2delta_spark.functions.corpuseval import qz06_rrf_hybrid_fusion
 
-    r = qz06_rrf_hybrid_fusion(spark, sf_dir).select(
-        "doc_id",
-        F.coalesce("rk_bm25", F.lit(11)).alias("ra"),
-        F.coalesce("rk_qld", F.lit(11)).alias("rb"),
+    r = (
+        qz06_rrf_hybrid_fusion(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.coalesce("rk_bm25", F.lit(11)).alias("ra"),
+            F.coalesce("rk_qld", F.lit(11)).alias("rb"),
+        )
+        # The union set is ≤ 2·RRF_DEPTH rows, but the self-join below
+        # would otherwise duplicate the ENTIRE qz06 scoring subtree —
+        # measured: 20 parquet scans in the physical plan, two full
+        # BM25+QLD corpus pipelines (guide §7.2, duplicated subtrees).
+        # Checkpoint the tiny rank list once; the pair expansion then
+        # runs on 20 cached rows and the corpus is scored exactly once.
+        .localCheckpoint(eager=False)
     )
     a, b = r.alias("a"), r.alias("b")
     da = F.col("a.ra") - F.col("b.ra")

@@ -890,11 +890,25 @@ def qx57_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ex = x.select("vec_id", F.posexplode("xs").alias("dim", "xi"))
     dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    nn = x.agg(F.count(F.lit(1)).cast("decimal(38,0)").alias("n"))
-    sx = ex.groupBy("dim").agg(F.sum(dec("xi")).alias("sx"))
-    sxx = ex.groupBy("dim").agg(
-        F.sum(dec("xi") * dec("xi")).alias("sxx")
+    nn = x.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
+    ).localCheckpoint(eager=False)
+    # ONE moment pass, not two: sx and sxx are separate full
+    # explode+hash-agg passes when built independently, and without a
+    # checkpoint the 64-row sx/nn broadcasts were re-derived from the
+    # corpus inside EVERY iteration's job and again in the final join
+    # (guide §7.2, duplicated subtrees). Fused + checkpointed: the data
+    # is touched once for all static moments.
+    moments = (
+        ex.groupBy("dim")
+        .agg(
+            F.sum(dec("xi")).alias("sx"),
+            F.sum(dec("xi") * dec("xi")).alias("sxx"),
+        )
+        .localCheckpoint(eager=False)
     )
+    sx = moments.select("dim", "sx")
+    sxx = moments.select("dim", "sxx")
     v = sx.select(
         "dim", F.lit(PCA_VSCALE).cast("decimal(38,0)").alias("vj")
     ).localCheckpoint(eager=True)
@@ -903,6 +917,9 @@ def qx57_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             ex.join(F.broadcast(v), "dim")
             .groupBy("vec_id")
             .agg(F.sum(dec("xi") * F.col("vj")).alias("s"))
+            # s feeds both ss (scalar) and the X'(Xv) agg — pin one
+            # materialization of the data-sized pass per iteration
+            .localCheckpoint(eager=False)
         )
         ss = s.agg(F.sum("s").alias("ss"))
         w = (

@@ -91,6 +91,18 @@ def _checkpoint_dir(name: str) -> str:
     return d
 
 
+def scratch_state_dir(prefix: str) -> str:
+    """Scratch root for the maintained-family ParquetStateStores — the
+    per-micro-batch snapshot read/overwrite cycle is the same
+    consumed-in-process scratch I/O as the drain checkpoints, so it gets
+    the same tmpfs placement (guide §6: the default ``/tmp`` here is
+    disk-backed, and every trigger paid a real parquet write + fsync to
+    it for state that is discarded when the query returns). Durable
+    deployments pass their own store paths on real storage; K2D_CKPT_DIR
+    overrides exactly as for checkpoints."""
+    return tempfile.mkdtemp(prefix=prefix, dir=_scratch_base())
+
+
 def drain_to_memory(
     df: DataFrame,
     mode: str,

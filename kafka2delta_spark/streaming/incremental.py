@@ -41,6 +41,7 @@ from pyspark.sql.window import Window as W
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.functions.measure import v1000 as v1000_m
 from kafka2delta_spark.state.store import ParquetStateStore
+from kafka2delta_spark.streaming.drain import scratch_state_dir
 
 
 def _partial(batch_df: DataFrame) -> DataFrame:
@@ -155,7 +156,7 @@ def q49_incremental_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="rollup_state_") + "/state"
+        spark, scratch_state_dir("rollup_state_") + "/state"
     )
     # same knob as drain_to_memory: every micro-batch re-plans its
     # aggregation with the session's shuffle partitions and pays fixed
@@ -234,7 +235,7 @@ def qx13_store_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     mid = int(m_val)
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="cdf_state_") + "/state",
+        spark, scratch_state_dir("cdf_state_") + "/state",
         retain_versions=2,
     )
     apply_rollup_batch(store, ev.filter(F.unix_micros("ts") < mid), 0)
@@ -305,7 +306,7 @@ def qx23_streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") != SENTINEL_USER)
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="kmv_state_") + "/state"
+        spark, scratch_state_dir("kmv_state_") + "/state"
     )
     from kafka2delta_spark.streaming.drain import drain_shuffle_partitions
 
@@ -392,7 +393,7 @@ def qx31_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") != SENTINEL_USER)
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="cm_state_") + "/state"
+        spark, scratch_state_dir("cm_state_") + "/state"
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -537,7 +538,7 @@ def qx46_streaming_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="anom_state_") + "/state"
+        spark, scratch_state_dir("anom_state_") + "/state"
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -789,7 +790,7 @@ def qx70_streaming_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("user_id").eqNullSafe(SENTINEL_USER))
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="cusum_state_") + "/state"
+        spark, scratch_state_dir("cusum_state_") + "/state"
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -896,7 +897,7 @@ def qx92_streaming_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="ret_state_") + "/state"
+        spark, scratch_state_dir("ret_state_") + "/state"
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1010,7 +1011,7 @@ def qx99_streaming_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="conc_state_") + "/state"
+        spark, scratch_state_dir("conc_state_") + "/state"
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -1207,7 +1208,7 @@ def qy10_streaming_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") != SENTINEL_USER))
     )
     store = ParquetStateStore(
-        spark, tempfile.mkdtemp(prefix="gap_state_") + "/state"
+        spark, scratch_state_dir("gap_state_") + "/state"
     )
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
