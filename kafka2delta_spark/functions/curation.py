@@ -496,19 +496,35 @@ def qx42_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n, viol(F.col("o_totalprice").isNull() | (F.col("o_totalprice") < 0))
             ),
         ),
-        one(
-            "events_value_nonneg",
-            events.agg(n, viol(F.col("value").isNull() | (F.col("value") < 0))),
-        ),
+        # Both events checks are plain (join-free) aggregates over the
+        # same scan, so they fuse into ONE pass whose single row explodes
+        # into the two report rows — before, events was scanned twice
+        # (guide §2.4: don't compute the same pass twice). The FK checks
+        # canNOT be fused this way: their n_checked counts JOIN rows
+        # (parent-key duplicates multiply), matching the oracle exactly.
+        events.agg(
+            n,
+            viol(F.col("value").isNull() | (F.col("value") < 0)),
+            (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v2"),
+        ).select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("events_value_nonneg").alias("check_name"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col("v").cast("bigint").alias("n_violations"),
+                    ),
+                    F.struct(
+                        F.lit("events_event_id_unique").alias("check_name"),
+                        F.col("n").cast("bigint").alias("n_checked"),
+                        F.col("v2").cast("bigint").alias("n_violations"),
+                    ),
+                )
+            ).alias("r")
+        ).select("r.*"),
         one(
             "documents_text_complete",
             docs.agg(n, viol(F.col("text").isNull() | (F.length("text") == 0))),
-        ),
-        one(
-            "events_event_id_unique",
-            events.agg(
-                n, (F.count(F.lit(1)) - F.countDistinct("event_id")).alias("v")
-            ),
         ),
     ]
     out = checks[0]

@@ -1326,7 +1326,11 @@ def qx20_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (same key) before the final per-doc hash-agg. Span strings act as
     their own keys here; at 100 TB you'd md5 them first to fix the
     shuffle width at 16 bytes — same counts, collision odds ~n²/2^128."""
-    rows = shingle_rows(spark, sf_dir, k=SPAN_W)
+    # rows feeds both the corpus-frequency agg and the join back — the
+    # captured plan showed the whole explode+window shingle pipeline
+    # planned twice (guide §7.2, duplicated subtrees); one
+    # materialization for both consumers.
+    rows = shingle_rows(spark, sf_dir, k=SPAN_W).localCheckpoint(eager=False)
     freq = rows.groupBy("shingle").agg(F.count(F.lit(1)).alias("nd"))
     return (
         rows.join(freq, "shingle")

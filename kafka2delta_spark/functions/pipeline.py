@@ -311,7 +311,10 @@ def q84_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale lie — the hint is left off and AQE broadcasts the bench side
     at runtime whenever it is actually small, degrading to a shuffle
     hash join on the shingle key instead of dying at the 8 GB cap."""
-    sh = shingle_rows(spark, sf_dir, k=CONTAM_K)
+    # sh splits into the bench and corpus sides of the join — two
+    # consumers, so without a pinned materialization the shingle
+    # explode+window pipeline is planned twice (guide §7.2).
+    sh = shingle_rows(spark, sf_dir, k=CONTAM_K).localCheckpoint(eager=False)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     bench = sh.filter(is_bench).select(
         F.col("doc_id").alias("bench_doc"), "shingle"

@@ -855,9 +855,16 @@ def qz17_p99_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", F.expr("gap_us div 1000000").alias("gap_s")
     ).filter(F.col("gap_s").isNotNull())
-    br = _histogram_rank_bracket(g, "event_type", "gap_s", 99, 100)
-    mx = g.groupBy("event_type").agg(F.max("gap_s").alias("max_gap"))
-    return br.join(mx, "event_type").select(
+    # max(gap_s) folds into the bracket's final histogram agg (the max
+    # over distinct values IS the data max): before, the separate
+    # groupBy max made g a multi-consumer subtree and the lag-window
+    # gap build ran three times (guide §7.2, duplicated subtrees — the
+    # helper's old groupBy+join total was the other two).
+    br = _histogram_rank_bracket(
+        g, "event_type", "gap_s", 99, 100,
+        extra_aggs=[F.max("gap_s").alias("max_gap")],
+    )
+    return br.select(
         "event_type",
         F.col("__n").cast("bigint").alias("n_gaps"),
         F.col("max_gap").cast("bigint").alias("max_gap_s"),

@@ -660,9 +660,13 @@ def qx43_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         l, r, n = best[0]["l"], best[0]["r"], best[0]["n"]
         merges.append((k, l, r, n))
-        syms = syms.withColumn(
-            "s", bpe_merge_expr(F.col("s"), l, r)
-        ).localCheckpoint(eager=True)
+        if k < BPE_N_MERGES:
+            # the final round's rewrite is never read (only the argmax
+            # above feeds the merge table) — skipping it drops one full
+            # vocabulary rewrite + eager materialization per query
+            syms = syms.withColumn(
+                "s", bpe_merge_expr(F.col("s"), l, r)
+            ).localCheckpoint(eager=True)
 
     return spark.createDataFrame(
         merges,

@@ -152,8 +152,13 @@ def qx80_winnowing_fingerprint_pairs(
     hash-aggregates (doc_a, doc_b). At 100 TB the fingerprint table is
     ~2/(w+1) = 40% of the k-gram stream and pair width is bounded by
     cap²; overlap is exact integer e4 (div truncation both engines)."""
-    fp = winnow_fingerprints(spark, sf_dir)
-    sz = fp.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("n_fp"))
+    # fp has THREE consumers (sz, and buckets below) and the plan proved
+    # Catalyst re-plans the whole explode+window fingerprint pipeline for
+    # each (guide §7.2, duplicated subtrees) — pin one materialization.
+    fp = winnow_fingerprints(spark, sf_dir).localCheckpoint(eager=False)
+    sz = fp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fp")
+    ).localCheckpoint(eager=False)  # consumed twice (sa and sb), tiny
     buckets = fp.groupBy("fp").agg(
         F.sort_array(F.collect_list("doc_id")).alias("ids")
     ).filter(F.size("ids").between(2, WINNOW_FP_DF_CAP))

@@ -16,6 +16,8 @@ is avoided except in the explicitly-global q33.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -251,7 +253,8 @@ def q35_first_last_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _histogram_rank_bracket(
-    df: DataFrame, key: str, col: str, num: int, den: int
+    df: DataFrame, key: str, col: str, num: int, den: int,
+    extra_aggs: Sequence = (),
 ) -> DataFrame:
     """Per-``key`` type-7 rank bracket at p = num/den from a VALUE
     HISTOGRAM (the qx53 closed form): collapse to (key, value) → count
@@ -262,22 +265,38 @@ def _histogram_rank_bracket(
     ~3x less wall: ONE data-sized shuffle (the map-side-combined
     histogram agg) instead of the two-pass range exchange. Right when
     the value domain is materially smaller than the data; for
-    near-unique domains prefer ``exact_rank_bracket``."""
+    near-unique domains prefer ``exact_rank_bracket``.
+
+    The per-key total ``__n`` is a SECOND WINDOW over the same
+    partitioning, not a groupBy+join: the join form made the histogram a
+    two-consumer subtree that Catalyst planned twice from the source —
+    q36 paid five lineitem scans for its three stat legs (guide §7.2,
+    duplicated subtrees). Both window frames share one exchange + sort
+    (the unbounded frame adds a chained WindowExec, no new shuffle), so
+    the source now feeds exactly one scan per bracket. ``extra_aggs``
+    lets a caller fold additional histogram-derivable aggregates (e.g.
+    qz17's ``max(col)``) into the final tiny agg instead of re-scanning
+    the source for them."""
     h = df.groupBy(key, col).agg(F.count(F.lit(1)).alias("__cnt"))
     wc = (
         W.partitionBy(key)
         .orderBy(col)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    c = h.select(
-        key, col, F.sum("__cnt").over(wc).alias("__cum")
+    wn = W.partitionBy(key).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
     )
-    n = h.groupBy(key).agg(F.sum("__cnt").alias("__n"))
-    j = c.join(n, key)
+    j = h.select(
+        key,
+        col,
+        F.sum("__cnt").over(wc).alias("__cum"),
+        F.sum("__cnt").over(wn).alias("__n"),
+    )
     k = F.expr(f"{num} * (__n - 1) div {den}")
     return j.groupBy(key, "__n").agg(
         F.min(F.when(F.col("__cum") > k, F.col(col))).alias("__lo"),
         F.min(F.when(F.col("__cum") > k + 1, F.col(col))).alias("__hi"),
+        *extra_aggs,
     )
 
 
@@ -1814,21 +1833,30 @@ def qx53_weighted_median_by_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").alias("hw"),
         F.count(F.lit(1)).alias("hn"),
     )
-    cum = hist.withColumn(
-        "__cumw",
-        F.sum("hw").over(
+    # Group totals come from a second (unbounded) window frame over the
+    # SAME partitioning — not a groupBy+join, which made hist a
+    # two-consumer subtree that Catalyst planned twice from the lineitem
+    # scan (guide §7.2, duplicated subtrees; same fix as
+    # _histogram_rank_bracket). The chained WindowExec shares the one
+    # exchange+sort; no new shuffle.
+    wn = W.partitionBy("flag").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    cum = hist.select(
+        "flag",
+        "cents",
+        F.sum("hw")
+        .over(
             W.partitionBy("flag")
             .orderBy("cents")
             .rowsBetween(W.unboundedPreceding, W.currentRow)
-        ),
-    )
-    totals = hist.groupBy("flag").agg(
-        F.sum("hw").cast("bigint").alias("__tw"),
-        F.sum("hn").cast("bigint").alias("__n"),
+        )
+        .alias("__cumw"),
+        F.sum("hw").over(wn).cast("bigint").alias("__tw"),
+        F.sum("hn").over(wn).cast("bigint").alias("__n"),
     )
     return (
-        cum.join(F.broadcast(totals), "flag")
-        .groupBy(F.col("flag").alias("l_returnflag"))
+        cum.groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
             F.max("__n").alias("n"),
             F.max("__tw").alias("total_qty"),
