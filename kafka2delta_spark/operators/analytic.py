@@ -300,6 +300,59 @@ def _histogram_rank_bracket(
     )
 
 
+def _brackets_from_counts(
+    h: DataFrame, key: str, col: str, numerators: Sequence[int], den: int,
+    extra_aggs: Sequence = (),
+) -> DataFrame:
+    """Multi-quantile generalization of ``_histogram_rank_bracket`` over a
+    PRE-BUILT value histogram ``h`` = (key, col, __cnt). Taking the
+    histogram as input (instead of raw rows) lets a caller derive several
+    quantile targets — and even DERIVED histograms, e.g. qx50's
+    |v − median| fold — from ONE data-sized pass; everything here is
+    bounded by the value domain. Returns (key, __n,
+    __lo{num}, __hi{num} per numerator, *extra_aggs); interpolate with
+    ``_type7_interp``. Same bracket semantics as
+    ``exact_percentiles_by_rank`` (0-indexed type-7 ranks), proven
+    equivalent by the shared oracles of q36/qx53/qz17."""
+    wc = (
+        W.partitionBy(key)
+        .orderBy(col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = W.partitionBy(key).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    j = h.select(
+        key,
+        col,
+        F.sum("__cnt").over(wc).alias("__cum"),
+        F.sum("__cnt").over(wn).alias("__n"),
+    )
+    aggs = []
+    for num in numerators:
+        k = F.expr(f"{num} * (__n - 1) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("__cum") > k, F.col(col))).alias(f"__lo{num}")
+        )
+        aggs.append(
+            F.min(F.when(F.col("__cum") > k + 1, F.col(col))).alias(f"__hi{num}")
+        )
+    return j.groupBy(key, "__n").agg(*aggs, *extra_aggs)
+
+
+def _type7_interp(num: int, den: int):
+    """Type-7 interpolated quantile from a ``_brackets_from_counts`` row —
+    the exact double formula of ``exact_percentiles_by_rank`` (lo + (hi −
+    lo)·frac over double-cast brackets), so swapping the rank pass for the
+    histogram pass is bit-identical."""
+    frac = (
+        F.expr(f"({num} * (__n - 1)) % {den}").cast("double")
+        / F.lit(float(den))
+    )
+    lo = F.col(f"__lo{num}").cast("double")
+    hi = F.coalesce(F.col(f"__hi{num}"), F.col(f"__lo{num}")).cast("double")
+    return lo + (hi - lo) * frac
+
 
 @register(
     "q36_stats_by_returnflag",
@@ -1235,36 +1288,38 @@ def qx30_exact_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     answer you reconcile it against, at the cost of a per-group sort
     inside the aggregate.
 
-    Plan: ``exact_percentiles_by_rank`` (operators/rankstats.py) — the
-    q33 two-pass range-partitioned rank generalized to groups. No
-    ObjectHashAggregate holding a per-group value multiset anywhere:
-    range-partition on (event_type, v1000), parallel local sorts, exact
-    within-group ranks from a metadata-sized offset table, and the
-    interpolation touches only the ≤2 rows per group at each target
-    rank. Survives groups of any size; the former single-shuffle
-    ``percentile`` shape is exactly what breaks on a skewed 100 TB
-    group. Measured local cost of that safety: 0.53 s → 1.31 s at
-    sf0.1 (two data-sized exchanges instead of one) — the deliberate
-    trade per VERDICT r4: O(1) aggregate state per task at any scale
-    in exchange for one extra shuffle that amortizes at real sizes."""
+    Plan: the q36/qx53 value-HISTOGRAM closed form
+    (``_brackets_from_counts``): ONE map-side-combined (event_type,
+    v1000) histogram agg — the only data-sized exchange — then all three
+    quantile brackets read off the SAME domain-bounded cumulative window
+    in one final tiny agg. Still no ObjectHashAggregate holding a
+    per-group value multiset anywhere (per-task state is one histogram
+    cell), and unlike the former two-pass range-partitioned rank
+    (``exact_percentiles_by_rank``, kept for near-unique domains like
+    qx52's timestamps) the quantile count is free: one pass serves p25,
+    p50 and p75. Measured at sf0.1 (noop sink, median of 3): 2.46 s /
+    12 jobs (rank, two data-sized exchanges) → 1.14 s / 4 jobs;
+    interpolation uses ``_type7_interp`` — the
+    rank helper's exact double formula — so values are bit-identical."""
     events = load_table(spark, sf_dir, "events")
     # defined-key + defined-measurement contract (mirrored in the oracle):
-    # the rank helper documents that NULLs must be pre-filtered
+    # the bracket ranks NULLs, so they must be pre-filtered
     v = events.filter(
         F.col("event_type").isNotNull() & finite_m("value")
     ).select(
         "event_type", v1000_m("value").alias("v1000")
     )
-    q = exact_percentiles_by_rank(
-        v, "v1000", [1, 2, 3], 4, keys=["event_type"], prefix="q"
+    h = v.groupBy("event_type", "v1000").agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
-    return q.select(
+    b = _brackets_from_counts(h, "event_type", "v1000", [1, 2, 3], 4)
+    return b.select(
         "event_type",
         F.col("__n").alias("n"),
-        F.col("q1").alias("p25"),
-        F.col("q2").alias("p50"),
-        F.col("q3").alias("p75"),
-        (F.col("q3") - F.col("q1")).alias("iqr"),
+        _type7_interp(1, 4).alias("p25"),
+        _type7_interp(2, 4).alias("p50"),
+        _type7_interp(3, 4).alias("p75"),
+        (_type7_interp(3, 4) - _type7_interp(1, 4)).alias("iqr"),
     )
 
 
@@ -1720,18 +1775,26 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     to at-worst .25 fractions — every comparison in both engines is on
     identical doubles (the qx30 dyadic argument, applied twice).
 
-    Plan: two grouped median passes, each via
-    ``exact_percentiles_by_rank`` (operators/rankstats.py — the q33
-    two-pass range-partitioned rank, so NO per-group value multiset ever
-    sits in an aggregate buffer, even for a hot event_type at 100 TB);
-    medians broadcast back between the passes (alphabet-sized join), a
-    final hash-agg fusing the 3-MAD exceedance count. q39's mergeable
-    histogram remains the cheaper approximation when exactness is not
-    required. Measured local cost of the rewrite: 0.73 s → 3.29 s at
-    sf0.1 (two rank passes = four data-sized exchanges vs two plain
-    percentile aggs) — accepted deliberately: the old shape held each
-    group's full value multiset twice per query, the one aggregate
-    state that cannot survive a hot group at 100 TB."""
+    Plan: ONE pass over events builds the (event_type, v1000) value
+    histogram (map-side-combined — the query's only data-sized
+    exchange); everything downstream is bounded by the value DOMAIN,
+    not the row count. The median reads off the histogram's cumulative
+    window (the q36/qx53 closed form); the |v − median| histogram is a
+    FOLD of that same histogram (join the per-type median, re-group by
+    the folded value — histogram-sized, no second scan); the MAD reads
+    off the folded histogram's window; and the 3-MAD exceedance count
+    is a conditional SUM OF HISTOGRAM COUNTS, not a third pass over
+    rows. Still no per-group value multiset in any aggregate buffer
+    (per-task state is one histogram cell, the q36 argument), and vs
+    the former two ``exact_percentiles_by_rank`` passes (two scans +
+    four data-sized range exchanges + a data-sized checkpoint):
+    measured at sf0.1 (noop sink, median of 3) 6.58 s / 36 jobs →
+    1.65 s / 14 jobs. Interpolation uses
+    ``_type7_interp`` — the rank helper's exact double formula — so
+    every emitted value is bit-identical; |v1000 − med| folds distinct
+    values to doubles with at-worst .5 fractions (exact), so histogram
+    cells merge exactly like dev rows did. q39's mergeable histogram
+    remains the cheaper approximation when exactness is not required."""
     events = load_table(spark, sf_dir, "events")
     # defined-key + defined-measurement contract (see qx30)
     v = events.filter(
@@ -1739,35 +1802,46 @@ def qx50_robust_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", v1000_m("value").alias("v1000")
     )
-    med = exact_percentiles_by_rank(
-        v, "v1000", [1], 2, keys=["event_type"], prefix="m"
-    ).select("event_type", F.col("m1").alias("med"))
-    # dev feeds BOTH the MAD rank pass and the exceedance agg — persist
-    # the one full-width projection so the source scan + median join run
-    # once, not three times (measured ~1 s at sf0.1)
-    dev = (
-        v.join(F.broadcast(med), "event_type")
-        .select(
-            "event_type", "v1000", "med",
-            F.abs(F.col("v1000") - F.col("med")).alias("adev"),
-        )
+    # consumed twice (median bracket + the |v − med| fold) — pin one
+    # materialization; histogram-sized, unlike the dev rows it replaces
+    h = (
+        v.groupBy("event_type", "v1000")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
         .localCheckpoint(eager=False)
     )
-    mad_q = exact_percentiles_by_rank(
-        dev, "adev", [1], 2, keys=["event_type"], prefix="m"
-    ).select(
-        "event_type",
-        F.col("__n").alias("n"),
-        F.col("m1").alias("mad_v1000"),
+    med = _brackets_from_counts(h, "event_type", "v1000", [1], 2).select(
+        "event_type", _type7_interp(1, 2).alias("med")
     )
-    mad = mad_q.join(F.broadcast(med), "event_type").select(
-        "event_type", "n", F.col("med").alias("median_v1000"), "mad_v1000"
+    # fold: value histogram → absolute-deviation histogram (tiny)
+    h2 = (
+        h.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("v1000") - F.col("med")).alias("adev"),
+            "__cnt",
+        )
+        .groupBy("event_type", "adev")
+        .agg(F.sum("__cnt").alias("__cnt"))
+        .localCheckpoint(eager=False)  # consumed twice: MAD + exceedance
+    )
+    mad = (
+        _brackets_from_counts(h2, "event_type", "adev", [1], 2)
+        .join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.col("__n").alias("n"),
+            F.col("med").alias("median_v1000"),
+            _type7_interp(1, 2).alias("mad_v1000"),
+        )
     )
     return (
-        dev.join(F.broadcast(mad.select("event_type", "mad_v1000")), "event_type")
+        h2.join(F.broadcast(mad.select("event_type", "mad_v1000")), "event_type")
         .groupBy("event_type")
         .agg(
-            F.sum(F.when(F.col("adev") > 3 * F.col("mad_v1000"), 1).otherwise(0))
+            F.sum(
+                F.when(F.col("adev") > 3 * F.col("mad_v1000"), F.col("__cnt"))
+                .otherwise(F.lit(0))
+            )
             .cast("bigint")
             .alias("n_beyond_3mad")
         )
