@@ -863,102 +863,101 @@ def _pca_oracle() -> str:
 def qx57_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top principal component of the embedding cloud (the direction ANN
     partitioners, whitening passes and dead-dimension analyses all need
-    first), via {3} rounds of MATRIX-FREE power iteration: each round is
-    ``w = n*X'(X v) - Sx*(1'X v)`` — two keyed hash-aggs over the
-    exploded (vec, dim, value) rows — followed by an integer
-    renormalization to max |v_i| = 1e6. The D x D scatter matrix is never
-    materialized; per-round state is one 64-row vector. That is the 100 TB
-    shape: iterations stream over the data, the driver never holds more
-    than D values, and the per-round vector is checkpointed
-    (metadata-sized) so lineage stays flat.
+    first), via {3} rounds of power iteration ``w = n*X'(X v) - Sx*(1'X v)``
+    against the D x D GRAM MATRIX: ONE map-side-combined pass builds
+    G = Y'Y for Y = [1 | X] (the leading sentinel coordinate folds n and
+    Sx into the same aggregate — G[0][0] = n, G[0][1:] = Sx, diag = Sxx),
+    and the iterations fold that 65x65-cell table on the driver in exact
+    Python integers. X'(Xv) = (X'X)v and 1'Xv = Sx·v are integer-sum
+    rearrangements (associativity — no floating point anywhere), so each
+    round computes the SAME exact value the row-wise formulation does.
+    This is the shape spark.ml's own PCA uses
+    (RowMatrix.computeGramianMatrix + driver-side eigensolve): driver
+    state is O(D^2) — independent of row count — and the single data pass
+    shuffles only D^2/2 partial cells per task. The former matrix-free
+    loop was built for the large-D regime where D^2 itself is too big;
+    at D = 64 it paid 7 data passes, a data-sized groupBy(vec_id)
+    SHUFFLE per iteration (s is row-count-sized!), and 41
+    driver-synchronized jobs for state that fits in two cache lines.
 
-    Exactness: coordinates quantize to milli-units; every sum runs in
-    DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact integers — and
-    the renormalizing division truncates toward zero on both engines
-    (verified: -7 div 2 == -7 // 2 == -3), so after any fixed number of
-    rounds the vector is bit-identical across engines. Deterministic
+    Exactness: coordinates quantize to milli-units; every Gram sum runs
+    in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact integers —
+    the driver fold is arbitrary-precision Python int, and the
+    renormalizing division truncates toward zero exactly as both
+    engines' integer division does (verified: -7 div 2 == -7 // 2 ==
+    -3), so after any fixed number of rounds the vector is bit-identical
+    (proven by oracle hash match at sf0.001/0.01/0.1). Deterministic
     start v0 = all-ones makes the (sign-arbitrary) eigenvector
     orientation reproducible. ``var_num`` = n*Sxx - Sx^2 is the exact
     per-dimension variance numerator (the qx41 statistic) for scale
-    context."""
+    context. m = 0 (all-zero scatter) degrades to NULL v_e6 exactly as
+    the in-engine division-by-zero did."""
     emb = load_table(spark, sf_dir, "embeddings")
-    x = emb.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda e: F.floor(e * 1000).cast("bigint")
-        ).alias("xs"),
+    ys = emb.select(
+        F.concat(
+            F.array(F.lit(1).cast("bigint")),
+            F.transform(
+                "embedding", lambda e: F.floor(e * 1000).cast("bigint")
+            ),
+        ).alias("ys")
     )
-    ex = x.select("vec_id", F.posexplode("xs").alias("dim", "xi"))
-    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
-    nn = x.agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n")
-    ).localCheckpoint(eager=False)
-    # ONE moment pass, not two: sx and sxx are separate full
-    # explode+hash-agg passes when built independently, and without a
-    # checkpoint the 64-row sx/nn broadcasts were re-derived from the
-    # corpus inside EVERY iteration's job and again in the final join
-    # (guide §7.2, duplicated subtrees). Fused + checkpointed: the data
-    # is touched once for all static moments.
-    moments = (
-        ex.groupBy("dim")
-        .agg(
-            F.sum(dec("xi")).alias("sx"),
-            F.sum(dec("xi") * dec("xi")).alias("sxx"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    sx = moments.select("dim", "sx")
-    sxx = moments.select("dim", "sxx")
-    v = sx.select(
-        "dim", F.lit(PCA_VSCALE).cast("decimal(38,0)").alias("vj")
-    ).localCheckpoint(eager=True)
-    for _ in range(PCA_ITERS):
-        s = (
-            ex.join(F.broadcast(v), "dim")
-            .groupBy("vec_id")
-            .agg(F.sum(dec("xi") * F.col("vj")).alias("s"))
-            # s feeds both ss (scalar) and the X'(Xv) agg — pin one
-            # materialization of the data-sized pass per iteration
-            .localCheckpoint(eager=False)
-        )
-        ss = s.agg(F.sum("s").alias("ss"))
-        w = (
-            ex.join(s, "vec_id")
-            .groupBy("dim")
-            .agg(F.sum(dec("xi") * F.col("s")).alias("xts"))
-            .join(F.broadcast(sx), "dim")
-            .crossJoin(F.broadcast(nn))
-            .crossJoin(F.broadcast(ss))
-            .select(
-                "dim",
-                (F.col("n") * F.col("xts") - F.col("sx") * F.col("ss")).alias(
-                    "w"
-                ),
-            )
-        )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                "dim",
-                F.expr(f"cast(w * {PCA_VSCALE} div m as decimal(38,0))").alias(
-                    "vj"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
-    return (
-        v.join(F.broadcast(sx), "dim")
-        .join(F.broadcast(sxx), "dim")
-        .crossJoin(F.broadcast(nn))
+    # upper triangle of Y'Y: one explode-explode-agg pass, partial
+    # aggregation reduces every task to <= 2145 cells before the (only)
+    # exchange; nothing row-count-sized ever shuffles or hits the driver.
+    # Per-PARTITION partials accumulate in long (codegen integer adds —
+    # measured 2-3x faster than a decimal hash-agg over the same rows)
+    # and only the <= 2145-cells-per-partition merge runs in
+    # decimal(38,0): exact at any total scale because the per-partition
+    # partial is bounded by rows-per-split x max|y_i*y_j| (~250k rows
+    # per 128 MB split x ~1e12 for even 1e6-magnitude coords << 2^63),
+    # a bound set by the split size, not the corpus size.
+    cells = (
+        ys.select(F.posexplode("ys").alias("i", "yi"), "ys")
         .select(
-            "dim",
-            F.col("vj").cast("bigint").alias("v_e6"),
-            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-            .cast("bigint")
-            .alias("var_num"),
+            "i",
+            "yi",
+            F.posexplode(F.expr("slice(ys, i+1, size(ys)-i)")).alias(
+                "dj", "yj"
+            ),
         )
+        .groupBy("i", "dj", F.spark_partition_id().alias("p"))
+        .agg(F.sum(F.col("yi") * F.col("yj")).alias("gp"))
+        .groupBy("i", "dj")
+        .agg(F.sum(F.col("gp").cast("decimal(38,0)")).alias("g"))
+        .collect()
     )
+    schema = T.StructType(
+        [
+            T.StructField("dim", T.IntegerType(), False),
+            T.StructField("v_e6", T.LongType(), True),
+            T.StructField("var_num", T.LongType(), True),
+        ]
+    )
+    if not cells:
+        return spark.createDataFrame([], schema)
+    gfull = [[0] * (PCA_D + 1) for _ in range(PCA_D + 1)]
+    for r in cells:
+        i, j = r["i"], r["i"] + r["dj"]  # dj = offset within the slice
+        gfull[i][j] = gfull[j][i] = int(r["g"])
+    n = gfull[0][0]
+    sx = gfull[0][1:]
+    gram = [row[1:] for row in gfull[1:]]
+    rng = range(PCA_D)
+    v: list = [PCA_VSCALE] * PCA_D
+    for _ in range(PCA_ITERS):
+        sv = sum(sx[j] * v[j] for j in rng)
+        w = [
+            n * sum(gram[i][j] * v[j] for j in rng) - sx[i] * sv for i in rng
+        ]
+        m = max(abs(x) for x in w)
+        if m == 0:  # all-zero scatter: both engines' x div 0 -> NULL
+            v = [None] * PCA_D
+            break
+        v = [(abs(x) * PCA_VSCALE // m) * (1 if x >= 0 else -1) for x in w]
+    rows = [
+        (d, v[d], n * gram[d][d] - sx[d] * sx[d]) for d in rng
+    ]
+    return spark.createDataFrame(rows, schema)
 
 
 # ---------------------------------------------------------------------------
