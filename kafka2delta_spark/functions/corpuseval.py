@@ -747,8 +747,18 @@ def qz06_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
     )
-    dl = docs.select("doc_id", F.size("toks").cast("bigint").alias("dl"))
-    tr = docs.select("doc_id", F.explode("toks").alias("term"))
+    # dl rides the explode rows instead of its own scan: the QL score
+    # only needs dl for docs that HIT a query term (tf inner-joins it),
+    # so carrying size(toks) per exploded row and grouping on it removes
+    # the separate per-doc length pass entirely (guide §2.4). nt (total
+    # token count over ALL docs) still needs its own full-explode
+    # aggregate — that and hits are the query's two corpus passes (was
+    # three, plus qx01's own two after its round-12 postings pin).
+    tr = docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        F.explode("toks").alias("term"),
+    )
     nt = tr.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
     # hits is query-term-bounded (tiny) but its parent is the full token
     # explode; cf and tf each consumed it, re-running the explode twice
@@ -768,9 +778,9 @@ def qz06_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(nt))
     )
     tf = (
-        hits.groupBy("doc_id", "term")
+        hits.groupBy("doc_id", "dl", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "dl")
         .agg(
             *[
                 F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
@@ -790,10 +800,8 @@ def qz06_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = ql_term(BM25_TERMS[0])
     for t in BM25_TERMS[1:]:
         score = score + ql_term(t)
-    ql_scored = (
-        tf.join(dl, "doc_id")
-        .crossJoin(F.broadcast(cf))
-        .select("doc_id", score.alias("score"))
+    ql_scored = tf.crossJoin(F.broadcast(cf)).select(
+        "doc_id", score.alias("score")
     )
     wq = W.orderBy(F.desc("score"), F.asc("doc_id"))
     ql = (

@@ -647,11 +647,15 @@ def connected_components(
     und = edges.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    # checkpoints are LAZY: the convergence aggregate below is the round's
+    # only action and materializes the checkpoint as it runs — one job per
+    # round instead of two (eager materialize + probe). Safe here because
+    # labels are min-aggregates: any recompute is bit-identical.
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("label"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev_sum = None
     converged = False
@@ -663,7 +667,7 @@ def connected_components(
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
@@ -2278,74 +2282,110 @@ def qx87_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Thresholds are integer e3 — the edge predicate
     1000·∩ ≥ t·∪ is exact cross-multiplication on both engines. At
     100 TB: same argument as q98; the sweep adds |thresholds| CC runs
-    over strictly shrinking edge subsets (edges(0.7) ⊆ edges(0.3))."""
+    over strictly shrinking edge subsets (edges(0.7) ⊆ edges(0.3)).
+
+    The |thresholds| CC runs execute as ONE fixpoint loop over the
+    DISJOINT UNION graph: node ids encode (doc, threshold-index) as
+    doc·3 + ti (bijective, order-preserving within a fixed ti — needs
+    |doc_id| < 2^62, documented slack for any realistic id space), so
+    each threshold's subgraph propagates independently inside the same
+    join+agg round and the per-threshold labels read back off as
+    ``label div 3``. Identical results by construction: min-label
+    propagation never crosses the disjoint components, the global
+    checksum is stable exactly when every subgraph's is (labels only
+    decrease), and a converged subgraph's extra rounds are no-ops. What
+    it buys: one driver-synchronized round chain instead of three
+    (round count = max, not sum — the former thread-pool overlap hid
+    wall time but still paid 3x the jobs, checkpoints and convergence
+    actions; measured 41 -> ~17 jobs), and the per-threshold stat
+    aggregates fold into per-ti groupBys over one labels/edges frame
+    instead of 12 crossJoined scalar aggs."""
     stats = _shingle_pair_stats(spark, sf_dir, SHINGLE_DF_CAP)
     docs = load_table(spark, sf_dir, "documents")
-    nodes = docs.select(F.col("doc_id").alias("node"))
     n_docs = docs.count()
 
-    # The three thresholds' CC runs are INDEPENDENT fixpoint loops, each a
-    # chain of driver-synchronized rounds (join + agg + convergence first())
-    # over a tiny edge set — sequential execution leaves the cluster idle
-    # between rounds. Overlap them from a small thread pool (guide §2.6:
-    # actions are only sequential because the driver calls them
-    # sequentially); each loop is deterministic, so results are unchanged.
-    from concurrent.futures import ThreadPoolExecutor
-
-    def _labels_for(t: int) -> tuple[DataFrame, DataFrame]:
-        edges = stats.filter(
+    k = len(THRESH_SWEEP_E3)
+    tagged = None
+    for ti, t in enumerate(THRESH_SWEEP_E3):
+        e = stats.filter(
             1000 * F.col("n_common")
             >= t * (F.col("sz_a") + F.col("sz_b") - F.col("n_common"))
-        ).select("doc_a", "doc_b").localCheckpoint(eager=False)
-        return edges, connected_components(nodes, edges)
+        ).select(
+            F.lit(ti).alias("ti"),
+            (F.col("doc_a") * k + ti).alias("doc_a"),
+            (F.col("doc_b") * k + ti).alias("doc_b"),
+        )
+        tagged = e if tagged is None else tagged.unionByName(e)
+    # consumed by the CC loop AND the edge-stat aggs — pin one
+    # materialization of the three filters over pair-stats
+    tagged = tagged.localCheckpoint(eager=False)
 
-    with ThreadPoolExecutor(max_workers=len(THRESH_SWEEP_E3)) as pool:
-        cc_runs = list(pool.map(_labels_for, THRESH_SWEEP_E3))
+    nodes = docs.crossJoin(
+        spark.range(k).select(F.col("id").cast("int").alias("ti"))
+    ).select((F.col("doc_id") * k + F.col("ti")).alias("node"))
+    # decode is exact for any id sign: pmod recovers ti, and label - ti
+    # is divisible by k so the division has no truncation to get wrong
+    labels = connected_components(nodes, tagged).select(
+        F.pmod(F.col("node"), F.lit(k)).cast("int").alias("ti"),
+        F.expr(f"(label - pmod(label, {k})) div {k}").alias("label"),
+    )
 
-    outs = []
-    for t, (edges, labels) in zip(THRESH_SWEEP_E3, cc_runs):
-        agg = labels.agg(
-            F.countDistinct("label").cast("bigint").alias("n_clusters")
+    comp = (
+        labels.groupBy("ti", "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("ti")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.max("c").cast("bigint").alias("largest_cluster"),
         )
-        largest = (
-            labels.groupBy("label")
-            .agg(F.count(F.lit(1)).alias("c"))
-            .agg(F.max("c").cast("bigint").alias("largest_cluster"))
+    )
+    # endpoint explode + countDistinct — two-phase distinct agg, never a
+    # per-group multiset in an aggregate buffer; each edge contributes
+    # exactly 2 endpoint rows so n_edges = count div 2 off the same pass
+    edge_stats = (
+        tagged.select(
+            "ti", F.explode(F.array("doc_a", "doc_b")).alias("d")
         )
-        edge_stats = edges.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_edges"),
+        .groupBy("ti")
+        .agg(
+            F.expr("count(1) div 2").cast("bigint").alias("n_edges"),
+            F.countDistinct("d").cast("bigint").alias("n_linked_docs"),
         )
-        linked = (
-            edges.select(F.col("doc_a").alias("d"))
-            .unionByName(edges.select(F.col("doc_b").alias("d")))
-            .agg(F.countDistinct("d").cast("bigint").alias("n_linked_docs"))
+    )
+    # the ti spine is a literal frame so every threshold emits its row
+    # even over an empty corpus / empty edge set (the EMPTY_AGG contract)
+    spine = spark.range(k).select(F.col("id").cast("int").alias("ti"))
+    thresh = F.element_at(
+        F.array(*[F.lit(t) for t in THRESH_SWEEP_E3]), F.col("ti") + 1
+    )
+    return (
+        spine.join(F.broadcast(comp), "ti", "left")
+        .join(F.broadcast(edge_stats), "ti", "left")
+        .select(
+            thresh.cast("int").alias("threshold_e3"),
+            F.coalesce("n_edges", F.lit(0)).cast("bigint").alias("n_edges"),
+            F.coalesce("n_linked_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_linked_docs"),
+            F.coalesce("n_clusters", F.lit(0))
+            .cast("bigint")
+            .alias("n_clusters"),
+            "largest_cluster",
+            (F.lit(n_docs) - F.coalesce("n_clusters", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+            # n_docs is a driver literal; on an empty corpus the yield
+            # ratio is undefined -> NULL, not an ANSI divide-by-zero
+            (
+                F.expr(
+                    f"cast(coalesce(n_clusters, 0) * 10000 div {n_docs}"
+                    " as bigint)"
+                )
+                if n_docs
+                else F.lit(None).cast("bigint")
+            ).alias("yield_e4"),
         )
-        outs.append(
-            agg.crossJoin(largest)
-            .crossJoin(edge_stats)
-            .crossJoin(linked)
-            .select(
-                F.lit(t).cast("int").alias("threshold_e3"),
-                "n_edges",
-                "n_linked_docs",
-                "n_clusters",
-                "largest_cluster",
-                (F.lit(n_docs) - F.col("n_clusters"))
-                .cast("bigint")
-                .alias("n_removed"),
-                # n_docs is a driver literal; on an empty corpus the yield
-                # ratio is undefined -> NULL, not an ANSI divide-by-zero
-                (
-                    F.expr(f"cast(n_clusters * 10000 div {n_docs} as bigint)")
-                    if n_docs
-                    else F.lit(None).cast("bigint")
-                ).alias("yield_e4"),
-            )
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------

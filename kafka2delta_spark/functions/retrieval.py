@@ -114,9 +114,15 @@ def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = d.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
         F.col("term").isin(*BM25_TERMS)
     )
+    # tf (the query-term postings, bounded by the literal vocabulary) is
+    # consumed TWICE — df aggregates it and ts joins it — so without a
+    # pinned materialization the whole tokenize+explode subtree is
+    # planned once per consumer (guide §7.2; the audit counted documents
+    # scanned 6x in this one query: 2 postings paths x the unpinned
+    # top-k self-join below)
     tf = tr.groupBy("doc_id", "term", "dl").agg(
         F.count(F.lit(1)).cast("double").alias("tf")
-    )
+    ).localCheckpoint(eager=False)
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
     idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     denom = F.col("tf") + BM25_K1 * (
@@ -147,7 +153,13 @@ def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would sort the whole corpus in one task. The K survivors rank via
     # a broadcast triangular self-join (rk = 1 + strictly-better count)
     # so no WindowExec, partitioned or otherwise, touches this path.
-    topk = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(BM25_TOP_K)
+    # K rows, two consumers (the triangular rank join) — pin so the
+    # scoring pipeline upstream is planned once, not twice
+    topk = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+        .localCheckpoint(eager=False)
+    )
     other = topk.select(F.col("score").alias("s2"), F.col("doc_id").alias("d2"))
     best = (F.col("s2") > F.col("score")) | (
         (F.col("s2") == F.col("score")) & (F.col("d2") < F.col("doc_id"))
