@@ -2109,13 +2109,19 @@ def qx75_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits, and integer recall/precision at 1e4 — measured, not the
     S-curve formula.
 
-    Plan: the minhash signature table is computed ONCE (localCheckpoint)
-    and re-banded three ways — banding is a pure projection, so each
-    config costs one band-key shuffle + in-bucket pair expansion under
-    the SAME width cap as q86. Ground truth reuses qx60's exact
-    prefix-filter join (itself checkpoint-shared). Every count is an
-    exact integer, so the sweep is hash-gated, unlike typical
-    recall-eval harnesses that only sample."""
+    Plan: the three banding configurations run as ONE pass — banding is
+    a pure projection, so a single explode emits every config's
+    (cfg, band_id, band_key) rows per doc (4+2+1 = 7 rows) and the
+    bucket groupBy, capped in-bucket pair expansion (same width cap as
+    q86), per-config distinct, and truth join each happen once with cfg
+    as an extra group key, instead of once per configuration (guide
+    §2.4: three identically-keyed shuffle chains share one). A literal
+    cfg spine re-emits the row for a configuration with zero candidate
+    pairs, preserving the old per-config aggregate's 0-row. Ground
+    truth reuses qx60's exact prefix-filter join (itself
+    checkpoint-shared). Every count is an exact integer, so the sweep
+    is hash-gated, unlike typical recall-eval harnesses that only
+    sample."""
     sh = shingle_rows_cached(spark, sf_dir)
     hashed = sh.select(
         "doc_id",
@@ -2126,74 +2132,79 @@ def qx75_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             for seed in range(N_MINHASH)
         ],
     )
-    mh = (
-        hashed.groupBy("doc_id")
-        .agg(
-            *[
-                F.min(f"h{seed}").alias(f"mh{seed}")
-                for seed in range(N_MINHASH)
-            ]
-        )
-        .localCheckpoint()
+    mh = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{seed}").alias(f"mh{seed}") for seed in range(N_MINHASH)]
     )
     truth = _ppjoin_exact_pairs(spark, sf_dir).select("doc_a", "doc_b")
     n_true = truth.count()
-    outs = []
-    for r, b in SWEEP_CONFIGS:
-        banded = mh.select(
-            "doc_id",
-            *[
-                F.concat(
-                    *[F.col(f"mh{k * r + j}") for j in range(r)]
-                ).alias(f"band{k}")
-                for k in range(b)
-            ],
-        )
-        bands = banded.selectExpr(
-            "doc_id",
-            f"stack({b}, "
-            + ", ".join(f"{k}, band{k}" for k in range(b))
-            + ") AS (band_id, band_key)",
-        )
-        buckets = bands.groupBy("band_id", "band_key").agg(
-            F.sort_array(F.collect_list("doc_id")).alias("ids")
-        )
-        cand = (
-            pairs_within_groups(
-                buckets.filter(F.size("ids").between(2, BAND_BUCKET_CAP))
+    band_structs = []
+    for ci, (r, b) in enumerate(SWEEP_CONFIGS):
+        for k in range(b):
+            band_structs.append(
+                F.struct(
+                    F.lit(ci).alias("cfg"),
+                    F.lit(k).alias("band_id"),
+                    F.concat(
+                        *[F.col(f"mh{k * r + j}") for j in range(r)]
+                    ).alias("band_key"),
+                )
             )
-            .select("doc_a", "doc_b")
-            .distinct()
+    bands = mh.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("doc_id", "bk.cfg", "bk.band_id", "bk.band_key")
+    buckets = bands.groupBy("cfg", "band_id", "band_key").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("ids")
+    )
+    cand = (
+        pairs_within_groups(
+            buckets.filter(F.size("ids").between(2, BAND_BUCKET_CAP))
         )
-        stats = cand.join(
+        .select("cfg", "doc_a", "doc_b")
+        .distinct()
+    )
+    stats = (
+        cand.join(
             truth.withColumn("__hit", F.lit(1)), ["doc_a", "doc_b"], "left"
-        ).agg(
+        )
+        .groupBy("cfg")
+        .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
             F.coalesce(F.sum("__hit"), F.lit(0))
             .cast("bigint")
             .alias("n_hits"),
         )
-        outs.append(
-            stats.select(
-                F.lit(r).cast("int").alias("rows_per_band"),
-                F.lit(b).cast("int").alias("n_bands"),
-                "n_candidates",
-                F.lit(n_true).cast("bigint").alias("n_true"),
-                "n_hits",
-                F.expr(
-                    f"cast(case when {n_true} = 0 then 0"
-                    f" else n_hits * 10000 div {n_true} end as bigint)"
-                ).alias("recall_e4"),
-                F.expr(
-                    "cast(case when n_candidates = 0 then 0"
-                    " else n_hits * 10000 div n_candidates end as bigint)"
-                ).alias("precision_e4"),
-            )
+    )
+    spine = spark.range(len(SWEEP_CONFIGS)).select(
+        F.col("id").cast("int").alias("cfg")
+    )
+    r_of = F.element_at(
+        F.array(*[F.lit(r) for r, _ in SWEEP_CONFIGS]), F.col("cfg") + 1
+    )
+    b_of = F.element_at(
+        F.array(*[F.lit(b) for _, b in SWEEP_CONFIGS]), F.col("cfg") + 1
+    )
+    return (
+        spine.join(F.broadcast(stats), "cfg", "left")
+        .select(
+            r_of.cast("int").alias("rows_per_band"),
+            b_of.cast("int").alias("n_bands"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.lit(n_true).cast("bigint").alias("n_true"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.expr(
+                f"cast(case when {n_true} = 0 then 0"
+                f" else coalesce(n_hits, 0) * 10000 div {n_true}"
+                " end as bigint)"
+            ).alias("recall_e4"),
+            F.expr(
+                "cast(case when coalesce(n_candidates, 0) = 0 then 0"
+                " else coalesce(n_hits, 0) * 10000"
+                " div coalesce(n_candidates, 0) end as bigint)"
+            ).alias("precision_e4"),
         )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    return out
+    )
 
 
 # ---------------------------------------------------------------------------
