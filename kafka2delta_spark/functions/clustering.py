@@ -496,6 +496,9 @@ def qx94_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nid",
         sum(F.col(f"dq{s}") for s in range(PQ_SUBSPACES)).alias("adc_dist"),
     )
+    # tiny (queries x IVFPQ_TOP_K rows) but consumed twice below (the
+    # exact re-rank join and the final join) — pin so the whole
+    # routing+ADC scoring pipeline is planned once, not twice
     topk = (
         scored.withColumn(
             "rk",
@@ -504,6 +507,7 @@ def qx94_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .filter(F.col("rk") <= IVFPQ_TOP_K)
+        .localCheckpoint(eager=False)
     )
     # exact re-rank distances for the surviving candidates only
     exact = (
