@@ -348,11 +348,13 @@ def q94_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the LSH ANN index (q91) against exact top-k (q90),
     composed from the registered operators themselves — the eval loop a
     pipeline runs when tuning N_TABLES/BITS_PER_TABLE. Both inputs are
-    per-query top-{similarity.TOP_K} sets, so the join is trivially small."""
-    exact = similarity.q90_cosine_topk_bruteforce(spark, sf_dir).select(
-        "qid", "nid"
-    )
-    approx = similarity.q91_ann_lsh_topk(spark, sf_dir).select(
+    per-query top-{similarity.TOP_K} sets, so the join is trivially
+    small; they come from the session-checkpointed ann_topk_cached so
+    the recall eval does not re-run the two scoring pipelines it is
+    grading (guide §7.2 — same pattern as dedup's _jaccard_pairs)."""
+    exact_df, approx_df = similarity.ann_topk_cached(spark, sf_dir)
+    exact = exact_df.select("qid", "nid")
+    approx = approx_df.select(
         F.col("qid").alias("a_qid"), F.col("nid").alias("a_nid")
     )
     return (

@@ -284,6 +284,30 @@ def q91_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOPK_CACHE: dict = {}
+
+
+def ann_topk_cached(spark: SparkSession, sf_dir: str):
+    """Session-checkpointed (q90 exact, q91 LSH) top-k frames for
+    composing queries (q94's recall eval). Same pattern and
+    justification as dedup's ``_jaccard_pairs``: the registered q90/q91
+    functions themselves always compute fresh — only OTHER queries that
+    re-derive these tiny (N_QUERIES x TOP_K) intermediates read the one
+    per-session materialization instead of re-running the full scoring
+    pipelines."""
+    from kafka2delta_spark.sources.tables import sf_fingerprint
+
+    key = (id(spark), sf_dir, sf_fingerprint(sf_dir))
+    if key not in _TOPK_CACHE:
+        _TOPK_CACHE[key] = (
+            q90_cosine_topk_bruteforce(spark, sf_dir).localCheckpoint(
+                eager=False
+            ),
+            q91_ann_lsh_topk(spark, sf_dir).localCheckpoint(eager=False),
+        )
+    return _TOPK_CACHE[key]
+
+
 @register(
     "q92_label_similarity_stats",
     oracle="""

@@ -472,7 +472,17 @@ def countmin_report(cells: DataFrame, ev: DataFrame) -> DataFrame:
     every distinct key against the sketch, rank the top 10 estimates,
     attach exact counts. Shared with the streaming-maintained sketch
     (qx31), whose cells must equal the batch cells cell-for-cell."""
-    keys = ev.select("user_id").distinct()
+    # ONE events pass yields both the exact counts and the distinct key
+    # set (every key appears in its own count row); pinned because the
+    # final report joins exact again after the top-10 (guide §2.4 — the
+    # audit counted events scanned 5x in this query: keys, exact, and
+    # the est subtree twice through the unpinned top-10)
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .localCheckpoint(eager=False)
+    )
+    keys = exact.select("user_id")
     kh = keys.select(
         "user_id",
         F.explode(
@@ -492,16 +502,18 @@ def countmin_report(cells: DataFrame, ev: DataFrame) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("cnt").alias("cm_est"))
     )
-    exact = ev.groupBy("user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("true_cnt")
-    )
     # distributed top-10 (TakeOrderedAndProject) instead of a global
     # row_number window that would single-task-sort all estimated keys.
     # The rank over the 10 survivors is a broadcast triangular self-join
     # (rk = 1 + count of strictly-better rows) — exact on the unique
     # (cm_est, user_id) order and free of WindowExec entirely, so the
     # no-unpartitioned-window invariant holds even for the K-row tail.
-    top = est.orderBy(F.desc("cm_est"), F.asc("user_id")).limit(10)
+    # 10 rows, two consumers — pinned so the sketch pipeline plans once.
+    top = (
+        est.orderBy(F.desc("cm_est"), F.asc("user_id"))
+        .limit(10)
+        .localCheckpoint(eager=False)
+    )
     other = top.select(
         F.col("cm_est").alias("e2"), F.col("user_id").alias("u2")
     )
@@ -1921,11 +1933,19 @@ def qx83_kmv_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = leaf.select(
         "event_type", "dow", F.explode("kmins").alias("hv")
     )
-    du = events.select(
-        "event_type",
-        F.dayofweek(F.to_date("ts")).cast("int").alias("dow"),
-        "user_id",
-    ).distinct()
+    # consumed by all four lattice levels' exact-distinct sides — pin
+    # so events are scanned once for it, not once per level (the
+    # audit counted events x4 in this query; the oracle's MATERIALIZED
+    # d is the same move on the DuckDB side)
+    du = (
+        events.select(
+            "event_type",
+            F.dayofweek(F.to_date("ts")).cast("int").alias("dow"),
+            "user_id",
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
 
     def est_cols():
         n = F.size("kmins")

@@ -388,18 +388,27 @@ def qx89_seasonal_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no float baseline ever exists to diverge; ranking tiebreak is the
     date, total on both engines."""
     ev = load_table(spark, sf_dir, "events")
-    dates = ev.select(F.to_date("ts").alias("day")).distinct()
-    dd = dates.select("day", F.dayofweek("day").alias("dow"))
-    types = ev.select("event_type").distinct()
-    cnt = ev.groupBy(
-        "event_type", F.to_date("ts").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    # one events pass: day/type distincts read off the (type, day)
+    # count table (every event contributes a count row, so they are
+    # identical sets), and the grid is pinned before its two consumers
+    # (baseline agg + scored join) — events scanned once, not six
+    # times (guide §2.4/§7.2)
+    cnt = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    dd = cnt.select("day").distinct().select(
+        "day", F.dayofweek("day").alias("dow")
+    )
+    types = cnt.select("event_type").distinct()
     grid = (
         types.crossJoin(dd)
         .join(cnt, ["event_type", "day"], "left")
         .select(
             "event_type", "day", "dow", F.coalesce("n", F.lit(0)).alias("n")
         )
+        .localCheckpoint(eager=False)
     )
     base = grid.groupBy("event_type", "dow").agg(
         F.sum("n").alias("tot"), F.count(F.lit(1)).alias("den")
@@ -678,22 +687,30 @@ def qx98_daily_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sufficient statistics, one IEEE sqrt/divide, ROUND(4); zero-variance
     series yield NULL instead of dividing by zero).
 
-    Plan: one event-volume hash-agg to daily counts; the grid, the
-    lagged self-join (keyed on (type, day) — calendar metadata), and
-    the sufficient-statistic aggregate are all (|types| × |dates|)-
-    sized. Lagged pairs come from a join rather than a window so the
-    plan stays declarative over the grid; at any scale this stage is
+    Plan: ONE event-volume hash-agg to (type, day) counts — the
+    distinct day and type sets read off that count table (every event
+    row contributes a count row, so the distincts are identical), not
+    off their own event scans, and the dense grid is pinned before its
+    lagged self-join so events are scanned once, not six times (guide
+    §2.4/§7.2; the scan-dup audit counted 6). The grid, the lagged
+    self-join (keyed on (type, day) — calendar metadata), and the
+    sufficient-statistic aggregate are all (|types| × |dates|)-sized.
+    Lagged pairs come from a join rather than a window so the plan
+    stays declarative over the grid; at any scale this stage is
     calendar-bounded."""
     ev = load_table(spark, sf_dir, "events")
-    dates = ev.select(F.to_date("ts").alias("day")).distinct()
-    types = ev.select("event_type").distinct()
-    cnt = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.count(F.lit(1)).alias("n")
+    cnt = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
+    dates = cnt.select("day").distinct()
+    types = cnt.select("event_type").distinct()
     grid = (
         types.crossJoin(dates)
         .join(cnt, ["event_type", "day"], "left")
         .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     lags = spark.createDataFrame([(lag,) for lag in ACF_LAGS], "lag int")
     a = grid.crossJoin(F.broadcast(lags))

@@ -77,25 +77,38 @@ def qx36_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
     )
-    pairs = basket.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(brands, (x, i) ->"
-                " transform(slice(brands, i + 2, size(brands) - i - 1),"
-                " y -> struct(x AS brand_a, y AS brand_b))))"
-            )
-        ).alias("pr")
-    ).select("pr.brand_a", "pr.brand_b")
-    pair_n = pairs.groupBy("brand_a", "brand_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    # pair counts, per-brand counts and the order total all reduce the
+    # same basket table — one kind-tagged explode computes all three in
+    # a single pass (the audit counted the lineitem join+agg planned 3x
+    # for them; guide §2.4). Output is alphabet-bounded (<=C(25,2)+25+1
+    # rows), pinned for its three tiny consumers.
+    combo = F.expr(
+        "concat("
+        " flatten(transform(brands, (x, i) ->"
+        "  transform(slice(brands, i + 2, size(brands) - i - 1),"
+        "   y -> struct('p' AS kind, x AS ka, y AS kb)))),"
+        " transform(brands, x ->"
+        "  struct('b' AS kind, x AS ka, cast(null as string) AS kb)),"
+        " array(struct('t' AS kind, cast(null as string) AS ka,"
+        "  cast(null as string) AS kb)))"
     )
-    exploded = basket.select(
-        "l_orderkey", F.explode("brands").alias("p_brand")
+    counts = (
+        basket.select(F.explode(combo).alias("e"))
+        .groupBy("e.kind", "e.ka", "e.kb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    brand_n = exploded.groupBy("p_brand").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    pair_n = counts.filter(F.col("kind") == "p").select(
+        F.col("ka").alias("brand_a"),
+        F.col("kb").alias("brand_b"),
+        F.col("c").alias("n_both"),
     )
-    tot = basket.agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+    brand_n = counts.filter(F.col("kind") == "b").select(
+        F.col("ka").alias("p_brand"), F.col("c").alias("n")
+    )
+    tot = counts.filter(F.col("kind") == "t").select(
+        F.col("c").alias("n_orders")
+    )
     na = brand_n.select(
         F.col("p_brand").alias("brand_a"), F.col("n").alias("n_a")
     )
