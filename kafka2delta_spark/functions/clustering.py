@@ -102,6 +102,11 @@ def lloyd_centroids(vectors: DataFrame, n_iters: int = N_ITERS) -> DataFrame:
     )
     for _ in range(n_iters - 1):
         centroids = _update(_assign(vectors, centroids))
+    # NOT pinned: measured — checkpointing the K-row result slowed every
+    # caller (q76 1.1 s -> 2.8 s, q93/qx03 +30%): the refinement chain
+    # re-plans per consumer, but each re-run is broadcast-side work that
+    # overlaps the main pass, while the checkpoint serializes the whole
+    # chain into a blocking prefix job
     return centroids
 
 
@@ -453,9 +458,11 @@ def qx94_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     is built once, searched many times."""
     vecs, enc, sub_cents, cents = pq_components(spark, sf_dir)
     ivf = _assign(vecs, cents).select("vec_id", "cid")
+    # pinned: the query frame feeds the probe router, every ADC table
+    # subspace and the exact re-rank — six consumers of one tiny frame
     queries = vecs.filter(F.col("vec_id") % IVFPQ_QMOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("vi").alias("qv")
-    )
+    ).localCheckpoint(eager=False)
     probe = (
         queries.crossJoin(F.broadcast(cents))
         .withColumn("__d", _sq_dist(F.col("qv"), F.col("c")))
@@ -472,29 +479,42 @@ def qx94_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = enc.select(
         "vec_id", *[f"code{s}" for s in range(PQ_SUBSPACES)]
     )
-    adcs = []
+    # ONE broadcast ADC-table join instead of PQ_SUBSPACES sequential
+    # broadcast joins: all (subspace, code) → distance entries fold into
+    # one per-query lookup map (K·subspaces integers — the classic ADC
+    # table layout), and the candidate stream does map lookups in a
+    # single projected join. Each dq value is the identical _sq_dist
+    # expression; the subspace sum keeps the same s = 0..n fold order in
+    # exact BIGINT, so adc_dist is bit-identical to the join chain.
+    adc_entries = None
     for s in range(PQ_SUBSPACES):
         qsub = queries.select(
             "qid", F.slice("qv", s * PQ_SUBDIM + 1, PQ_SUBDIM).alias("qv")
         )
-        adcs.append(
-            qsub.crossJoin(F.broadcast(sub_cents[s]))
-            .select(
-                "qid",
-                F.col("cid").alias(f"code{s}"),
-                _sq_dist(F.col("qv"), F.col("c")).alias(f"dq{s}"),
-            )
+        part = qsub.crossJoin(F.broadcast(sub_cents[s])).select(
+            "qid",
+            (F.lit(s * 256) + F.col("cid")).cast("int").alias("k"),
+            _sq_dist(F.col("qv"), F.col("c")).alias("dq"),
         )
+        adc_entries = part if adc_entries is None else adc_entries.unionByName(part)
+    adc_tab = adc_entries.groupBy("qid").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "dq"))).alias("m")
+    )
     cand = probe.join(ivf, "cid").filter(F.col("vec_id") != F.col("qid")).select(
         "qid", F.col("vec_id").alias("nid")
     )
-    scored = cand.join(codes, cand.nid == codes.vec_id).drop("vec_id")
-    for s in range(PQ_SUBSPACES):
-        scored = scored.join(F.broadcast(adcs[s]), ["qid", f"code{s}"])
-    scored = scored.select(
-        "qid",
-        "nid",
-        sum(F.col(f"dq{s}") for s in range(PQ_SUBSPACES)).alias("adc_dist"),
+    scored = (
+        cand.join(codes, cand.nid == codes.vec_id)
+        .drop("vec_id")
+        .join(F.broadcast(adc_tab), "qid")
+        .select(
+            "qid",
+            "nid",
+            sum(
+                F.element_at("m", (F.lit(s * 256) + F.col(f"code{s}")).cast("int"))
+                for s in range(PQ_SUBSPACES)
+            ).alias("adc_dist"),
+        )
     )
     # tiny (queries x IVFPQ_TOP_K rows) but consumed twice below (the
     # exact re-rank join and the final join) — pin so the whole
@@ -509,22 +529,20 @@ def qx94_ivfpq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= IVFPQ_TOP_K)
         .localCheckpoint(eager=False)
     )
-    # exact re-rank distances for the surviving candidates only
-    exact = (
+    # exact re-rank distances for the surviving candidates only; rk and
+    # adc_dist ride along, so no join back onto topk is needed (the old
+    # topk ⋈ exact join re-paired rows the chain already had together)
+    return (
         topk.join(queries, "qid")
         .join(
             vecs.select(F.col("vec_id").alias("nid"), F.col("vi").alias("nv")),
             "nid",
         )
-        .select("qid", "nid", _sq_dist(F.col("qv"), F.col("nv")).alias("d2"))
-    )
-    return (
-        topk.join(exact, ["qid", "nid"])
         .select(
             "qid",
             "nid",
             F.col("rk").cast("bigint").alias("rk"),
             F.col("adc_dist").cast("bigint").alias("adc_dist"),
-            F.col("d2").cast("bigint").alias("exact_dist"),
+            _sq_dist(F.col("qv"), F.col("nv")).cast("bigint").alias("exact_dist"),
         )
     )

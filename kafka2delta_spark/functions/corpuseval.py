@@ -244,10 +244,12 @@ def qz02_split_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_train"),
     )
+    # pinned: the {PSI_K}-cell table feeds the spine join, the totals
+    # and the PSI fold — unpinned, docs was scanned 4x in one plan
     c = d.groupBy("bucket").agg(
         F.sum("is_train").alias("a"),
         F.sum(1 - F.col("is_train")).alias("b"),
-    )
+    ).localCheckpoint(eager=False)
     spine = spark.range(PSI_K).select(F.col("id").cast("int").alias("bucket"))
     s = spine.join(c, "bucket", "left").select(
         "bucket",
@@ -489,12 +491,15 @@ def qz04_loo_1nn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
     )
+    # pinned: the bounded probe frame is broadcast against the full
+    # corpus side — unpinned, the norm pipeline re-ran under the
+    # broadcast branch (embeddings scanned twice in one plan)
     q = n.filter(F.col("vec_id") < LOO_PROBES).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-    )
+    ).localCheckpoint(eager=False)
     scored = n.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         "qlabel",

@@ -242,6 +242,10 @@ def q77_low_content_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame
     both means are exact-integer-sum divisions and the below-mean boundary
     is bit-identical across engines."""
     docs = load_table(spark, sf_dir, "documents")
+    # NOT fused: deriving the corpus mean from a checkpointed per-source
+    # (sum, count) table was measured at 1.7 s vs 0.5 s — both means are
+    # two-column pruned scans with map-side partials, re-run in parallel
+    # for free, while the checkpoint adds a blocking prefix job
     per_source = docs.groupBy("source").agg(F.avg("n_chars").alias("avg_chars"))
     corpus_mean = docs.agg(F.avg("n_chars").alias("corpus_mean"))
     blocked = (
@@ -655,7 +659,13 @@ def qx63_chi2_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     first map-side-combined shuffle the query is metadata-sized at any
     corpus scale. Marginal joins broadcast."""
     docs = load_table(spark, sf_dir, "documents")
-    o = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    # pinned: all three marginals and the final join re-aggregate these
+    # few-hundred cells — unpinned, docs was scanned 4x in one plan
+    o = (
+        docs.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=False)
+    )
     r = o.groupBy("source").agg(F.sum("o").alias("r"))
     c = o.groupBy("lang").agg(F.sum("o").alias("c"))
     n = o.agg(F.sum("o").alias("n"))

@@ -1130,6 +1130,10 @@ def qx04_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a precomputed table that only ever gets appended — the per-doc
     band index IS the dedup index."""
     is_new = (F.col("doc_id") % NEW_MOD) == NEW_REMAINDER
+    # NOT pinned: the two consumers filter to DISJOINT mod-classes of
+    # doc_id, so the "duplicate" subtree md5-hashes each document once
+    # in total — a checkpoint would hash everything up front and then
+    # filter, adding a full-width materialization for zero saved work
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.md5(ascii_lower("text")).alias("h")
     )
@@ -1433,13 +1437,19 @@ def qx22_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b"))
     )
     deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("outdeg"))
+    # ONE docs scan: the node set is pinned (it is re-joined every
+    # iteration — unpinned, docs was planned 8x in the final plan) and
+    # the node count for the uniform base reads off the pinned frame.
     # greatest(..., 1) only matters for an empty corpus (zero nodes ->
     # base value irrelevant); on any real corpus it is the plain ratio
-    base = docs.agg(
+    node_ids = docs.select(F.col("doc_id").alias("node")).localCheckpoint(
+        eager=False
+    )
+    base = node_ids.agg(
         F.expr(f"cast({PR_SCALE} as bigint) div greatest(count(1), 1)").alias("b")
     )
-    nodes = docs.select(F.col("doc_id").alias("node")).crossJoin(
-        F.broadcast(base)
+    nodes = node_ids.crossJoin(F.broadcast(base)).localCheckpoint(
+        eager=False
     )
     r = nodes.select("node", F.col("b").alias("r"))
     for _ in range(PR_ITERS):
@@ -1894,11 +1904,14 @@ def qx69_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is one shuffle of 16-byte-hashable shingle keys plus
     metadata-sized joins."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    # pinned: consumed by the per-source sizes AND the pair expansion —
+    # unpinned, the shingle-join + distinct re-ran per consumer
     ds = (
         shingle_rows_cached(spark, sf_dir)
         .join(docs, "doc_id")
         .select("source", "shingle")
         .distinct()
+        .localCheckpoint(eager=False)
     )
     sz = ds.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
     grouped = ds.groupBy("shingle").agg(

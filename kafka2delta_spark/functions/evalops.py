@@ -167,12 +167,15 @@ def qy02_filtered_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = emb.select("vec_id", "label", _vec().alias("v")).select(
         "vec_id", "label", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm")
     )
+    # pinned: the tiny query frame is broadcast against the full corpus
+    # side — unpinned, the norm pipeline re-ran under the broadcast
+    # branch (embeddings scanned twice in one plan)
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("qlabel"),
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
-    )
+    ).localCheckpoint(eager=False)
     scored = n.join(
         F.broadcast(q),
         (F.col("label") == F.col("qlabel")) & (F.col("vec_id") != F.col("qid")),
@@ -493,9 +496,17 @@ def qy05_heldout_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFram
     ).select("doc_id", "b.w1", "b.w2")
     train = pairs.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
     held = pairs.filter(F.col("doc_id") % HOLDOUT_MOD == 0)
-    cb = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    cu = train.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    v = train.agg(F.count_distinct("w2").alias("vsz"))
+    # pinned bigram model; the context table and the vocabulary size are
+    # re-aggregations of it (each train bigram row contributes one cb
+    # count; distinct w2 over cb = distinct w2 over train), so the train
+    # explode runs once instead of three times
+    cb = (
+        train.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    cu = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = cb.agg(F.count_distinct("w2").alias("vsz"))
     terms = (
         held.join(cb, ["w1", "w2"], "left")
         .join(cu, "w1", "left")
@@ -592,9 +603,12 @@ def qy06_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate. All integers end-to-end."""
     from kafka2delta_spark.operators.analytic import sessionize_events
 
+    # pinned: the sessionized rows feed all three funnel-step joins —
+    # unpinned, the sessionize window pipeline re-ran per step (events
+    # scanned 3x in one plan); the pin is 4 narrow columns
     s = sessionize_events(load_table(spark, sf_dir, "events")).select(
         "user_id", "session_seq", "event_type", F.unix_micros("ts").alias("us")
-    )
+    ).localCheckpoint(eager=False)
     key = ["user_id", "session_seq"]
     f = s.groupBy(*key).agg(
         F.min(F.when(F.col("event_type") == FUNNEL_STEPS[0], F.col("us"))).alias(
@@ -717,24 +731,41 @@ def qy09_label_cohesion_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     mean divides back under 2⁶³ (|dot| ≤ 64·(10⁶·0.6)² < 2.4e13) and
     both engines' integer division truncates identically."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # ONE embeddings pass: posexplode_OUTER keeps a (d = NULL) marker
+    # row for NULL/empty embedding arrays, so the per-label row count n
+    # reads off the pinned (label, d) aggregate — each embedding row
+    # contributes exactly one row with d = 0 or d = NULL — instead of a
+    # second corpus scan; the moment sums filter the NULL-d rows back
+    # out (they carried no coordinates before either). The aggregate is
+    # labels x 65 cells, consumed by four downstream frames.
     x = emb.select(
         "label",
-        F.posexplode(
+        F.posexplode_outer(
             F.transform(
                 "embedding",
                 lambda c: F.floor(c.cast("double") * 1_000_000).cast("bigint"),
             )
         ).alias("d", "xi"),
     )
-    s = x.groupBy("label", "d").agg(
-        F.sum("xi").cast("decimal(38,0)").alias("sd"),
-        F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi")).alias("qd"),
+    s_full = (
+        x.groupBy("label", "d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt"),
+            F.sum("xi").cast("decimal(38,0)").alias("sd"),
+            F.sum(F.col("xi").cast("decimal(38,0)") * F.col("xi")).alias("qd"),
+        )
+        .localCheckpoint(eager=False)
     )
+    s = s_full.filter(F.col("d").isNotNull()).select("label", "d", "sd", "qd")
     m = s.groupBy("label").agg(
         F.sum(F.col("sd") * F.col("sd")).alias("s2"),
         F.sum("qd").alias("q"),
     )
-    n = emb.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    n = (
+        s_full.filter((F.col("d") == 0) | F.col("d").isNull())
+        .groupBy("label")
+        .agg(F.sum("cnt").cast("bigint").alias("n"))
+    )
     diag = (
         m.join(n, "label")
         .select(

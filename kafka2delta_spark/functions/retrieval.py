@@ -291,6 +291,9 @@ def qx03_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "cid", F.col("__dist").alias("sq_dist")
     )
     mw = W.partitionBy("cid").orderBy("sq_dist", "vec_id")
+    # NOT pinned: measured 1.1 s -> 1.7 s with a checkpoint here — the
+    # medoid branch's duplicate assign pass overlaps the final pass,
+    # while the checkpoint serializes it into a blocking prefix job
     med = (
         assigned.select(
             "cid", "vec_id", F.row_number().over(mw).alias("__mrk")
@@ -349,8 +352,13 @@ def qx05_domain_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     tr = load_table(spark, sf_dir, "documents").select(
         "source", F.explode(F.split(ascii_lower("text"), r"\s+")).alias("tok")
     )
-    st = tr.groupBy("source", "tok").agg(
-        F.count(F.lit(1)).cast("double").alias("c")
+    # pinned: the (source, tok) counts feed three re-aggregations AND
+    # the final join — unpinned, the token explode re-ran per consumer
+    # (docs scanned 4x in one plan)
+    st = (
+        tr.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .localCheckpoint(eager=False)
     )
     ns = st.groupBy("source").agg(F.sum("c").alias("n"))
     ct = st.groupBy("tok").agg(F.sum("c").alias("ctot"))
@@ -413,9 +421,10 @@ def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     occ = docs.select(
         "doc_id", F.explode(F.split(ascii_lower("text"), r"\s+")).alias("term")
     )
-    tf = occ.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("total_tf")
-    )
+    # ONE hash-agg: the occurrence total is a plain count in the SAME
+    # per-term aggregate as the posting list — the former two aggs +
+    # broadcast join re-ran the explode once per agg (documents scanned
+    # 2x in one plan)
     post = occ.groupBy("term").agg(
         F.array_join(
             F.transform(
@@ -425,8 +434,9 @@ def qx40_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("postings"),
         F.countDistinct("doc_id").cast("bigint").alias("df"),
+        F.count(F.lit(1)).cast("bigint").alias("total_tf"),
     )
-    return post.join(tf, "term").select("term", "df", "total_tf", "postings")
+    return post.select("term", "df", "total_tf", "postings")
 
 
 CHAR_TERMS_TOP_K = 5
@@ -477,8 +487,16 @@ def qx49_source_characteristic_terms(spark: SparkSession, sf_dir: str) -> DataFr
     tr = docs.select(
         "source", F.explode(F.split(ascii_lower("text"), r"\s+")).alias("term")
     )
-    tf = tr.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tr.groupBy("term").agg(F.countDistinct("source").alias("df"))
+    # pinned: the source-df table is the per-term count of tf's rows
+    # (tf holds each (source, term) pair exactly once; count("source")
+    # skips NULL sources exactly like countDistinct did), so the token
+    # explode runs once instead of twice
+    tf = (
+        tr.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    df = tf.groupBy("term").agg(F.count(F.col("source")).alias("df"))
     ns = docs.agg(F.countDistinct("source").alias("n_src"))
     scored = (
         # df spans the FULL vocabulary (grows with the corpus) — no

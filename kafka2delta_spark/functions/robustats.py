@@ -240,8 +240,17 @@ def qz12_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded strata). No per-document pairwise anything."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select("source", F.col("n_chars").alias("v"))
-    h = d.groupBy("source", "v").agg(F.count(F.lit(1)).alias("cnt"))
-    vals = d.select("v").distinct()
+    # ONE docs pass: the (source, length) histogram is pinned — every
+    # downstream frame (value grid, per-source totals, grand total) is a
+    # re-aggregation of it, and the distinct length set reads off it
+    # too (every doc contributes a histogram row), so docs is scanned
+    # once instead of 7x
+    h = (
+        d.groupBy("source", "v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    vals = h.select("v").distinct()
     srcs = h.groupBy("source").agg(F.sum("cnt").alias("ns"))
     tot = h.agg(F.sum("cnt").alias("n"))
     grid = (
@@ -256,9 +265,10 @@ def qz12_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("v")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # pinned: consumed by the global-cumulative agg AND the KS join
     cum = grid.select(
         "source", "ns", "v", F.sum("cnt").over(wc).alias("cs")
-    )
+    ).localCheckpoint(eager=False)
     # the GLOBAL cumulative at v is the per-source cumulatives summed
     # over the (complete) source grid — no unpartitioned window needed
     gc = cum.groupBy("v").agg(F.sum("cs").alias("cg"))
@@ -627,8 +637,18 @@ def qz15_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, remainders order by (rem DESC, source). Plan: one token-count
     scan; everything after is |sources|-sized."""
     docs = load_table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias("src_tokens")
+    # pinned: the |sources|-sized token totals feed the order-pinned
+    # fold AND the quota frame (whose floor/remainder descendants fan
+    # out three more ways) — unpinned, the token-count scan re-ran per
+    # consumer (docs scanned 6x in one plan)
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.sum(F.size(F.split(F.col("text"), r"\s+"))).alias(
+                "src_tokens"
+            )
+        )
+        .localCheckpoint(eager=False)
     )
     tot = s.agg(
         F.expr(
@@ -648,7 +668,7 @@ def qz15_token_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_tokens",
         F.floor("quota").cast("bigint").alias("base"),
         (F.col("quota") - F.floor("quota")).alias("rem"),
-    )
+    ).localCheckpoint(eager=False)
     short = fl.agg((F.lit(EPOCH_BUDGET) - F.sum("base")).alias("k"))
     # remainder rank via the qx73 triangular-offset idiom over the
     # |sources|-sized frame — no unpartitioned window even here

@@ -333,10 +333,15 @@ def qx14_bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b"),
     ).select("doc_id", "b.w1", "b.w2")
-    cb = bg.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("double").alias("c12")
+    # pinned bigram model; the context (unigram) table is its w1-sum —
+    # identical to counting the bigram stream again (each bigram row has
+    # exactly one w1), so the explode runs for the model once, not twice
+    cb = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("c12"))
+        .localCheckpoint(eager=False)
     )
-    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("double").alias("c1"))
+    cu = cb.groupBy("w1").agg(F.sum("c12").alias("c1"))
     scored = (
         bg.join(cb, ["w1", "w2"])
         .join(cu, "w1")

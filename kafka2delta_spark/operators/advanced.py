@@ -607,7 +607,12 @@ def qx19_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     values), never the raw key space. The reference has no sketches at
     all; q27/qx11 cover HLL and count-min."""
     events = load_table(spark, sf_dir, "events")
-    return kmv_estimates(kmv_sketch_by_type(events))
+    # pinned: kmv_estimates consumes the types x K sketch table twice
+    # (per-type rows + the merged ALL row) — unpinned, the sketch build
+    # re-ran per consumer (events scanned 2x in one plan)
+    return kmv_estimates(
+        kmv_sketch_by_type(events).localCheckpoint(eager=False)
+    )
 
 
 def _bottom_k_set():
@@ -1265,6 +1270,9 @@ def qx59_rolling_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("unix_micros(ts) div 3600000000").alias("hour"),
         F.expr(kmv_hash_spark("user_id")).alias("hv"),
     )
+    # pinned: the hours x K sketch table feeds the per-hour estimate AND
+    # the rolling 3-hour merge — unpinned, the sketch build re-ran per
+    # consumer (events scanned 3x in one plan)
     sk = (
         h.groupBy("hour", F.pmod("hv", F.lit(16)).alias("bucket"))
         .agg(_bottom_k_set().alias("mins"))
@@ -1274,6 +1282,7 @@ def qx59_rolling_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_sort(F.flatten(F.collect_list("mins"))), 1, KMV_K
             ).alias("kmins")
         )
+        .localCheckpoint(eager=False)
     )
 
     def estimate(df: DataFrame, out: str) -> DataFrame:
@@ -1366,7 +1375,9 @@ def qx61_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     union sketch is slice(sort(distinct(concat)), K): set union then
     re-truncate, the lossless KMV merge."""
     events = load_table(spark, sf_dir, "events")
-    sk = kmv_sketch_by_type(events)
+    # pinned: both sides of the pairwise stage read the same types x K
+    # sketch table — unpinned, the sketch build re-ran per side
+    sk = kmv_sketch_by_type(events).localCheckpoint(eager=False)
     a = sk.select(F.col("event_type").alias("type_a"), F.col("kmins").alias("ka"))
     b = sk.select(F.col("event_type").alias("type_b"), F.col("kmins").alias("kb"))
     merged = F.slice(
@@ -1644,7 +1655,14 @@ def qx73_event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame
     histogram. Every output value is integer-exact."""
     events = load_table(spark, sf_dir, "events")
     c = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("v"))
-    h = c.groupBy("v").agg(F.count(F.lit(1)).alias("m"))
+    # pinned: h feeds the triangular prior join AND pref, and pref feeds
+    # the totals and the decile lookup — unpinned, the two data-sized
+    # aggregates re-run per consumer (events scanned 4x in one plan)
+    h = (
+        c.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .localCheckpoint(eager=False)
+    )
     prior = h.select(
         F.col("v").alias("v2"),
         F.col("m").alias("m2"),
@@ -1657,6 +1675,7 @@ def qx73_event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame
             F.coalesce(F.sum("m2"), F.lit(0)).alias("c_prev"),
             F.coalesce(F.sum("mass2"), F.lit(0)).alias("m_prev"),
         )
+        .localCheckpoint(eager=False)
     )
     dec = lambda c_: F.col(c_).cast("decimal(38,0)")  # noqa: E731
     t = pref.agg(
@@ -1798,7 +1817,10 @@ def qx74_feature_correlation_audit(spark: SparkSession, sf_dir: str) -> DataFram
             .alias(f"sp_{i}{j}")
             for i, j in pairs
         ],
-    )
+    ).localCheckpoint(eager=False)
+    # pinned: the three per-pair outputs are projections of this one
+    # |types|-row aggregate — unpinned, each union branch re-planned the
+    # whole sufficient-statistics pass (events scanned 3x in one plan)
     outs = []
     for i, j in pairs:
         a, b = names[i], names[j]

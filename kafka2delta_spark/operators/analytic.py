@@ -152,6 +152,11 @@ def q33_customer_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     wp = W.partitionBy("__pid").orderBy("c_acctbal", "c_custkey")
+    # NOT pinned: measured — checkpointing this for its two consumers
+    # (per-partition counts + final join) ran 0.9 s -> 4.7 s; the
+    # duplicate subtree is one range exchange + local-sort window whose
+    # parallel re-run is far cheaper than a full-width row
+    # materialization barrier
     ranked = (
         cust.repartitionByRange(n_parts, "c_acctbal", "c_custkey")
         .withColumn("__pid", F.spark_partition_id())
@@ -872,6 +877,10 @@ def q47_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
         )
     )
+    # NOT pinned: deriving bounds from a checkpointed hourly table was
+    # measured at 3.4 s vs 0.6 s — the duplicate subtree is one
+    # user-mod-pruned scan + hash-agg, re-run in parallel for free,
+    # while the checkpoint materializes the full hourly rows first
     hourly = ev.groupBy("user_id", "hr").agg(
         F.max_by(
             F.struct("v1000", "event_type"), F.struct("ts", "event_id")
@@ -1702,24 +1711,38 @@ def qx48_session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets = s.groupBy("user_id", "session_seq").agg(
         F.sort_array(F.collect_set("event_type")).alias("types")
     )
-    pairs = sets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(types, (x, i) ->"
-                " transform(slice(types, i + 2, size(types) - i - 1),"
-                " y -> struct(x AS type_a, y AS type_b))))"
-            )
-        ).alias("pr")
-    ).select("pr.type_a", "pr.type_b")
-    pair_n = pairs.groupBy("type_a", "type_b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_both")
+    # pair counts, per-type presence counts and the session total all
+    # reduce the same session-set table — one kind-tagged explode
+    # computes all three in a single sessionize pass (the subtree was
+    # planned 3x before: events scanned 4x in one plan; the qx36 move).
+    # Output is alphabet-bounded, pinned for its three tiny consumers.
+    combo = F.expr(
+        "concat("
+        " flatten(transform(types, (x, i) ->"
+        "  transform(slice(types, i + 2, size(types) - i - 1),"
+        "   y -> struct('p' AS kind, x AS ka, y AS kb)))),"
+        " transform(types, x ->"
+        "  struct('t' AS kind, x AS ka, cast(null as string) AS kb)),"
+        " array(struct('s' AS kind, cast(null as string) AS ka,"
+        "  cast(null as string) AS kb)))"
     )
-    tn = (
-        sets.select(F.explode("types").alias("event_type"))
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    counts = (
+        sets.select(F.explode(combo).alias("e"))
+        .groupBy("e.kind", "e.ka", "e.kb")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
     )
-    tot = sets.agg(F.count(F.lit(1)).cast("bigint").alias("n_sessions"))
+    pair_n = counts.filter(F.col("kind") == "p").select(
+        F.col("ka").alias("type_a"),
+        F.col("kb").alias("type_b"),
+        F.col("c").alias("n_both"),
+    )
+    tn = counts.filter(F.col("kind") == "t").select(
+        F.col("ka").alias("event_type"), F.col("c").alias("n")
+    )
+    tot = counts.filter(F.col("kind") == "s").select(
+        F.col("c").alias("n_sessions")
+    )
     na = tn.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     nb = tn.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
     return (

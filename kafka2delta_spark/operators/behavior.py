@@ -206,6 +206,11 @@ def concurrency_from_intervals(iv: DataFrame) -> DataFrame:
             F.greatest("s_us", F.col("day_us")).alias("a"),
             F.least("e_us", F.col("day_us") + F.lit(DAY_US - 1)).alias("b"),
         )
+        # pinned: the boundary segments (session-count-sized, far below
+        # the event count) feed both delta branches AND the per-day
+        # session counts — unpinned, the sessionize pipeline re-ran per
+        # consumer (events scanned 3x in qx82's plan)
+        .localCheckpoint(eager=False)
     )
     deltas = seg.select(
         "day", F.col("a").alias("us"), F.lit(1).alias("delta")
@@ -288,7 +293,14 @@ def qx86_markov_prediction_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("from_type"),
         F.lead("event_type").over(wu).alias("to_type"),
     ).filter(F.col("to_type").isNotNull())
-    t = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    # pinned: the alphabet²-sized transition matrix feeds the argmax
+    # window AND the evaluation join — unpinned, the LEAD-window pass
+    # re-ran per consumer (events scanned 2x in one plan)
+    t = (
+        seq.groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     wp = W.partitionBy("from_type").orderBy(F.desc("n"), F.asc("to_type"))
     pred = (
         t.withColumn("rk", F.row_number().over(wp))
@@ -608,14 +620,22 @@ def qx96_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gap_s",
         F.expr(_log2_bucket_sql("gap_s")).cast("int").alias("bucket"),
     )
-    t = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("tot"))
-    return (
+    # ONE events pass: the per-type total is the sum of the bucket
+    # counts (every gap lands in exactly one bucket), so it reads off
+    # the pinned alphabet-sized bucket aggregate instead of re-running
+    # the lag-window pipeline a second time (events scanned 2x before)
+    hist = (
         b.groupBy("event_type", "bucket")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.min("gap_s").cast("bigint").alias("min_gap_s"),
             F.max("gap_s").cast("bigint").alias("max_gap_s"),
         )
+        .localCheckpoint(eager=False)
+    )
+    t = hist.groupBy("event_type").agg(F.sum("n").alias("tot"))
+    return (
+        hist
         .join(F.broadcast(t), "event_type")
         .select(
             "event_type",

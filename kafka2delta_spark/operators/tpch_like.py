@@ -449,6 +449,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < _ts("1997-04-01 00:00:00"))
     )
     supp = load_table(spark, sf_dir, "supplier")
+    # NOT pinned: measured — checkpointing the per-supplier agg for its
+    # two consumers (scalar MAX + tie filter) ran 1.0 s -> 2.3 s; the
+    # duplicate subtree is one shipdate-pruned scan + hash-agg, cheaper
+    # re-run in parallel than materialized through a barrier
     rev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
         F.round(F.sum(_revenue_dec()), 2).cast("double").alias("total_revenue")
     )
@@ -708,42 +712,60 @@ def q28_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       * EXISTS another supplier       ⟺  n_supp  >= 2
       * NOT EXISTS other late one    ⟺  n_late_supp == 1 (l1 itself is late)
 
-    Both aggregates shuffle on o_orderkey, the same key as the main join,
-    so AQE coalesces them into one exchange reuse; no per-row correlated
-    probes. The final supplier join broadcasts (suppliers are tiny vs
-    lineitem). Deterministic LIMIT: (numwait DESC, s_name) is a total
-    order because s_name is the grouping key."""
+    TWO CHAINED aggregates on one lineitem pass compute everything: the
+    (orderkey, suppkey) level counts each supplier's late rows, and the
+    orderkey level re-aggregates those rows into n_supp, n_late_supp,
+    the late-row total, and (since n_late_supp == 1 survivors have
+    exactly one late supplier) that supplier's key. The second agg
+    reuses the first's partitioning (same key prefix — no new
+    exchange), and neither agg holds more than one distinct expression,
+    so Catalyst never plans an Expand (the multi-distinct cost cliff a
+    single fused agg with two count_distincts measured: 6.2 s vs 2.1 s
+    for the old three-scan plan; this form is one scan AND no Expand).
+    Restricting to finalized orders is value-identical: an orderkey has
+    one status, and only finalized orders can survive the late filter.
+    NULL suppkeys count nowhere, exactly like the original plan, whose
+    supplier join dropped them. The final supplier join broadcasts
+    (suppliers are tiny vs lineitem). Deterministic LIMIT:
+    (numwait DESC, s_name) is a total order because s_name is the
+    grouping key."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     supplier = load_table(spark, sf_dir, "supplier")
 
-    late = (
-        li.join(
-            orders.filter(F.col("o_orderstatus") == "F").select(
-                "o_orderkey", "o_orderdate"
-            ),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey")
+    fin = li.select("l_orderkey", "l_suppkey", "l_shipdate").join(
+        orders.filter(F.col("o_orderstatus") == "F").select(
+            "o_orderkey", "o_orderdate"
+        ),
+        li.l_orderkey == F.col("o_orderkey"),
     )
-    n_supp = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
     )
-    n_late = late.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_late_supp")
+    per_supp = fin.groupBy("l_orderkey", "l_suppkey").agg(
+        F.count(F.when(is_late, F.lit(1))).alias("late_rows")
     )
-    sole_late = (
-        late.join(n_supp, "l_orderkey")
-        .join(n_late, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    nn = F.col("l_suppkey").isNotNull()
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("n_supp"),
+        F.count(
+            F.when(nn & (F.col("late_rows") > 0), F.lit(1))
+        ).alias("n_late_supp"),
+        F.sum(F.when(nn, F.col("late_rows"))).alias("n_late_rows"),
+        F.max(
+            F.when(F.col("late_rows") > 0, F.col("l_suppkey"))
+        ).alias("late_suppkey"),
+    )
+    sole_late = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     return (
         sole_late.join(
-            dim_broadcast(supplier), sole_late.l_suppkey == supplier.s_suppkey
+            dim_broadcast(supplier),
+            sole_late.late_suppkey == supplier.s_suppkey,
         )
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("bigint").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
