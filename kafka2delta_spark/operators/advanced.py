@@ -801,9 +801,16 @@ def qx28_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     the quantified reason a 100 TB table Z-orders its two hottest filter
     columns rather than sorting by one.
 
-    Plan: zone maps are one hash-agg per layout over the events scan
-    (the two aggs share the scan); probes are a 3-row broadcast; the
-    overlap join output is n_files x n_probes rows."""
+    Plan: ONE composite-cell hash-agg over the events scan — grouped by
+    (zorder file, linear file), a grid bounded by 64x64 cells — then each
+    layout's zone maps RE-AGGREGATE the tiny cell frame (count is a sum
+    of cell counts, min/max are min-of-mins/max-of-maxes, all exact and
+    NULL-transparent). The old form ran the two layout aggs as siblings
+    of the same union, so Catalyst planned the dims subtree twice = two
+    full events scans (guide §2.4/§7.2); the cell frame is pinned with a
+    lazy localCheckpoint so both layouts and the probe join read the one
+    materialized grid. Probes are a 3-row broadcast; the overlap join
+    output is n_files x n_probes rows."""
     ev = load_table(spark, sf_dir, "events")
     zx = (F.expr("unix_micros(ts) div 1000000") % 4096).cast("bigint")
     # a non-finite value has no zone coordinate: NULL zy/zval (the ANSI
@@ -816,17 +823,30 @@ def qx28_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zval", _z_interleave(F.col("zx"), F.col("zy"))
     )
 
-    def zones(file_col, layout: str) -> DataFrame:
-        return dims.groupBy(file_col.alias("f")).agg(
+    cells = (
+        dims.groupBy(
+            F.shiftright("zval", 18).alias("fz"),
+            F.expr("zx div 64").alias("fl"),
+        )
+        .agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.min("zx").alias("min_x"),
             F.max("zx").alias("max_x"),
             F.min("zy").alias("min_y"),
             F.max("zy").alias("max_y"),
-        ).withColumn("layout", F.lit(layout))
-    zz = zones(F.shiftright("zval", 18), "zorder").unionByName(
-        zones(F.expr("zx div 64"), "linear")
+        )
+        .localCheckpoint(eager=False)
     )
+
+    def zones(file_col: str, layout: str) -> DataFrame:
+        return cells.groupBy(F.col(file_col).alias("f")).agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.min("min_x").alias("min_x"),
+            F.max("max_x").alias("max_x"),
+            F.min("min_y").alias("min_y"),
+            F.max("max_y").alias("max_y"),
+        ).withColumn("layout", F.lit(layout))
+    zz = zones("fz", "zorder").unionByName(zones("fl", "linear"))
     probes = spark.createDataFrame(
         PRUNE_PROBES, "probe string, x_lo long, x_hi long, y_lo long, y_hi long"
     )
@@ -1192,6 +1212,15 @@ def qx52_range_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
     )
+    # NOT folded: deriving total_rows as SUM(n_rows) over the 8-row
+    # counts frame (dropping the tot leg) was built and measured in
+    # round 12 (oracle-green, 3 A/Bs) and REVERTED: the "third scan" it
+    # removes is an empty-projection count (`ReadSchema: struct<>` in
+    # the committed plan, row-group metadata only — near-free at any
+    # scale) whose job overlaps the main chain, while the window puts an
+    # extra stage on the critical path; min-statistic deltas were
+    # consistently ~+0.1-0.15 s. The pass-7 rule: a pruned duplicate
+    # scan beats restructuring.
     tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
     return counts.crossJoin(F.broadcast(tot)).select(
         "bucket",

@@ -408,6 +408,17 @@ def q36_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     window (this replaced two two-pass range exchanges and took the
     query from 6.6 s to ~2.5 s at sf0.1 with bit-identical output).
 
+    NOT fused: a shared composite (flag, qty, cents) histogram pass
+    feeding both percentile legs (lineitem 3 scans -> 2) was built and
+    measured in round 12 at 1.89 -> 2.49 s minimum / 2.19 -> 3.06 s
+    median (9-run back-to-back A/B, oracle-green) and REVERTED: at
+    sf0.1 the composite cell grid is ~row-sized (prices are near-unique
+    per qty), so the lazy-checkpoint pin materializes nearly the whole
+    projected table and its barrier serializes the percentile legs. The
+    cells domain is bounded (~18M: 3 flags x 50 qty x ~120k retail-cent
+    values) so the fusion wins asymptotically, but per the pass-7 rule
+    a measured >=25% local regression is not payable from this bench.
+
     The median (0.5 is dyadic over integer quantities) interpolates in
     floats bit-exactly across engines (the qx30 argument). p90 = 9/10 is
     NOT dyadic, so it interpolates in SCALED INTEGERS: prices become
