@@ -39,51 +39,63 @@ import time
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Order-independent flag parsing (2026-08-16 ADVICE: the old
-# leading-token chain only recognized flags in one fixed order, so
-# `--layout stress --json out.json` silently treated `--json` as the
-# positional sf_dir).
-_args = sys.argv[1:]
 JSON_OUT = None
 FIXTURE = None
 LAYOUT = None
-_FLAGS = {"--json", "--layout", "--fixture"}
-_positional: list[str] = []
-_i = 0
-while _i < len(_args):
-    tok = _args[_i]
-    if tok in _FLAGS:
-        if _i + 1 >= len(_args):
-            raise SystemExit(f"{tok} requires a value")
-        val = _args[_i + 1]
-        if tok == "--json":
-            JSON_OUT = val
-        elif tok == "--layout":
-            LAYOUT = val
-        else:
-            FIXTURE = val
-        _i += 2
-    elif tok.startswith("--"):
-        raise SystemExit(f"unknown flag {tok!r}; known: {sorted(_FLAGS)}")
-    else:
-        _positional.append(tok)
-        _i += 1
-if LAYOUT is not None:
-    if LAYOUT != "stress":
-        raise SystemExit(f"unknown --layout {LAYOUT!r}; only 'stress'")
-    if JSON_OUT is None:
-        JSON_OUT = "/root/repo/CORRECTNESS_LAYOUT.json"
-if FIXTURE is not None:
-    from build_degenerate_fixtures import DEFAULT_SRC, build_fixture
+SF_DIR = "/root/testdata/sf0.01"
+ONLY: set[str] = set()
 
-    SF_DIR = build_fixture(FIXTURE, src=DEFAULT_SRC)
-    print(f"fixture {FIXTURE} built at {SF_DIR} (from {DEFAULT_SRC})")
-    if JSON_OUT is None:
-        JSON_OUT = f"/root/repo/CORRECTNESS_DEGEN_{FIXTURE}.json"
-    ONLY = set(_positional)
-else:
-    SF_DIR = _positional[0] if _positional else "/root/testdata/sf0.01"
-    ONLY = set(_positional[1:])
+
+def _parse_cli() -> None:
+    """Parse ``sys.argv`` into the module globals. Called ONLY under
+    ``__main__``: this module is imported by tests and gate_rehearsal,
+    and parsing at import time read pytest's argv — any pytest flag this
+    script doesn't know (e.g. ``--durations=40``) aborted the entire
+    test collection with an INTERNALERROR.
+
+    Order-independent flag parsing (2026-08-16 ADVICE: the old
+    leading-token chain only recognized flags in one fixed order, so
+    `--layout stress --json out.json` silently treated `--json` as the
+    positional sf_dir)."""
+    global JSON_OUT, FIXTURE, LAYOUT, SF_DIR, ONLY
+    _args = sys.argv[1:]
+    _FLAGS = {"--json", "--layout", "--fixture"}
+    _positional: list[str] = []
+    _i = 0
+    while _i < len(_args):
+        tok = _args[_i]
+        if tok in _FLAGS:
+            if _i + 1 >= len(_args):
+                raise SystemExit(f"{tok} requires a value")
+            val = _args[_i + 1]
+            if tok == "--json":
+                JSON_OUT = val
+            elif tok == "--layout":
+                LAYOUT = val
+            else:
+                FIXTURE = val
+            _i += 2
+        elif tok.startswith("--"):
+            raise SystemExit(f"unknown flag {tok!r}; known: {sorted(_FLAGS)}")
+        else:
+            _positional.append(tok)
+            _i += 1
+    if LAYOUT is not None:
+        if LAYOUT != "stress":
+            raise SystemExit(f"unknown --layout {LAYOUT!r}; only 'stress'")
+        if JSON_OUT is None:
+            JSON_OUT = "/root/repo/CORRECTNESS_LAYOUT.json"
+    if FIXTURE is not None:
+        from build_degenerate_fixtures import DEFAULT_SRC, build_fixture
+
+        SF_DIR = build_fixture(FIXTURE, src=DEFAULT_SRC)
+        print(f"fixture {FIXTURE} built at {SF_DIR} (from {DEFAULT_SRC})")
+        if JSON_OUT is None:
+            JSON_OUT = f"/root/repo/CORRECTNESS_DEGEN_{FIXTURE}.json"
+        ONLY = set(_positional)
+    else:
+        SF_DIR = _positional[0] if _positional else "/root/testdata/sf0.01"
+        ONLY = set(_positional[1:])
 
 
 # The driver pre-registers exactly these testdata tables as DuckDB views
@@ -289,4 +301,5 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    _parse_cli()
     raise SystemExit(main())
