@@ -434,21 +434,26 @@ def apply_anomaly_batch(
     last = store.metadata().get("last_applied_batch_id", -1)
     if batch_id <= last:
         return False
-    spark = batch_df.sparkSession
     rows = batch_df.select(
         "user_id", "event_id", "ts",
         v1000_m("value").alias("v1000"),
         F.lit(1).alias("is_new"),
     )
-    prior = (
-        store.read()
-        if store.exists()
-        else spark.createDataFrame([], ANOM_STATE_SCHEMA)
-    )
-    tail = prior.filter(F.col("kind") == "tail").select(
-        "user_id", "event_id", "ts", "v1000", F.lit(0).alias("is_new")
-    )
-    union = tail.unionByName(rows)
+    # First batch takes a dedicated path with NO empty-state scaffold:
+    # ``spark.createDataFrame([], schema)`` parallelizes into
+    # defaultParallelism EMPTY partitions, so every stage over the union
+    # scheduled `cores` no-op tasks — per-trigger cost that scaled with
+    # cluster width while state was empty (the r12-verdict 8-vs-32-core
+    # inversion). Union-with-empty ≡ the batch itself, so the fast path
+    # is bit-identical.
+    prior = store.read() if store.exists() else None
+    if prior is None:
+        union = rows
+    else:
+        tail = prior.filter(F.col("kind") == "tail").select(
+            "user_id", "event_id", "ts", "v1000", F.lit(0).alias("is_new")
+        )
+        union = tail.unionByName(rows)
     flagged = (
         flag_rolling_anomalies(union)
         .filter(F.col("is_new") == 1)
@@ -477,10 +482,10 @@ def apply_anomaly_batch(
             F.lit(None).cast("string").alias("direction"),
         )
     )
-    store.overwrite(
-        prior.filter(F.col("kind") == "anom").unionByName(flagged).unionByName(keep),
-        metadata={"last_applied_batch_id": batch_id},
-    )
+    out = flagged.unionByName(keep)
+    if prior is not None:
+        out = prior.filter(F.col("kind") == "anom").unionByName(out)
+    store.overwrite(out, metadata={"last_applied_batch_id": batch_id})
     return True
 
 
@@ -1067,7 +1072,6 @@ def apply_interarrival_batch(
     last = store.metadata().get("last_applied_batch_id", -1)
     if batch_id <= last:
         return False
-    spark = batch_df.sparkSession
     wu = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     rows = batch_df.select(
         "user_id",
@@ -1075,63 +1079,75 @@ def apply_interarrival_batch(
         F.unix_micros("ts").alias("us"),
         F.lag(F.unix_micros("ts")).over(wu).alias("prev_us"),
     )
-    prior = (
-        store.read()
-        if store.exists()
-        else spark.createDataFrame([], _GAP_STATE_SCHEMA)
-    )
-    last_rows = prior.filter(F.col("kind") == "last").select(
-        "user_id", "event_type", "last_us"
-    )
+    # First batch takes a dedicated path with NO empty-state scaffold:
+    # ``spark.createDataFrame([], schema)`` parallelizes into
+    # defaultParallelism EMPTY partitions, so every stage over the union
+    # scheduled `cores` no-op tasks — per-trigger cost that scaled with
+    # cluster width while state was empty (the r12-verdict 8-vs-32-core
+    # inversion). Union-with-empty ≡ the partial itself, so the fast path
+    # is bit-identical.
+    prior = store.read() if store.exists() else None
     # boundary handoff: batch-first events (prev_us NULL) read the stored
     # last-seen micros; truly-new pairs stay NULL and emit no gap
-    gaps = (
-        rows.join(last_rows, ["user_id", "event_type"], "left")
-        .select(
+    if prior is None:
+        last_rows = None
+        gaps = rows.select(
             "event_type",
-            (
-                (F.col("us") - F.coalesce("prev_us", "last_us"))
-                / F.lit(1_000_000)
-            )
+            ((F.col("us") - F.col("prev_us")) / F.lit(1_000_000))
             .cast("bigint")
             .alias("gap_s"),
+        ).filter(F.col("gap_s").isNotNull())
+    else:
+        last_rows = prior.filter(F.col("kind") == "last").select(
+            "user_id", "event_type", "last_us"
         )
-        .filter(F.col("gap_s").isNotNull())
+        gaps = (
+            rows.join(last_rows, ["user_id", "event_type"], "left")
+            .select(
+                "event_type",
+                (
+                    (F.col("us") - F.coalesce("prev_us", "last_us"))
+                    / F.lit(1_000_000)
+                )
+                .cast("bigint")
+                .alias("gap_s"),
+            )
+            .filter(F.col("gap_s").isNotNull())
+        )
+    # One aggregation merges batch gaps AND prior cells (sum/min/max are
+    # associative, so pre-aggregating the batch first then re-merging —
+    # the old two-exchange shape — computes the same cells; the map-side
+    # partial combine still collapses the gap rows before the shuffle).
+    gap_cells = gaps.select(
+        "event_type",
+        F.expr(_log2_bucket_sql("gap_s")).cast("int").alias("bucket"),
+        F.lit(1).cast("bigint").alias("n"),
+        F.col("gap_s").alias("min_gap_s"),
+        F.col("gap_s").alias("max_gap_s"),
     )
-    cells_partial = (
-        gaps.select(
-            "event_type",
-            "gap_s",
-            F.expr(_log2_bucket_sql("gap_s")).cast("int").alias("bucket"),
+    if prior is not None:
+        gap_cells = (
+            prior.filter(F.col("kind") == "cell")
+            .select("event_type", "bucket", "n", "min_gap_s", "max_gap_s")
+            .unionByName(gap_cells)
         )
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.min("gap_s").cast("bigint").alias("min_gap_s"),
-            F.max("gap_s").cast("bigint").alias("max_gap_s"),
-        )
-    )
-    cells = (
-        prior.filter(F.col("kind") == "cell")
-        .select("event_type", "bucket", "n", "min_gap_s", "max_gap_s")
-        .unionByName(cells_partial)
-        .groupBy("event_type", "bucket")
-        .agg(
-            F.sum("n").cast("bigint").alias("n"),
-            F.min("min_gap_s").cast("bigint").alias("min_gap_s"),
-            F.max("max_gap_s").cast("bigint").alias("max_gap_s"),
-        )
+    cells = gap_cells.groupBy("event_type", "bucket").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.min("min_gap_s").cast("bigint").alias("min_gap_s"),
+        F.max("max_gap_s").cast("bigint").alias("max_gap_s"),
     )
     # last-seen roll-forward: max-merge (idempotent closure — batches are
-    # time-ordered, but max-merge stays correct even if they were not)
-    new_last = (
-        last_rows.unionByName(
-            rows.groupBy("user_id", "event_type").agg(
-                F.max("us").alias("last_us")
-            )
-        )
-        .groupBy("user_id", "event_type")
-        .agg(F.max("last_us").alias("last_us"))
+    # time-ordered, but max-merge stays correct even if they were not).
+    # Raw batch rows union prior last-rows into ONE max aggregation — the
+    # old agg-then-merge-agg pair costs an extra exchange for the same
+    # result (max is associative).
+    batch_last = batch_df.select(
+        "user_id", "event_type", F.unix_micros("ts").alias("last_us")
+    )
+    if last_rows is not None:
+        batch_last = last_rows.unionByName(batch_last)
+    new_last = batch_last.groupBy("user_id", "event_type").agg(
+        F.max("last_us").alias("last_us")
     )
     merged = cells.select(
         F.lit("cell").alias("kind"),
