@@ -31,6 +31,7 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.sources.tables import load_embeddings, load_table
+from kafka2delta_spark.session import local_rows
 
 DIM = 64
 N_QUERIES = 5  # vec_id < 5 are the query vectors
@@ -980,7 +981,7 @@ def qx57_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     if not cells:
-        return spark.createDataFrame([], schema)
+        return local_rows(spark, [], schema)
     gfull = [[0] * (PCA_D + 1) for _ in range(PCA_D + 1)]
     for r in cells:
         i, j = r["i"], r["i"] + r["dj"]  # dj = offset within the slice
@@ -1003,7 +1004,7 @@ def qx57_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (d, v[d], n * gram[d][d] - sx[d] * sx[d]) for d in rng
     ]
-    return spark.createDataFrame(rows, schema)
+    return local_rows(spark, rows, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.functions.measure import ascii_lower
 from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.session import local_rows
 
 TOKEN_SPLIT_RE = r"\s+"
 BPE_ISH_RE = r"\w+|[^\w\s]"
@@ -497,7 +498,7 @@ def qx35_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("wd", "n")
         .agg((F.count("w2") + 1).alias("rk"))
     )
-    ks_df = spark.createDataFrame([(k,) for k in VOCAB_KS], "k int")
+    ks_df = local_rows(spark, [(k,) for k in VOCAB_KS], "k int")
     covered = (
         ranked.crossJoin(F.broadcast(ks_df))
         .filter(F.col("rk") <= F.col("k"))
@@ -673,7 +674,8 @@ def qx43_bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "s", bpe_merge_expr(F.col("s"), l, r)
             ).localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
+    return local_rows(
+        spark,
         merges,
         "iteration int, pair_left string, pair_right string, n_occurrences bigint",
     )

@@ -29,6 +29,7 @@ from kafka2delta_spark.operators.rankstats import exact_percentiles_by_rank
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.functions.measure import finite as finite_m
 from kafka2delta_spark.sources.tables import load_table
+from kafka2delta_spark.session import local_rows
 
 N_SALTS = 32
 
@@ -847,8 +848,8 @@ def qx28_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("max_y").alias("max_y"),
         ).withColumn("layout", F.lit(layout))
     zz = zones("fz", "zorder").unionByName(zones("fl", "linear"))
-    probes = spark.createDataFrame(
-        PRUNE_PROBES, "probe string, x_lo long, x_hi long, y_lo long, y_hi long"
+    probes = local_rows(
+        spark, PRUNE_PROBES, "probe string, x_lo long, x_hi long, y_lo long, y_hi long"
     )
     touched = (
         (F.col("max_x") >= F.col("x_lo"))

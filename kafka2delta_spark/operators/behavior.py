@@ -111,6 +111,7 @@ def qx81_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: [s_us, e_us] micro-second intervals (inclusive), reusing the exact
 #: SESSIONIZED_SQL gap rule via min/max per (user, session_seq).
 from kafka2delta_spark.operators.analytic import SESSIONIZED_SQL  # noqa: E402
+from kafka2delta_spark.session import local_rows  # noqa: E402
 
 
 @register(
@@ -732,7 +733,7 @@ def qx98_daily_count_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", F.coalesce("n", F.lit(0)).alias("n"))
         .localCheckpoint(eager=False)
     )
-    lags = spark.createDataFrame([(lag,) for lag in ACF_LAGS], "lag int")
+    lags = local_rows(spark, [(lag,) for lag in ACF_LAGS], "lag int")
     a = grid.crossJoin(F.broadcast(lags))
     b = grid.select(
         F.col("event_type").alias("event_type_b"),

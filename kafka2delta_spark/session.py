@@ -38,6 +38,19 @@ def delta_available() -> bool:
         return False
 
 
+def local_rows(spark: SparkSession, data, schema):
+    """Tiny driver-local literal frame in ONE partition.
+
+    ``spark.createDataFrame(list, schema)`` parallelizes the rows into
+    ``defaultParallelism`` slices, so a 3-row constant spine (or an empty
+    typed frame) becomes cores-many partitions — every broadcast build,
+    union, or scan over it then schedules a cluster-width round of
+    mostly-empty no-op tasks, a fixed per-use cost that grows with
+    executor count while the data does not. One explicit slice keeps
+    literal frames O(1) regardless of cluster width."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+
+
 def build_session(
     app_name: str = "kafka2delta_spark",
     master: str | None = None,

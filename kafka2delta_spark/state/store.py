@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kafka2delta_spark.config import TableConfig
+from kafka2delta_spark.session import local_rows
 
 #: characters the hive-style partition writer percent-escapes in directory
 #: names (plus control chars). Values containing any of these — or booleans,
@@ -492,7 +493,7 @@ def create_table_if_not_exists(
     if spark.catalog.tableExists(config.full_table_name) and store.exists():
         return store
     if not store.exists():
-        empty = spark.createDataFrame([], schema)
+        empty = local_rows(spark, [], schema)
         store.overwrite(empty)
     else:
         store._register()
