@@ -821,11 +821,15 @@ def qz16_kendall_retrieval_agreement(
     "qz17_p99_interarrival",
     oracle="""
     WITH g AS (
+        -- defined-type contract: the NULL event_type group is excluded
+        -- explicitly (the bracket's JOIN USING (event_type) silently
+        -- dropped it oracle-side while Spark's groupBy kept it — exposed
+        -- by the compound fixture's NULL-type mass-tie rows, r13)
         SELECT event_type,
                (epoch_us(ts) - LAG(epoch_us(ts)) OVER (
                     PARTITION BY user_id, event_type
                     ORDER BY ts, event_id)) // 1000000 AS gap_s
-        FROM events),
+        FROM events WHERE event_type IS NOT NULL),
     v AS (SELECT event_type, gap_s FROM g WHERE gap_s IS NOT NULL),
     h AS (SELECT event_type, gap_s, COUNT(*) AS cnt
           FROM v GROUP BY event_type, gap_s),
@@ -865,7 +869,13 @@ def qz17_p99_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     q36 discipline verbatim."""
     from kafka2delta_spark.operators.analytic import _histogram_rank_bracket
 
-    ev = load_table(spark, sf_dir, "events")
+    # defined-type contract (see oracle): the NULL event_type group is
+    # excluded on both engines explicitly — the oracle's JOIN USING
+    # (event_type) never matched it, so Spark keeping the group diverged
+    # on NULL-type fixtures
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     wl = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     us = F.unix_micros("ts")
     g = ev.select(

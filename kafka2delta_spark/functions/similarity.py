@@ -866,10 +866,14 @@ def _pca_oracle() -> str:
     parts = [
         f"""
     WITH x AS (
+        -- NULL-embedding rows carry no coordinates: they must not count
+        -- in n either (the Spark side's sentinel-folded Gram pass drops
+        -- the whole row; COUNT(*) over unfiltered x silently kept them —
+        -- exposed by the compound fixture's 56 NULL embeddings, r13)
         SELECT vec_id,
                [CAST(FLOOR(embedding[k] * 1000) AS BIGINT)
                 for k in range(1, {PCA_D + 1})] AS xs
-        FROM embeddings),
+        FROM embeddings WHERE embedding IS NOT NULL),
     ex AS (
         SELECT vec_id, g.i - 1 AS dim, xs[g.i] AS xi
         FROM x, (SELECT unnest(generate_series(1, {PCA_D})) AS i) g),
