@@ -743,57 +743,39 @@ def qz06_rrf_hybrid_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, term, tf) postings table built once."""
     from kafka2delta_spark.functions.retrieval import (
         BM25_TERMS,
+        bm25_doc_stats_cached,
         qx01_bm25_retrieval,
     )
 
     bm = qx01_bm25_retrieval(spark, sf_dir).select(
         "doc_id", F.col("rk").cast("bigint").alias("rk_b")
     )
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
+    # Both corpus facts the QL leg needs — nt (total token count) and
+    # per-term cf — read off the SAME pinned per-doc stats frame qx01's
+    # BM25 already built (bm25_doc_stats_cached): nt = Σ dl (identical
+    # to counting exploded tokens; NULL-text docs contribute nothing on
+    # either formulation), cf_t = Σ tf_t over hit docs. The former shape
+    # paid a full token explode for nt and a second for hits (guide
+    # §2.3/§2.4: the corpus-sized explode existed only to count a 3-term
+    # literal vocabulary, now counted inside each row).
+    X = bm25_doc_stats_cached(spark, sf_dir)
+    cf = X.agg(
+        F.sum("dl").cast("bigint").alias("nt"),
+        *[
+            F.sum(F.when(F.col(f"tf_{t}") > 0, F.col(f"tf_{t}")))
+            .cast("bigint")
+            .alias(f"cf_{t}")
+            for t in BM25_TERMS
+        ],
     )
-    # dl rides the explode rows instead of its own scan: the QL score
-    # only needs dl for docs that HIT a query term (tf inner-joins it),
-    # so carrying size(toks) per exploded row and grouping on it removes
-    # the separate per-doc length pass entirely (guide §2.4). nt (total
-    # token count over ALL docs) still needs its own full-explode
-    # aggregate — that and hits are the query's two corpus passes (was
-    # three, plus qx01's own two after its round-12 postings pin).
-    tr = docs.select(
+    hit = None
+    for t in BM25_TERMS:
+        h = F.col(f"tf_{t}") > 0
+        hit = h if hit is None else (hit | h)
+    tf = X.filter(hit).select(
         "doc_id",
-        F.size("toks").cast("bigint").alias("dl"),
-        F.explode("toks").alias("term"),
-    )
-    nt = tr.agg(F.count(F.lit(1)).cast("bigint").alias("nt"))
-    # hits is query-term-bounded (tiny) but its parent is the full token
-    # explode; cf and tf each consumed it, re-running the explode twice
-    # (guide §7.2, duplicated subtrees). One materialization for both.
-    hits = tr.filter(F.col("term").isin(*BM25_TERMS)).localCheckpoint(
-        eager=False
-    )
-    cf = (
-        hits.groupBy("term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cf"))
-        .agg(
-            *[
-                F.sum(F.when(F.col("term") == t, F.col("cf"))).alias(f"cf_{t}")
-                for t in BM25_TERMS
-            ]
-        )
-        .crossJoin(F.broadcast(nt))
-    )
-    tf = (
-        hits.groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
-        .groupBy("doc_id", "dl")
-        .agg(
-            *[
-                F.sum(F.when(F.col("term") == t, F.col("tf")).otherwise(0)).alias(
-                    f"tf_{t}"
-                )
-                for t in BM25_TERMS
-            ]
-        )
+        "dl",
+        *[F.col(f"tf_{t}") for t in BM25_TERMS],
     )
     ql_term = lambda t: F.log(  # noqa: E731
         (

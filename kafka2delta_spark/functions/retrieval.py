@@ -37,7 +37,11 @@ from pyspark.sql.window import Window as W
 
 from kafka2delta_spark.queryset import register
 from kafka2delta_spark.functions.measure import ascii_lower
-from kafka2delta_spark.sources.tables import load_embeddings, load_table
+from kafka2delta_spark.sources.tables import (
+    load_embeddings,
+    load_table,
+    sf_fingerprint,
+)
 
 # BM25 parameters (Okapi defaults) and the query vocabulary — literals
 # baked into both engines' plans, like the LSH hyperplanes.
@@ -89,6 +93,53 @@ def _bm25_oracle() -> str:
     """
 
 
+#: (session, sf_dir, fingerprint) -> pinned per-doc query-term stats.
+#: Both lexical scorers (qx01 BM25 and qz06's query-likelihood leg) and
+#: everything composing them (qz06 fusion, qz16 agreement) need the same
+#: three facts per document: its token count and its per-query-term
+#: occurrence counts. In production this is ONE materialized stats table
+#: refreshed per ingest; the session cache mirrors that shape
+#: (content-fingerprint key = the round-7 drift rule). Cluster-mode note:
+#: localCheckpoint trades lineage for plan truncation — an executor loss
+#: recomputes from the checkpoint's surviving blocks only.
+_TERM_STATS_CACHE: dict = {}
+
+
+def bm25_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc query-term stats in ONE tokenize pass and NO explode:
+    ``(doc_id, dl, tf_<term>…)`` with ``tf_t = size(filter(toks, = t))``
+    — exactly the exploded ``(doc, term)`` group count, computed inside
+    the row (guide §2.3: the corpus-sized explode+shuffle existed only
+    to count a 3-term literal vocabulary). NULL text yields NULL dl/tf,
+    matching what the explode pipelines produced by dropping the rows."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
+    )
+
+    def tf(t: str):
+        # closure factory, NOT a default-arg lambda: pyspark's
+        # higher-order builder reads the lambda's arity, so a second
+        # (defaulted) parameter flips it into the (element, index) form
+        return F.size(F.filter("toks", lambda x: x == F.lit(t)))
+
+    return docs.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("dl"),
+        *[tf(t).cast("bigint").alias(f"tf_{t}") for t in BM25_TERMS],
+    )
+
+
+def bm25_doc_stats_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached :func:`bm25_doc_stats` (values identical; the cache
+    only changes WHERE the tokenize pass's cost is paid)."""
+    key = (id(spark), sf_dir, sf_fingerprint(sf_dir))
+    if key not in _TERM_STATS_CACHE:
+        _TERM_STATS_CACHE[key] = bm25_doc_stats(spark, sf_dir).localCheckpoint(
+            eager=False
+        )
+    return _TERM_STATS_CACHE[key]
+
+
 @register("qx01_bm25_retrieval", oracle=_bm25_oracle())
 def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Okapi BM25 top-{k} documents for a fixed query-term set.
@@ -103,51 +154,49 @@ def qx01_bm25_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per-term scores pivot into fixed columns summed in declaration order
     — float addition is re-ordered freely by SQL engines otherwise, and
     the oracle gate hashes exact 4dp rounds."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(ascii_lower("text"), r"\s+").alias("toks")
-    )
-    d = docs.select("doc_id", "toks", F.size("toks").cast("double").alias("dl"))
-    stats = d.agg(
+    # One tokenize pass, no explode (bm25_doc_stats): the per-term tf is
+    # computed inside each row, so the only aggregate left is the 1-row
+    # corpus stats (n, avgdl, per-term df) and the only shuffled rows are
+    # the hit docs' scores feeding the top-k. The former shape paid a
+    # second full tokenize for (n, avgdl) and a corpus-sized explode
+    # before the postings filter.
+    X = bm25_doc_stats_cached(spark, sf_dir)
+    stats = X.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-    tr = d.select("doc_id", "dl", F.explode("toks").alias("term")).filter(
-        F.col("term").isin(*BM25_TERMS)
-    )
-    # tf (the query-term postings, bounded by the literal vocabulary) is
-    # consumed TWICE — df aggregates it and ts joins it — so without a
-    # pinned materialization the whole tokenize+explode subtree is
-    # planned once per consumer (guide §7.2; the audit counted documents
-    # scanned 6x in this one query: 2 postings paths x the unpinned
-    # top-k self-join below)
-    tf = tr.groupBy("doc_id", "term", "dl").agg(
-        F.count(F.lit(1)).cast("double").alias("tf")
-    ).localCheckpoint(eager=False)
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
-    denom = F.col("tf") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
-    )
-    ts = (
-        tf.join(F.broadcast(df_), "term")
-        .crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            "term",
-            (idf * F.col("tf") * (BM25_K1 + 1) / denom).alias("score"),
-        )
-    )
-    pivoted = ts.groupBy("doc_id").agg(
+        (F.sum(F.col("dl").cast("double")) / F.count(F.lit(1))).alias("avgdl"),
         *[
-            F.sum(F.when(F.col("term") == t, F.col("score"))).alias(f"s_{t}")
+            F.sum(F.when(F.col(f"tf_{t}") > 0, 1).otherwise(0))
+            .cast("double")
+            .alias(f"df_{t}")
             for t in BM25_TERMS
-        ]
+        ],
     )
+    # per-term score in the exact expression shape (and therefore float
+    # op order) of the former per-posting-row formula; missing terms stay
+    # NULL so the declaration-order coalesce-sum is unchanged
+    def s_term(t: str):
+        tf_d = F.col(f"tf_{t}").cast("double")
+        df_d = F.col(f"df_{t}")
+        idf = F.log((F.col("n") - df_d + 0.5) / (df_d + 0.5) + 1)
+        denom = tf_d + BM25_K1 * (
+            1 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        return F.when(
+            F.col(f"tf_{t}") > 0, idf * tf_d * (BM25_K1 + 1) / denom
+        )
+
+    hit = None
     total = None
     for t in BM25_TERMS:
-        piece = F.coalesce(F.col(f"s_{t}"), F.lit(0.0))
+        h = F.col(f"tf_{t}") > 0
+        hit = h if hit is None else (hit | h)
+        piece = F.coalesce(s_term(t), F.lit(0.0))
         total = piece if total is None else total + piece
-    scored = pivoted.select("doc_id", total.alias("score"))
+    scored = (
+        X.filter(hit)
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", total.alias("score"))
+    )
     # distributed top-k (TakeOrderedAndProject: per-partition heads +
     # driver merge of K rows), NEVER a global row_number window — that
     # would sort the whole corpus in one task. The K survivors rank via
