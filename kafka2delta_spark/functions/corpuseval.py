@@ -107,7 +107,7 @@ def qz01_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a scalar aggregate. Nothing pairwise anywhere."""
     from kafka2delta_spark.functions.curation import quality_logits
     from kafka2delta_spark.functions.dedup import _jaccard_edges
-    from kafka2delta_spark.operators.rankstats import global_ranks
+    from kafka2delta_spark.operators.rankstats import midrank_histogram
 
     docs = load_table(spark, sf_dir, "documents")
     logits = quality_logits(docs)
@@ -123,12 +123,22 @@ def qz01_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "logit_micro",
         F.coalesce("is_dup", F.lit(0)).alias("is_dup"),
     )
-    ranked = global_ranks(lab, ["logit_micro", "doc_id"])
+    # Midranks need only per-distinct-logit facts (min rank = #smaller
+    # values + 1, count, positive count) — the value-histogram closed
+    # form (midrank_histogram): one map-side-combined agg replaces the
+    # data-sized range exchange + eager checkpoint + rank join of the
+    # former global_ranks pass. logit_micro is a quantized bounded score
+    # (hundreds of distinct cells), the domain the qx53/qx30 rule asks
+    # for.
     dec = "decimal(38,0)"
-    g = ranked.groupBy("logit_micro").agg(
-        (F.min("rk0") + 1).cast(dec).alias("mn"),
-        F.count(F.lit(1)).cast(dec).alias("cnt"),
-        F.sum("is_dup").cast(dec).alias("npos"),
+    g = midrank_histogram(
+        lab.select("logit_micro", "is_dup"),
+        "logit_micro",
+        extra_aggs=[F.sum("is_dup").alias("__npos")],
+    ).select(
+        F.col("__mn").cast(dec).alias("mn"),
+        F.col("__cnt").cast(dec).alias("cnt"),
+        F.col("__npos").cast(dec).alias("npos"),
     )
     t = g.agg(
         F.sum("npos").alias("np"),

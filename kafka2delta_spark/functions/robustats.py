@@ -518,35 +518,38 @@ def qz14_spearman_length_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window), tie-group midranks via one hash-agg each, a doc_id
     join, one scalar moment aggregate."""
     from kafka2delta_spark.functions.curation import quality_logits
-    from kafka2delta_spark.operators.rankstats import global_ranks
+    from kafka2delta_spark.operators.rankstats import midrank_histogram
 
     docs = load_table(spark, sf_dir, "documents")
     base = (
         quality_logits(docs)
         .join(docs.select("doc_id", "n_chars"), "doc_id")
-        # base feeds BOTH midrank passes (rx over n_chars, ry over
-        # logit_micro); without a checkpoint each pass re-runs the
-        # regex-heavy quality-logit scan (guide §7.2, duplicated
-        # subtrees). One materialization, two consumers.
+        # base feeds BOTH midrank maps and the per-doc (x, y) pairing;
+        # without a checkpoint each consumer re-runs the regex-heavy
+        # quality-logit scan (guide §7.2, duplicated subtrees). One
+        # materialization, three consumers.
         .localCheckpoint(eager=False)
     )
 
-    def midrank2(col: str, out: str) -> DataFrame:
-        ranked = global_ranks(
-            base.select("doc_id", col), [col, "doc_id"]
-        )
-        grp = ranked.groupBy(col).agg(
-            (2 * (F.min("rk0") + 1) + F.count(F.lit(1)) - 1).alias("r2"),
-        )
-        return ranked.select("doc_id", col).join(grp, col).select(
-            "doc_id", F.col("r2").alias(out)
+    # Doubled midranks are per-DISTINCT-value facts (2·minrank + cnt − 1),
+    # so each variable needs only its value histogram — midrank_histogram:
+    # one map-side-combined agg each, replacing two global_ranks passes
+    # (data-sized range exchange + eager checkpoint + rank join apiece).
+    # Both domains are value-bounded (n_chars by document size, the logit
+    # by its quantized micro-unit range), the qx53/qx30 rule. The tiny
+    # value→midrank maps broadcast back onto the docs (grouped aggregates
+    # over bounded domains — the broadcast-policy carve-out).
+    def midrank_map(col: str, out: str) -> DataFrame:
+        return midrank_histogram(base.select(col), col).select(
+            col, (2 * F.col("__mn") + F.col("__cnt") - 1).alias(out)
         )
 
-    rx = midrank2("n_chars", "x")
-    ry = midrank2("logit_micro", "y")
     dec = "decimal(38,0)"
-    xy = rx.join(ry, "doc_id").select(
-        F.col("x").cast(dec).alias("x"), F.col("y").cast(dec).alias("y")
+    xy = (
+        base.select("n_chars", "logit_micro")
+        .join(F.broadcast(midrank_map("n_chars", "x")), "n_chars")
+        .join(F.broadcast(midrank_map("logit_micro", "y")), "logit_micro")
+        .select(F.col("x").cast(dec).alias("x"), F.col("y").cast(dec).alias("y"))
     )
     mom = xy.agg(
         F.count(F.lit(1)).cast(dec).alias("n"),

@@ -64,6 +64,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 
 def _group_ranked(
@@ -232,6 +233,23 @@ def exact_percentiles_by_rank(
         hi_v = F.coalesce(F.col(f"__hi{num}"), lo_v)
         out_cols.append((lo_v + (hi_v - lo_v) * frac).alias(f"{prefix}{num}"))
     return res.select(*out_cols)
+
+
+def midrank_histogram(df: DataFrame, col: str, extra_aggs: Sequence = ()):
+    """Per-DISTINCT-value rank facts from a value histogram: returns
+    ``(col, __cnt, __mn, *extra_aggs)`` where ``__mn`` is the 1-based
+    minimum global rank of the value's tie group (= #smaller values + 1)
+    under any total order that sorts by ``col`` first. The value-domain
+    closed form of ``global_ranks`` + groupBy-midrank (the qx53/qx30
+    rule): ONE map-side-combined histogram agg is the only data-sized
+    op; the cumulative window runs over the value DOMAIN, not the rows.
+    Right when distinct(col) << rows (quantized scores, bounded sizes);
+    for near-unique domains use ``global_ranks``."""
+    h = df.groupBy(col).agg(F.count(F.lit(1)).alias("__cnt"), *extra_aggs)
+    wc = W.orderBy(col).rowsBetween(W.unboundedPreceding, W.currentRow)
+    return h.withColumn(
+        "__mn", F.sum("__cnt").over(wc) - F.col("__cnt") + 1
+    )
 
 
 def global_ranks(
