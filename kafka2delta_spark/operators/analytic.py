@@ -414,10 +414,15 @@ def q36_stats_by_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
     median (9-run back-to-back A/B, oracle-green) and REVERTED: at
     sf0.1 the composite cell grid is ~row-sized (prices are near-unique
     per qty), so the lazy-checkpoint pin materializes nearly the whole
-    projected table and its barrier serializes the percentile legs. The
-    cells domain is bounded (~18M: 3 flags x 50 qty x ~120k retail-cent
-    values) so the fusion wins asymptotically, but per the pass-7 rule
-    a measured >=25% local regression is not payable from this bench.
+    projected table and its barrier serializes the percentile legs.
+    Round-13 re-ran the A/B at ~sf0.3 (tools/build_scale_fixture.py x3
+    replica, 1.8M lineitem rows; oracle-equal rows): current 1.74 s vs
+    fused 2.15 s median of 5 — STILL a loss, because the grid only stops
+    tracking row count once rows >> the ~18M-cell domain bound
+    (3 flags x 50 qty x ~120k retail cents), i.e. ~sf30+; below that the
+    fusion materializes ~every projected row behind a barrier. Scale
+    threshold recorded: revisit only when lineitem rows per flag exceed
+    the cent-domain (~120k x 50) by an order of magnitude.
 
     The median (0.5 is dyadic over integer quantities) interpolates in
     floats bit-exactly across engines (the qx30 argument). p90 = 9/10 is
