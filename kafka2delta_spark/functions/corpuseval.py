@@ -260,7 +260,7 @@ def qz02_split_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_train").alias("a"),
         F.sum(1 - F.col("is_train")).alias("b"),
     ).localCheckpoint(eager=False)
-    spine = spark.range(PSI_K).select(F.col("id").cast("int").alias("bucket"))
+    spine = spark.range(0, PSI_K, 1, 1).select(F.col("id").cast("int").alias("bucket"))
     s = spine.join(c, "bucket", "left").select(
         "bucket",
         F.coalesce("a", F.lit(0)).alias("a"),

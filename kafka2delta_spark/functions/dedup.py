@@ -628,6 +628,29 @@ def jaccard_similar_pairs(
 CC_MAX_ITERS = 20
 
 
+#: target rows per task for ITERATIVE loop state (CC labels, star edges,
+#: k-core alive sets). Small states collapse to a handful of partitions;
+#: the session default always caps the result, so big states keep full
+#: cluster parallelism.
+LOOP_ROWS_PER_TASK = 50_000
+
+
+def _loop_partitions(spark, n_rows: int, default_parts: int) -> int:
+    """Scale-adaptive shuffle-partition count for one fixpoint round.
+
+    Iterative graph loops re-shuffle a state frame that is usually TINY
+    (near-dup labels, alive vertex sets) dozens of times; with shuffle
+    partitions pinned to the session default (= cores on local, O(cores)
+    on a cluster) every round schedules a cluster-width wave of mostly
+    empty tasks, so per-round fixed cost GROWS with cluster size while
+    the state does not — the r12 core-scaling study measured qx66 at
+    0.27x (5.3 s on 32 cores vs 1.45 s on 8) from exactly this. Deriving
+    the next round's partition count from the measured state size keeps
+    small loops narrow and large loops at full width (min(default, ...)
+    never lowers parallelism for data that needs it)."""
+    return max(1, min(default_parts, n_rows // LOOP_ROWS_PER_TASK + 1))
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iters: int = CC_MAX_ITERS
 ) -> DataFrame:
@@ -659,23 +682,43 @@ def connected_components(
     )
     prev_sum = None
     converged = False
-    for _ in range(max_iters):
-        nbr = und.join(labels, F.col("src") == F.col("node")).select(
-            F.col("dst").alias("node"), F.col("label")
-        )
-        labels = (
-            labels.unionByName(nbr)
-            .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
-        )
-        cur_sum = labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).first()[0]
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+    # scale-adaptive rounds: the convergence aggregate already scans the
+    # new labels, so the row count rides the same job and sizes the NEXT
+    # round's shuffle (see _loop_partitions). Conf is scoped + restored.
+    spark = nodes.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    default_parts = int(prev_parts)
+    try:
+        for _ in range(max_iters):
+            nbr = und.join(labels, F.col("src") == F.col("node")).select(
+                F.col("dst").alias("node"), F.col("label")
+            )
+            labels = (
+                labels.unionByName(nbr)
+                .groupBy("node")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=False)
+            )
+            row = labels.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            ).first()
+            cur_sum = row["s"]
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+            # label count sizes the next round's reduce side (conf) AND
+            # the edge frame's map side (narrow coalesce — edge rows are
+            # a small multiple of touched nodes in a capped dup graph);
+            # round 1 deliberately runs at full width, it does the bulk
+            # of the propagation.
+            parts = _loop_partitions(spark, row["n"], default_parts)
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            if parts < default_parts:
+                und = und.coalesce(parts)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         # Returning silently would split long chain components into
         # multiple cluster_ids (and keep multiple "canonical" docs from one
@@ -754,26 +797,41 @@ def connected_components_twophase(
     ).distinct()
     prev_sig = None
     converged = False
-    for _ in range(max_rounds):
-        und_dir = cur.select(F.col("lo").alias("u"), F.col("hi").alias("v")).union(
-            cur.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
-        )
-        after_large = _star_round(und_dir, large=True)
-        und_dir2 = after_large.select(
-            F.col("lo").alias("u"), F.col("hi").alias("v")
-        ).union(after_large.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
-        cur = _star_round(und_dir2, large=False).localCheckpoint(eager=True)
-        sig = cur.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum((F.col("lo") * 1_000_003 + F.col("hi")).cast("decimal(38,0)")).alias(
-                "s"
-            ),
-        ).first()
-        sig = (sig["n"], sig["s"])
-        if sig == prev_sig:
-            converged = True
-            break
-        prev_sig = sig
+    # scale-adaptive rounds (see _loop_partitions): the signature agg
+    # already returns the edge count, which sizes the next round's
+    # shuffles; conf is scoped + restored.
+    spark = nodes.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    default_parts = int(prev_parts)
+    try:
+        for _ in range(max_rounds):
+            und_dir = cur.select(
+                F.col("lo").alias("u"), F.col("hi").alias("v")
+            ).union(cur.select(F.col("hi").alias("u"), F.col("lo").alias("v")))
+            after_large = _star_round(und_dir, large=True)
+            und_dir2 = after_large.select(
+                F.col("lo").alias("u"), F.col("hi").alias("v")
+            ).union(
+                after_large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+            )
+            cur = _star_round(und_dir2, large=False).localCheckpoint(eager=True)
+            sig = cur.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(
+                    (F.col("lo") * 1_000_003 + F.col("hi")).cast("decimal(38,0)")
+                ).alias("s"),
+            ).first()
+            sig = (sig["n"], sig["s"])
+            if sig == prev_sig:
+                converged = True
+                break
+            prev_sig = sig
+            spark.conf.set(
+                "spark.sql.shuffle.partitions",
+                str(_loop_partitions(spark, sig[0] * 2, default_parts)),
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     if not converged:
         raise RuntimeError(
             f"two-phase CC did not converge in {max_rounds} rounds "
@@ -2199,7 +2257,7 @@ def qx75_lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_hits"),
         )
     )
-    spine = spark.range(len(SWEEP_CONFIGS)).select(
+    spine = spark.range(0, len(SWEEP_CONFIGS), 1, 1).select(
         F.col("id").cast("int").alias("cfg")
     )
     r_of = F.element_at(
@@ -2357,7 +2415,7 @@ def qx87_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = tagged.localCheckpoint(eager=False)
 
     nodes = docs.crossJoin(
-        spark.range(k).select(F.col("id").cast("int").alias("ti"))
+        spark.range(0, k, 1, 1).select(F.col("id").cast("int").alias("ti"))
     ).select((F.col("doc_id") * k + F.col("ti")).alias("node"))
     # decode is exact for any id sign: pmod recovers ti, and label - ti
     # is divisible by k so the division has no truncation to get wrong
@@ -2390,7 +2448,7 @@ def qx87_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # the ti spine is a literal frame so every threshold emits its row
     # even over an empty corpus / empty edge set (the EMPTY_AGG contract)
-    spine = spark.range(k).select(F.col("id").cast("int").alias("ti"))
+    spine = spark.range(0, k, 1, 1).select(F.col("id").cast("int").alias("ti"))
     thresh = F.element_at(
         F.array(*[F.lit(t) for t in THRESH_SWEEP_E3]), F.col("ti") + 1
     )

@@ -1721,7 +1721,7 @@ def qx73_event_concentration_gini(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("decimal(38,0)")
         .alias("sixi"),
     )
-    deciles = spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+    deciles = spark.range(1, 11, 1, 1).select(F.col("id").cast("int").alias("decile"))
     r = deciles.crossJoin(F.broadcast(t)).withColumn(
         "rk", F.expr("cast((decile * n) div 10 as bigint)")
     )

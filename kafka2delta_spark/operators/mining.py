@@ -351,20 +351,36 @@ def qx66_kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("deg_full")
     )
     alive = deg.select("node")
-    # eager checkpoint per round: the surviving-vertex set is tiny, and
-    # truncating lineage keeps the per-round plan flat instead of
-    # compounding 3 joins per peel (same move as label propagation /
-    # large-star rounds above)
-    for _ in range(KCORE_ROUNDS):
-        alive = (
-            und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.count(F.lit(1)).alias("d"))
-            .filter(F.col("d") >= KCORE_K)
-            .select("node")
-            .localCheckpoint(eager=True)
-        )
+    # Scale-adaptive loop width (dedup._loop_partitions; r13 core study:
+    # qx66 ANTI-scaled 0.27x from 8 to 32 cores because every peel round
+    # re-scanned the cores-wide checkpointed edge RDD and shuffled at
+    # cores-wide partitions for a cap-bounded graph). One upfront count
+    # of the materialized edge list sizes both: the edge frame is
+    # narrowed with a (narrow, no-shuffle) coalesce and the rounds'
+    # shuffles run at the same width; alive only ever shrinks, so the
+    # width never needs to grow. min(default, ...) keeps full cluster
+    # width whenever the graph is actually large.
+    from kafka2delta_spark.functions.dedup import _loop_partitions
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = _loop_partitions(spark, und.count(), int(prev_parts))
+    und_loop = und.coalesce(loop_parts)
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        for _ in range(KCORE_ROUNDS):
+            alive = (
+                und_loop.join(
+                    alive.withColumnRenamed("node", "a"), "a", "left_semi"
+                )
+                .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
+                .groupBy(F.col("a").alias("node"))
+                .agg(F.count(F.lit(1)).alias("d"))
+                .filter(F.col("d") >= KCORE_K)
+                .select("node")
+                .localCheckpoint(eager=True)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     core_deg = (
         und.join(alive.withColumnRenamed("node", "a"), "a", "left_semi")
         .join(alive.withColumnRenamed("node", "b"), "b", "left_semi")
